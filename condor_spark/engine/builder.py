@@ -1,0 +1,321 @@
+"""Two-phase distributed synopsis build — the engine core.
+
+Re-expresses the reference's build pipeline (``flinkScottyConnector/.../
+processor/SynopsisBuilder.java:55-73,193-245``) in Spark's execution model:
+
+  reference                              this engine
+  -----------------------------------    ------------------------------------
+  rescale + AddParallelismIndex          Spark's input partitioning as-is
+  keyBy(subtask) + window + aggregate    Phase 1: ``mapInPandas`` partial — one
+    (partial synopses, communication-      synopsis per (slice, stratum) per
+    free pre-aggregation :224-229)         input partition; raw rows never
+                                           shuffle
+  windowAll + reduce(MergeSynopsis)      Phase 2: ``groupBy(window, stratum)
+    (final merge :232-242)                 .applyInPandas(merge)`` — only
+                                           sketch blobs cross the shuffle
+  Scotty general stream slicing          slices of gcd(size, slide) expanded
+    (:298-342, slice sharing)              into their windows JVM-side
+                                           (sequence+explode) before the merge
+
+Shuffle volume is O(partitions × slices × strata) sketch blobs, independent
+of row count — the property that makes the plan survive a 100× scale-up.
+Merge order is made deterministic by sorting partials on (partition id,
+slice) before reducing, so N-vs-4N parallelism produces identical output rows
+for order-sensitive samplers too.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..synopsis.base import Synopsis, Trait, make
+from .windows import CountTumbling, GlobalWindow, Session, Sliding, Tumbling
+
+_PARTIAL_SCHEMA = ("__slice long, __st string, __pid long, state binary, n long")
+_FINAL_SCHEMA = ("window_start timestamp, window_end timestamp, stratum string, "
+                 "state binary, n long")
+
+
+@dataclass
+class SynopsisSpec:
+    """Analogue of the reference's BuildConfiguration
+    (``processor/configs/BuildConfiguration.java:20-32``)."""
+    kind: str                      # registry key: countmin, hll, bloom, ...
+    params: dict = field(default_factory=dict)
+    column: str = "value"          # the summarized field (ExtractKeyField analogue)
+    ts_column: str | None = None   # event-time column (TimestampType)
+    window: object = None          # Tumbling/Sliding/Session/CountTumbling/GlobalWindow
+    stratify_by: str | None = None  # StratifiedSynopsis partition key
+    priority_column: str | None = None  # for bottomk: precomputed orderable priority
+    tiebreak_column: str | None = None  # for fifo: deterministic tie-break
+
+    def make_synopsis(self) -> Synopsis:
+        return make(self.kind, **self.params)
+
+
+def _normalize(df: DataFrame, spec: SynopsisSpec, slice_ms: int | None) -> DataFrame:
+    """Project to the worker columns; all expressions JVM-side (codegen)."""
+    cols = [F.col(spec.column).alias("__v")]
+    if spec.ts_column:
+        cols.append((F.col(spec.ts_column).cast("double") * 1000).cast("long").alias("__ts"))
+    else:
+        cols.append(F.lit(0).cast("long").alias("__ts"))
+    if spec.stratify_by:
+        cols.append(F.col(spec.stratify_by).cast("string").alias("__st"))
+    else:
+        cols.append(F.lit("").alias("__st"))
+    if spec.priority_column:
+        cols.append(F.col(spec.priority_column).alias("__prio"))
+    if spec.tiebreak_column:
+        cols.append(F.col(spec.tiebreak_column).cast("long").alias("__tb"))
+    out = df.select(*cols)
+    if slice_ms is not None:
+        out = out.withColumn(
+            "__slice", (F.floor(F.col("__ts") / F.lit(slice_ms)) * F.lit(slice_ms)))
+    else:
+        out = out.withColumn("__slice", F.lit(0).cast("long"))
+    return out
+
+
+def _update(syn: Synopsis, spec: SynopsisSpec, sub: pd.DataFrame) -> None:
+    vals = sub["__v"].to_numpy()
+    ts = sub["__ts"].to_numpy() if syn.NEEDS_TIMESTAMPS else None
+    if spec.kind == "bottomk" and "__prio" in sub:
+        syn.update_batch(vals, ts=ts, priorities=sub["__prio"].to_numpy())
+    elif spec.kind == "fifo" and "__tb" in sub:
+        syn.update_batch(vals, ts=ts, tiebreak=sub["__tb"].to_numpy())
+    elif ts is not None:
+        syn.update_batch(vals, ts=ts)
+    else:
+        syn.update_batch(vals)
+
+
+def _partial_builder(spec: SynopsisSpec):
+    """Phase 1: per input partition, one synopsis per (slice, stratum)."""
+    from pyspark import TaskContext
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[tuple, Synopsis] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for key, sub in pdf.groupby(["__slice", "__st"], sort=False):
+                syn = acc.get(key)
+                if syn is None:
+                    syn = acc[key] = spec.make_synopsis()
+                _update(syn, spec, sub)
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        if not acc:
+            return
+        rows = [(int(sl), st, pid, syn.to_bytes(), int(syn.n_processed))
+                for (sl, st), syn in acc.items()]
+        yield pd.DataFrame(rows, columns=["__slice", "__st", "__pid", "state", "n"])
+
+    return fn
+
+
+def _merge_group(pdf: pd.DataFrame) -> Synopsis:
+    """Deterministic final merge: sort partials by (pid, slice) then reduce."""
+    pdf = pdf.sort_values(["__pid", "__slice"], kind="stable")
+    blobs = pdf["state"].tolist()
+    syn = Synopsis.from_bytes(blobs[0])
+    for b in blobs[1:]:
+        syn = syn.merge(Synopsis.from_bytes(b))
+    return syn
+
+
+def _final_merger(size_ms: int):
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        syn = _merge_group(pdf)
+        w = int(key[0])
+        return pd.DataFrame({
+            "window_start": [pd.Timestamp(w, unit="ms")],
+            "window_end": [pd.Timestamp(w + size_ms, unit="ms") if size_ms else
+                           pd.Timestamp(w, unit="ms")],
+            "stratum": [key[1]],
+            "state": [syn.to_bytes()],
+            "n": [int(syn.n_processed)],
+        })
+
+    return fn
+
+
+def build_batch(df: DataFrame, spec: SynopsisSpec) -> DataFrame:
+    """Build windowed synopses over a batch DataFrame.
+
+    Returns DataFrame(window_start ts, window_end ts, stratum string,
+    state binary, n long) — the WindowedSynopsis analogue
+    (``core/.../synopsis/WindowedSynopsis.java:3-30``).
+    """
+    win = spec.window or GlobalWindow()
+    if isinstance(win, Session):
+        return _build_session(df, spec, win)
+    if isinstance(win, CountTumbling):
+        raise ValueError("use build_count_windows() for count windows")
+    if spec.kind == "wavelet":
+        raise ValueError("use build_ordered() for order-based synopses")
+
+    if isinstance(win, GlobalWindow):
+        slice_ms, size_ms = None, 0
+    elif isinstance(win, Tumbling):
+        slice_ms, size_ms = win.slice_ms, win.size_ms
+    elif isinstance(win, Sliding):
+        slice_ms, size_ms = win.slice_ms, win.size_ms
+    else:
+        raise ValueError(f"unsupported window {win}")
+
+    work = _normalize(df, spec, slice_ms)
+    partials = work.mapInPandas(_partial_builder(spec), schema=_PARTIAL_SCHEMA)
+
+    if isinstance(win, Sliding):
+        slide, size, sl = win.slide_ms, win.size_ms, win.slice_ms
+        # windows (multiples of slide) containing slice [s, s+sl):
+        #   w in [s + sl - size, s], w ≡ 0 (mod slide)   — JVM-side expansion
+        first_w = -F.floor((F.lit(size) - F.lit(sl) - F.col("__slice")) / F.lit(slide)) * F.lit(slide)
+        last_w = F.floor(F.col("__slice") / F.lit(slide)) * F.lit(slide)
+        partials = partials.withColumn(
+            "__w", F.explode(F.sequence(first_w.cast("long"), last_w.cast("long"),
+                                        F.lit(slide).cast("long"))))
+    else:
+        partials = partials.withColumn("__w", F.col("__slice"))
+
+    return (partials.groupBy("__w", "__st")
+            .applyInPandas(_final_merger(size_ms), schema=_FINAL_SCHEMA))
+
+
+def _build_session(df: DataFrame, spec: SynopsisSpec, win: Session) -> DataFrame:
+    """Session windows via gaps-and-islands; rows are already co-located by
+    the sessionization shuffle, so the build is single-phase per session
+    (matching ``session_window`` semantics: end = last event + gap)."""
+    from pyspark.sql import Window as W
+
+    work = _normalize(df, spec, None)
+    wspec = W.partitionBy("__st").orderBy("__ts")
+    gap = win.gap_ms
+    work = (work
+            .withColumn("__prev", F.lag("__ts").over(wspec))
+            .withColumn("__new", (F.col("__prev").isNull() |
+                                  ((F.col("__ts") - F.col("__prev")) > gap)).cast("long"))
+            .withColumn("__sess", F.sum("__new").over(
+                wspec.rowsBetween(W.unboundedPreceding, 0))))
+
+    def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__ts", kind="stable")
+        syn = spec.make_synopsis()
+        _update(syn, spec, pdf)
+        return pd.DataFrame({
+            "window_start": [pd.Timestamp(int(pdf["__ts"].min()), unit="ms")],
+            "window_end": [pd.Timestamp(int(pdf["__ts"].max()) + gap, unit="ms")],
+            "stratum": [key[0]],
+            "state": [syn.to_bytes()],
+            "n": [int(syn.n_processed)],
+        })
+
+    return work.groupBy("__st", "__sess").applyInPandas(build, schema=_FINAL_SCHEMA)
+
+
+def _global_order(df: DataFrame, spec: SynopsisSpec, num_partitions: int | None):
+    """Deterministic global order by (ts, tiebreak): range partition + local
+    sort + per-partition offsets (the OrderAndIndex analogue,
+    ``processor/divide/OrderAndIndex.java:41-67`` — but parallel, not par=1)."""
+    work = _normalize(df, spec, None)
+    if "__tb" not in work.columns:
+        work = work.withColumn("__tb", F.lit(0).cast("long"))
+    p = num_partitions or work.rdd.getNumPartitions()
+    work = (work.repartitionByRange(p, "__ts", "__tb")
+                .sortWithinPartitions("__ts", "__tb"))
+    sizes = (work.withColumn("__pid", F.spark_partition_id())
+                 .groupBy("__pid").count().collect())  # P rows only
+    counts = {r["__pid"]: r["count"] for r in sizes}
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    return work, offsets, acc
+
+
+def build_count_windows(df: DataFrame, spec: SynopsisSpec,
+                        num_partitions: int | None = None) -> DataFrame:
+    """Count-based tumbling windows (keyBy.countWindow analogue,
+    ``SynopsisBuilder.java:219-221``): window id = global index // count."""
+    from pyspark import TaskContext
+
+    count = spec.window.count
+    work, offsets, _total = _global_order(df, spec, num_partitions)
+    b_offsets = offsets  # tiny dict, shipped in the closure
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        idx = b_offsets.get(pid, 0)
+        acc: dict[tuple, Synopsis] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            gidx = idx + np.arange(len(pdf), dtype=np.int64)
+            idx += len(pdf)
+            pdf = pdf.assign(__wid=gidx // count)
+            for key, sub in pdf.groupby(["__wid", "__st"], sort=False):
+                syn = acc.get(key)
+                if syn is None:
+                    syn = acc[key] = spec.make_synopsis()
+                _update(syn, spec, sub)
+        if not acc:
+            return
+        rows = [(int(wid), st, pid, syn.to_bytes(), int(syn.n_processed))
+                for (wid, st), syn in acc.items()]
+        yield pd.DataFrame(rows, columns=["__slice", "__st", "__pid", "state", "n"])
+
+    partials = work.mapInPandas(partial, schema=_PARTIAL_SCHEMA)
+
+    def merger(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        syn = _merge_group(pdf)
+        wid = int(key[0])
+        return pd.DataFrame({
+            "window_id": [wid], "lo_idx": [wid * count], "hi_idx": [(wid + 1) * count],
+            "stratum": [key[1]], "state": [syn.to_bytes()], "n": [int(syn.n_processed)],
+        })
+
+    return (partials.groupBy("__slice", "__st").applyInPandas(
+        merger, schema=("window_id long, lo_idx long, hi_idx long, "
+                        "stratum string, state binary, n long")))
+
+
+def build_ordered(df: DataFrame, spec: SynopsisSpec,
+                  num_partitions: int | None = None) -> DataFrame:
+    """Order-based build (wavelet): one slice per range partition, unified by
+    concatenation — the NonMergeableSynopsisManager path
+    (``core/.../synopsis/NonMergeableSynopsisManager.java:5-35``,
+    ``Wavelets/SliceWaveletsManager.java:40-49``).
+
+    Returns DataFrame(offset long, length long, state binary).
+    """
+    from pyspark import TaskContext
+
+    work, offsets, _total = _global_order(df, spec, num_partitions)
+    b_offsets = offsets
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        syn = spec.make_synopsis()
+        n = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            syn.update_batch(pdf["__v"].to_numpy())
+            n += len(pdf)
+        if n == 0:
+            return
+        if hasattr(syn, "finalize"):
+            syn.finalize()
+        yield pd.DataFrame({"offset": [b_offsets.get(pid, 0)], "length": [n],
+                            "state": [syn.to_bytes()]})
+
+    return work.mapInPandas(build, schema="offset long, length long, state binary")

@@ -1,0 +1,199 @@
+"""Evaluation layer — Condor's canonical synopsis queries as DataFrame ops.
+
+Re-expresses ``flinkScottyConnector/.../evaluator/ApproximateDataAnalytics.java``:
+  * ``query_latest``       (:39-51)  — evaluate against the newest window
+  * ``query_timestamped``  (:64-76)  — evaluate against the window containing
+                                       each query's timestamp (interval join)
+  * stratified variants    (:79-117) — stratum joins the key
+  * ``QueryFunction`` hook (evaluator/utils/QueryFunction.java:16-19) — the
+    per-kind kernels below.
+
+Everything is a join + ``applyInPandas`` over the synopsis table: the blob is
+decoded once per (window, stratum) group and the whole query batch is
+answered vectorized.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..synopsis.base import Synopsis
+
+
+def apply_per_window(syn_df: DataFrame, fn: Callable[[Synopsis, pd.Series], pd.DataFrame],
+                     schema: str) -> DataFrame:
+    """Run ``fn(synopsis, row)`` for every windowed-synopsis row.
+
+    fn returns a small pd.DataFrame; window/stratum columns are prefixed
+    automatically when present in the schema.
+    """
+
+    def mapper(batches):
+        for pdf in batches:
+            outs = []
+            for _, row in pdf.iterrows():
+                syn = Synopsis.from_bytes(row["state"])
+                out = fn(syn, row)
+                if out is None or out.empty:
+                    continue
+                for c in ("window_start", "window_end", "stratum"):
+                    if c in pdf.columns and c not in out.columns and c in schema:
+                        out[c] = row[c]
+                outs.append(out)
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return syn_df.mapInPandas(mapper, schema=schema)
+
+
+def latest(syn_df: DataFrame, per_stratum: bool = True) -> DataFrame:
+    """Newest windowed synopsis (per stratum), the queryLatest target."""
+    keys = ["stratum"] if per_stratum else []
+    w = syn_df.groupBy(*keys).agg(F.max("window_end").alias("window_end"))
+    return syn_df.join(F.broadcast(w), keys + ["window_end"], "inner")
+
+
+def query_timestamped(syn_df: DataFrame, queries_df: DataFrame,
+                      fn: Callable[[Synopsis, pd.DataFrame], pd.DataFrame],
+                      schema: str, stratified: bool = False) -> DataFrame:
+    """Answer each (q_ts, ...) query with the synopsis of the window that
+    contains it (QueryTimestampedFunction.java:50-96 floor-lookup semantics:
+    window_start <= q_ts < window_end)."""
+    cond = [(queries_df["q_ts"] >= syn_df["window_start"]),
+            (queries_df["q_ts"] < syn_df["window_end"])]
+    if stratified:
+        cond.append(queries_df["stratum"] == syn_df["stratum"])
+        joined = F.broadcast(queries_df).join(
+            syn_df, cond, "inner").drop(queries_df["stratum"])
+    else:
+        joined = F.broadcast(queries_df).join(syn_df, cond, "inner")
+
+    def grouped(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        syn = Synopsis.from_bytes(pdf["state"].iloc[0])
+        out = fn(syn, pdf)
+        for c in ("window_start", "window_end", "stratum"):
+            if c in schema and c not in out.columns:
+                out[c] = pdf[c].iloc[0]
+        return out
+
+    return joined.groupBy("window_start", "stratum").applyInPandas(grouped, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# canonical per-kind query kernels (SURVEY.md §2.3 canonical query set)
+# ---------------------------------------------------------------------------
+
+def frequency_estimates(syn_df: DataFrame, keys: list) -> DataFrame:
+    """Count-Min frequency per key per window (CountMinSketch.query:96-113)."""
+    def fn(syn, row):
+        est = syn.query(pd.Series(keys))
+        return pd.DataFrame({"key": keys, "est_count": est.astype("int64")})
+
+    return apply_per_window(
+        syn_df, fn,
+        "window_start timestamp, window_end timestamp, stratum string, "
+        "key string, est_count long")
+
+
+def distinct_estimates(syn_df: DataFrame) -> DataFrame:
+    """HLL distinct count per window (HyperLogLogSketch.distinctItemsEstimator)."""
+    def fn(syn, row):
+        return pd.DataFrame({"est_distinct": [int(syn.estimate())]})
+
+    return apply_per_window(
+        syn_df, fn,
+        "window_start timestamp, window_end timestamp, stratum string, est_distinct long")
+
+
+def membership(syn_df: DataFrame, keys: list) -> DataFrame:
+    """Bloom/Cuckoo membership per key per window (BloomFilter.query:72-86)."""
+    def fn(syn, row):
+        member = syn.query(pd.Series(keys))
+        return pd.DataFrame({"key": keys, "member": member.astype(bool)})
+
+    return apply_per_window(
+        syn_df, fn,
+        "window_start timestamp, window_end timestamp, stratum string, "
+        "key string, member boolean")
+
+
+def quantile_estimates(syn_df: DataFrame, qs: list[float]) -> DataFrame:
+    """DDSketch quantiles per window (DDSketch.getValueAtQuantile:198-239)."""
+    def fn(syn, row):
+        return pd.DataFrame({"q": qs, "est_value": syn.quantiles(qs)})
+
+    return apply_per_window(
+        syn_df, fn,
+        "window_start timestamp, window_end timestamp, stratum string, "
+        "q double, est_value double")
+
+
+def f2_estimates(syn_df: DataFrame) -> DataFrame:
+    """AMS F2 (self-join size) per window (FastAGMS.estimateF2)."""
+    def fn(syn, row):
+        return pd.DataFrame({"est_f2": [float(syn.estimate_f2())]})
+
+    return apply_per_window(
+        syn_df, fn,
+        "window_start timestamp, window_end timestamp, stratum string, est_f2 double")
+
+
+def histogram_counts(syn_df: DataFrame) -> DataFrame:
+    """Equi-width bucket counts per window (EquiWidthHistogramAccuracy.java:72-80)."""
+    def fn(syn, row):
+        return pd.DataFrame({"bucket": range(syn.num_buckets),
+                             "cnt": syn.frequency.astype("int64")})
+
+    return apply_per_window(
+        syn_df, fn,
+        "window_start timestamp, window_end timestamp, stratum string, "
+        "bucket int, cnt long")
+
+
+def sample_rows(syn_df: DataFrame, value_type: str = "double") -> DataFrame:
+    """Explode sampler contents per window (ReservoirSamplingAccuracy.java:66-77)."""
+    def fn(syn, row):
+        if hasattr(syn, "sorted_sample"):
+            vals = syn.sorted_sample()[0]
+        else:
+            vals = syn.sample
+        return pd.DataFrame({"value": list(vals)})
+
+    return apply_per_window(
+        syn_df, fn,
+        f"window_start timestamp, window_end timestamp, stratum string, value {value_type}")
+
+
+def equidepth_buckets(syn_df: DataFrame) -> DataFrame:
+    """BASH finalized equi-depth boundaries per window
+    (BarSplittingHistogram.buildEquiDepthHistogram:270-311)."""
+    def fn(syn, row):
+        bounds, depth = syn.build_equidepth()
+        return pd.DataFrame({"bucket": range(len(bounds) - 1),
+                             "lo": bounds[:-1], "hi": bounds[1:],
+                             "depth": depth})
+
+    return apply_per_window(
+        syn_df, fn,
+        "window_start timestamp, window_end timestamp, stratum string, "
+        "bucket int, lo double, hi double, depth double")
+
+
+def wavelet_range_sums(slices_df: DataFrame, ranges: list[tuple[int, int]]) -> DataFrame:
+    """Range-sum queries over the unified slice manager
+    (HaarWaveletsAccuracy.java:69-84; DistributedWaveletsManager.java:42-76).
+
+    The slice list is small (one per partition), so unification happens on
+    the driver — mirroring the reference's parallelism-1 unifier.
+    """
+    from ..synopsis.wavelet import SliceWaveletsManager, WaveletSynopsis
+
+    rows = slices_df.collect()
+    mgr = SliceWaveletsManager(
+        [(r["offset"], r["length"], Synopsis.from_bytes(r["state"])) for r in rows])
+    spark = slices_df.sparkSession
+    data = [(int(lo), int(hi), float(mgr.range_sum_query(lo, hi))) for lo, hi in ranges]
+    return spark.createDataFrame(data, "lo_idx long, hi_idx long, range_sum double")

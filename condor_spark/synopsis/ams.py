@@ -1,0 +1,69 @@
+"""AMS / Fast-AGMS sketch — invertible F2 (self-join size) synopsis.
+
+Capability parity with ``core/.../Sketches/FastAGMS.java`` (ctor 60-67
+``(width, height, seed)``; signed update 93-117 — bucket via H3, sign via EH3;
+merge 176-193 cellwise add; invert 131-145; F2 estimate = median over rows of
+sum of squared cells; errorBound 200-202 ``F2/sqrt(width)``; errorProbability
+209-211 ``1/2^height``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .base import Synopsis, Trait, register
+from .hashing import EH3Family, H3Family, strings_to_ints
+
+
+@register
+class FastAGMS(Synopsis):
+    KIND = "ams"
+    TRAIT = Trait.INVERTIBLE
+
+    def __init__(self, width: int = 256, height: int = 5, seed: int = 7):
+        super().__init__(width=int(width), height=int(height), seed=int(seed))
+        self.width = int(width)
+        self.height = int(height)
+        self.seed = int(seed)
+        self.counts = np.zeros((self.height, self.width), dtype=np.int64)
+        self.n_processed = 0
+        self._h3 = H3Family(self.height, self.seed)
+        self._eh3 = EH3Family(self.height, self.seed)
+
+    def _state(self) -> dict:
+        return {"counts": self.counts, "n_processed": self.n_processed}
+
+    def _load_state(self, state: dict) -> None:
+        self.counts = state["counts"]
+        self.n_processed = int(state["n_processed"])
+
+    def update_batch(self, values, ts=None) -> None:
+        x = strings_to_ints(values)
+        cols = self._h3.hash(x) % self.width       # (h, n)
+        signs = self._eh3.signs(x).astype(np.int64)  # (h, n) ±1
+        for r in range(self.height):
+            np.add.at(self.counts[r], cols[r], signs[r])
+        self.n_processed += x.shape[0]
+
+    def estimate_f2(self) -> float:
+        """Median over rows of the sum of squared counters."""
+        per_row = (self.counts.astype(np.float64) ** 2).sum(axis=1)
+        return float(np.median(per_row))
+
+    def error_bound(self) -> float:
+        return self.estimate_f2() / np.sqrt(self.width)
+
+    def error_probability(self) -> float:
+        return 1.0 / (2 ** self.height)
+
+    def merge(self, other: "FastAGMS") -> "FastAGMS":
+        self._check_same(other)
+        self.counts += other.counts
+        self.n_processed += other.n_processed
+        return self
+
+    def invert(self, other: "FastAGMS") -> "FastAGMS":
+        self._check_same(other)
+        self.counts -= other.counts
+        self.n_processed -= other.n_processed
+        return self

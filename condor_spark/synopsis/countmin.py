@@ -1,0 +1,78 @@
+"""Count-Min sketch — invertible frequency synopsis.
+
+Capability parity with ``core/.../Sketches/CountMinSketch.java`` (ctor 41-49
+``(width, height, seed)``; update 57-71; query 96-113 = min over rows; merge
+156-173 = cellwise add; invert 200-215; decrement 184-197). Estimate bound
+asserted by the reference's own test: ``|est - true| <= residual mass / width``
+(``core/.../tests/CountMinSketchTest.java:97-122``).
+
+Spark-first re-expression: ``update_batch`` hashes the whole Arrow batch with
+the vectorized H3 family and scatters with ``np.add.at`` — one call per
+sketch row, zero per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .base import Synopsis, Trait, register
+from .hashing import H3Family, strings_to_ints
+
+
+@register
+class CountMinSketch(Synopsis):
+    KIND = "countmin"
+    TRAIT = Trait.INVERTIBLE
+
+    def __init__(self, width: int = 633, height: int = 5, seed: int = 7):
+        super().__init__(width=int(width), height=int(height), seed=int(seed))
+        self.width = int(width)
+        self.height = int(height)
+        self.seed = int(seed)
+        self.counts = np.zeros((self.height, self.width), dtype=np.int64)
+        self.n_processed = 0
+        self._h3 = H3Family(self.height, self.seed)
+
+    # H3Family is derived from params; keep blobs small by rebuilding it
+    def _state(self) -> dict:
+        return {"counts": self.counts, "n_processed": self.n_processed}
+
+    def _load_state(self, state: dict) -> None:
+        self.counts = state["counts"]
+        self.n_processed = int(state["n_processed"])
+
+    def _cols(self, values) -> np.ndarray:
+        x = strings_to_ints(values)
+        return self._h3.hash(x) % self.width  # (height, n)
+
+    def update_batch(self, values, ts=None, weights: np.ndarray | None = None) -> None:
+        cols = self._cols(values)
+        n = cols.shape[1]
+        w = np.ones(n, dtype=np.int64) if weights is None else np.asarray(weights, dtype=np.int64)
+        for r in range(self.height):
+            np.add.at(self.counts[r], cols[r], w)
+        self.n_processed += int(w.sum())
+
+    def decrement_batch(self, values) -> None:
+        cols = self._cols(values)
+        for r in range(self.height):
+            np.subtract.at(self.counts[r], cols[r], 1)
+        self.n_processed -= cols.shape[1]
+
+    def query(self, values) -> np.ndarray:
+        """Frequency estimates for a batch of query keys → int64 (n,)."""
+        cols = self._cols(values)
+        ests = np.take_along_axis(self.counts, cols, axis=1)  # (height, n)
+        return ests.min(axis=0)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        self._check_same(other)
+        self.counts += other.counts
+        self.n_processed += other.n_processed
+        return self
+
+    def invert(self, other: "CountMinSketch") -> "CountMinSketch":
+        self._check_same(other)
+        self.counts -= other.counts
+        self.n_processed -= other.n_processed
+        return self

@@ -1,0 +1,236 @@
+"""Histograms: equi-width and bar-splitting equi-depth (BASH).
+
+Capability parity:
+  * ``EquiWidthHistogram`` — ``core/.../Histograms/EquiWidthHistogram.java``
+    (ctor 33-42 ``(lower, upper, num_buckets)``; update 46-56 with silent
+    out-of-range drop :49-52; merge 79-93 binwise add; rangeQuery 102-138
+    with the continuous-value fractional-bucket assumption).
+  * ``BarSplittingHistogram`` (BASH) — ``core/.../Histograms/
+    BarSplittingHistogram.java`` (ctor 38-48 ``(precision=7, num_buckets)``;
+    keeps <= precision*num_buckets bars; splits bars exceeding
+    1.7 * total / maxBars (MAXCOEF :29,58); merges the smallest adjacent pair
+    when over budget :93-108; ``build_equidepth`` finalizes bucket boundaries
+    :270-311, queried via ``EquiDepthHistogram.rangeQuery``
+    (EquiDepthHistogram.java:39-115)).
+
+Batch-vectorized: equi-width uses ``np.histogram``; BASH bulk-assigns a whole
+batch to bars with ``np.searchsorted`` and then runs the split/merge
+maintenance over the (<= precision*num_buckets) bars — maintenance cost is
+O(bars), independent of batch size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .base import Synopsis, Trait, register
+
+_MAXCOEF = 1.7  # BarSplittingHistogram.java:29
+
+
+@register
+class EquiWidthHistogram(Synopsis):
+    KIND = "equiwidth"
+    TRAIT = Trait.INVERTIBLE  # binwise add/subtract
+
+    def __init__(self, lower: float, upper: float, num_buckets: int):
+        super().__init__(lower=float(lower), upper=float(upper),
+                         num_buckets=int(num_buckets))
+        self.lower = float(lower)
+        self.upper = float(upper)
+        self.num_buckets = int(num_buckets)
+        self.frequency = np.zeros(self.num_buckets, dtype=np.int64)
+        self.n_processed = 0
+
+    def _state(self) -> dict:
+        return {"frequency": self.frequency, "n_processed": self.n_processed}
+
+    def update_batch(self, values, ts=None) -> None:
+        x = np.asarray(values, dtype=np.float64)
+        x = x[~np.isnan(x)]
+        # silent out-of-range drop (EquiWidthHistogram.java:49-52);
+        # upper bound exclusive
+        x = x[(x >= self.lower) & (x < self.upper)]
+        hist, _ = np.histogram(x, bins=self.num_buckets, range=(self.lower, self.upper))
+        # np.histogram puts x == upper into the last bin, but we filtered those
+        self.frequency += hist.astype(np.int64)
+        self.n_processed += int(x.size)
+
+    def bucket_index(self, x: np.ndarray) -> np.ndarray:
+        w = (self.upper - self.lower) / self.num_buckets
+        return np.clip(((np.asarray(x, dtype=np.float64) - self.lower) // w)
+                       .astype(np.int64), 0, self.num_buckets - 1)
+
+    def range_query(self, lo: float, hi: float) -> float:
+        """Estimated count in [lo, hi) under the continuous-uniform-within-
+        bucket assumption (EquiWidthHistogram.java:102-138)."""
+        w = (self.upper - self.lower) / self.num_buckets
+        lo = max(lo, self.lower)
+        hi = min(hi, self.upper)
+        if hi <= lo:
+            return 0.0
+        total = 0.0
+        first = int((lo - self.lower) // w)
+        last = int(np.ceil((hi - self.lower) / w)) - 1
+        for b in range(first, last + 1):
+            b_lo = self.lower + b * w
+            b_hi = b_lo + w
+            frac = (min(hi, b_hi) - max(lo, b_lo)) / w
+            total += self.frequency[b] * frac
+        return float(total)
+
+    def merge(self, other: "EquiWidthHistogram") -> "EquiWidthHistogram":
+        self._check_same(other)
+        self.frequency += other.frequency
+        self.n_processed += other.n_processed
+        return self
+
+    def invert(self, other: "EquiWidthHistogram") -> "EquiWidthHistogram":
+        self._check_same(other)
+        self.frequency -= other.frequency
+        self.n_processed -= other.n_processed
+        return self
+
+
+@register
+class BarSplittingHistogram(Synopsis):
+    KIND = "bash"
+    TRAIT = Trait.MERGEABLE
+
+    def __init__(self, precision: int = 7, num_buckets: int = 10):
+        super().__init__(precision=int(precision), num_buckets=int(num_buckets))
+        self.precision = int(precision)
+        self.num_buckets = int(num_buckets)
+        self.max_bars = self.precision * self.num_buckets
+        # bars: edges (len B+1, float64) and counts (len B, float64)
+        self.edges = np.empty(0, dtype=np.float64)
+        self.bar_counts = np.empty(0, dtype=np.float64)
+        self.n_processed = 0
+
+    def _state(self) -> dict:
+        return {"edges": self.edges, "bar_counts": self.bar_counts,
+                "n_processed": self.n_processed}
+
+    def update_batch(self, values, ts=None) -> None:
+        x = np.asarray(values, dtype=np.float64)
+        x = x[~np.isnan(x)]
+        if x.size == 0:
+            return
+        if self.edges.size == 0:
+            lo, hi = float(x.min()), float(x.max())
+            if lo == hi:
+                hi = lo + 1e-9
+            self.edges = np.array([lo, hi])
+            self.bar_counts = np.zeros(1)
+        # extend domain to cover the batch
+        if x.min() < self.edges[0]:
+            self.edges = np.concatenate([[x.min()], self.edges])
+            self.bar_counts = np.concatenate([[0.0], self.bar_counts])
+        if x.max() >= self.edges[-1]:
+            self.edges = np.concatenate([self.edges, [np.nextafter(float(x.max()), np.inf)]])
+            self.bar_counts = np.concatenate([self.bar_counts, [0.0]])
+        idx = np.clip(np.searchsorted(self.edges, x, side="right") - 1,
+                      0, self.bar_counts.shape[0] - 1)
+        np.add.at(self.bar_counts, idx, 1.0)
+        self.n_processed += int(x.size)
+        self._maintain()
+
+    def _maintain(self) -> None:
+        """Split oversized bars; merge the smallest adjacent pair while over
+        the bar budget (BarSplittingHistogram.java:56-113)."""
+        changed = True
+        while changed:
+            changed = False
+            total = self.bar_counts.sum()
+            if total <= 0:
+                return
+            threshold = _MAXCOEF * total / self.max_bars
+            big = np.nonzero(self.bar_counts > threshold)[0]
+            if big.size and self.bar_counts.shape[0] < 4 * self.max_bars:
+                # split all oversized bars at their midpoints (uniform-within-bar)
+                new_edges = [self.edges[0]]
+                new_counts = []
+                for i, c in enumerate(self.bar_counts):
+                    lo, hi = self.edges[i], self.edges[i + 1]
+                    if c > threshold and hi > lo:
+                        mid = (lo + hi) / 2.0
+                        new_edges.extend([mid, hi])
+                        new_counts.extend([c / 2.0, c / 2.0])
+                    else:
+                        new_edges.append(hi)
+                        new_counts.append(c)
+                self.edges = np.asarray(new_edges)
+                self.bar_counts = np.asarray(new_counts)
+                changed = True
+            while self.bar_counts.shape[0] > self.max_bars:
+                pair = self.bar_counts[:-1] + self.bar_counts[1:]
+                j = int(np.argmin(pair))
+                self.bar_counts[j] += self.bar_counts[j + 1]
+                self.bar_counts = np.delete(self.bar_counts, j + 1)
+                self.edges = np.delete(self.edges, j + 1)
+
+    def merge(self, other: "BarSplittingHistogram") -> "BarSplittingHistogram":
+        """Overlay the other's bars proportionally onto a merged edge grid,
+        then re-maintain (BarSplittingHistogram.java:187-264)."""
+        self._check_same(other)
+        if other.bar_counts.size == 0:
+            return self
+        if self.bar_counts.size == 0:
+            self.edges = other.edges.copy()
+            self.bar_counts = other.bar_counts.copy()
+            self.n_processed += other.n_processed
+            return self
+        edges = np.union1d(self.edges, other.edges)
+        counts = np.zeros(edges.shape[0] - 1)
+        for src_edges, src_counts in ((self.edges, self.bar_counts),
+                                      (other.edges, other.bar_counts)):
+            lo_idx = np.searchsorted(edges, src_edges[:-1])
+            hi_idx = np.searchsorted(edges, src_edges[1:])
+            for i in range(src_counts.shape[0]):
+                span = src_edges[i + 1] - src_edges[i]
+                if span <= 0:
+                    counts[lo_idx[i]] += src_counts[i]
+                    continue
+                segs = slice(lo_idx[i], hi_idx[i])
+                widths = np.diff(edges[lo_idx[i]: hi_idx[i] + 1])
+                counts[segs] += src_counts[i] * widths / span
+        self.edges = edges
+        self.bar_counts = counts
+        self.n_processed += other.n_processed
+        self._maintain()
+        return self
+
+    def build_equidepth(self) -> tuple[np.ndarray, float]:
+        """Finalize to equi-depth boundaries (num_buckets+1 edges, depth per
+        bucket) by walking the bars (BarSplittingHistogram.java:270-311)."""
+        total = self.bar_counts.sum()
+        if total <= 0:
+            return np.zeros(self.num_buckets + 1), 0.0
+        depth = total / self.num_buckets
+        bounds = [self.edges[0]]
+        acc = 0.0
+        target = depth
+        for i, c in enumerate(self.bar_counts):
+            lo, hi = self.edges[i], self.edges[i + 1]
+            while acc + c >= target and len(bounds) <= self.num_buckets - 1:
+                frac = (target - acc) / c if c > 0 else 1.0
+                bounds.append(lo + frac * (hi - lo))
+                target += depth
+            acc += c
+        while len(bounds) < self.num_buckets:
+            bounds.append(self.edges[-1])
+        bounds.append(self.edges[-1])
+        return np.asarray(bounds), float(depth)
+
+    def range_query(self, lo: float, hi: float) -> float:
+        """Estimated count in [lo, hi) from the equi-depth buckets
+        (EquiDepthHistogram.java:39-115)."""
+        bounds, depth = self.build_equidepth()
+        total = 0.0
+        for b in range(self.num_buckets):
+            b_lo, b_hi = bounds[b], bounds[b + 1]
+            if b_hi <= lo or b_lo >= hi or b_hi <= b_lo:
+                continue
+            frac = (min(hi, b_hi) - max(lo, b_lo)) / (b_hi - b_lo)
+            total += depth * frac
+        return float(total)
