@@ -62,7 +62,9 @@ def _normalize(df: DataFrame, spec: SynopsisSpec, slice_ms: int | None) -> DataF
     """Project to the worker columns; all expressions JVM-side (codegen)."""
     cols = [F.col(spec.column).alias("__v")]
     if spec.ts_column:
-        cols.append((F.col(spec.ts_column).cast("double") * 1000).cast("long").alias("__ts"))
+        # NTZ → LTZ is identity under the UTC session timezone; unix_millis
+        # stays JVM-side (codegen)
+        cols.append(F.unix_millis(F.col(spec.ts_column).cast("timestamp")).alias("__ts"))
     else:
         cols.append(F.lit(0).cast("long").alias("__ts"))
     if spec.stratify_by:
@@ -104,7 +106,7 @@ def _partial_builder(spec: SynopsisSpec):
         for pdf in batches:
             if pdf.empty:
                 continue
-            for key, sub in pdf.groupby(["__slice", "__st"], sort=False):
+            for key, sub in pdf.groupby(["__slice", "__st"], sort=False, dropna=False):
                 syn = acc.get(key)
                 if syn is None:
                     syn = acc[key] = spec.make_synopsis()
@@ -112,7 +114,8 @@ def _partial_builder(spec: SynopsisSpec):
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
         if not acc:
             return
-        rows = [(int(sl), st, pid, syn.to_bytes(), int(syn.n_processed))
+        rows = [(int(sl), None if pd.isna(st) else st, pid, syn.to_bytes(),
+                 int(syn.n_processed))
                 for (sl, st), syn in acc.items()]
         yield pd.DataFrame(rows, columns=["__slice", "__st", "__pid", "state", "n"])
 
@@ -176,11 +179,14 @@ def build_batch(df: DataFrame, spec: SynopsisSpec) -> DataFrame:
         slide, size, sl = win.slide_ms, win.size_ms, win.slice_ms
         # windows (multiples of slide) containing slice [s, s+sl):
         #   w in [s + sl - size, s], w ≡ 0 (mod slide)   — JVM-side expansion
-        first_w = -F.floor((F.lit(size) - F.lit(sl) - F.col("__slice")) / F.lit(slide)) * F.lit(slide)
-        last_w = F.floor(F.col("__slice") / F.lit(slide)) * F.lit(slide)
-        partials = partials.withColumn(
-            "__w", F.explode(F.sequence(first_w.cast("long"), last_w.cast("long"),
-                                        F.lit(slide).cast("long"))))
+        first_w = (-F.floor((F.lit(size) - F.lit(sl) - F.col("__slice")) / F.lit(slide))
+                   * F.lit(slide)).cast("long")
+        last_w = (F.floor(F.col("__slice") / F.lit(slide)) * F.lit(slide)).cast("long")
+        # slide > size leaves gaps: slices outside every window explode to nothing
+        wins = F.when(first_w <= last_w,
+                      F.sequence(first_w, last_w, F.lit(slide).cast("long"))
+                      ).otherwise(F.array().cast("array<long>"))
+        partials = partials.withColumn("__w", F.explode(wins))
     else:
         partials = partials.withColumn("__w", F.col("__slice"))
 
@@ -223,12 +229,17 @@ def _global_order(df: DataFrame, spec: SynopsisSpec, num_partitions: int | None)
     """Deterministic global order by (ts, tiebreak): range partition + local
     sort + per-partition offsets (the OrderAndIndex analogue,
     ``processor/divide/OrderAndIndex.java:41-67`` — but parallel, not par=1)."""
+    from pyspark import StorageLevel
+
     work = _normalize(df, spec, None)
     if "__tb" not in work.columns:
         work = work.withColumn("__tb", F.lit(0).cast("long"))
     p = num_partitions or work.rdd.getNumPartitions()
+    # persist pins the (sampled) range partitioning so the offsets job and
+    # the build job see identical partitions
     work = (work.repartitionByRange(p, "__ts", "__tb")
-                .sortWithinPartitions("__ts", "__tb"))
+                .sortWithinPartitions("__ts", "__tb")
+                .persist(StorageLevel.MEMORY_AND_DISK))
     sizes = (work.withColumn("__pid", F.spark_partition_id())
                  .groupBy("__pid").count().collect())  # P rows only
     counts = {r["__pid"]: r["count"] for r in sizes}
@@ -261,14 +272,15 @@ def build_count_windows(df: DataFrame, spec: SynopsisSpec,
             gidx = idx + np.arange(len(pdf), dtype=np.int64)
             idx += len(pdf)
             pdf = pdf.assign(__wid=gidx // count)
-            for key, sub in pdf.groupby(["__wid", "__st"], sort=False):
+            for key, sub in pdf.groupby(["__wid", "__st"], sort=False, dropna=False):
                 syn = acc.get(key)
                 if syn is None:
                     syn = acc[key] = spec.make_synopsis()
                 _update(syn, spec, sub)
         if not acc:
             return
-        rows = [(int(wid), st, pid, syn.to_bytes(), int(syn.n_processed))
+        rows = [(int(wid), None if pd.isna(st) else st, pid, syn.to_bytes(),
+                 int(syn.n_processed))
                 for (wid, st), syn in acc.items()]
         yield pd.DataFrame(rows, columns=["__slice", "__st", "__pid", "state", "n"])
 
@@ -294,12 +306,14 @@ def build_ordered(df: DataFrame, spec: SynopsisSpec,
     (``core/.../synopsis/NonMergeableSynopsisManager.java:5-35``,
     ``Wavelets/SliceWaveletsManager.java:40-49``).
 
-    Returns DataFrame(offset long, length long, state binary).
+    Returns DataFrame(slice_idx long, length long, state binary); element
+    offsets are the running sum of lengths in slice_idx order (computed by
+    the consumer from this single job's output, so they are consistent with
+    the build by construction).
     """
     from pyspark import TaskContext
 
-    work, offsets, _total = _global_order(df, spec, num_partitions)
-    b_offsets = offsets
+    work, _offsets, _total = _global_order(df, spec, num_partitions)
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ctx = TaskContext.get()
@@ -315,7 +329,9 @@ def build_ordered(df: DataFrame, spec: SynopsisSpec,
             return
         if hasattr(syn, "finalize"):
             syn.finalize()
-        yield pd.DataFrame({"offset": [b_offsets.get(pid, 0)], "length": [n],
+        yield pd.DataFrame({"slice_idx": [pid], "length": [n],
                             "state": [syn.to_bytes()]})
 
-    return work.mapInPandas(build, schema="offset long, length long, state binary")
+    out = work.mapInPandas(build, schema="slice_idx long, length long, state binary")
+    work.unpersist()
+    return out

@@ -87,10 +87,15 @@ def query_timestamped(syn_df: DataFrame, queries_df: DataFrame,
 # ---------------------------------------------------------------------------
 
 def frequency_estimates(syn_df: DataFrame, keys: list) -> DataFrame:
-    """Count-Min frequency per key per window (CountMinSketch.query:96-113)."""
+    """Count-Min frequency per key per window (CountMinSketch.query:96-113).
+
+    ``keys`` must have the same type as the built column (hash inputs must
+    match); they are stringified only for the output schema.
+    """
     def fn(syn, row):
         est = syn.query(pd.Series(keys))
-        return pd.DataFrame({"key": keys, "est_count": est.astype("int64")})
+        return pd.DataFrame({"key": [str(k) for k in keys],
+                             "est_count": est.astype("int64")})
 
     return apply_per_window(
         syn_df, fn,
@@ -112,7 +117,8 @@ def membership(syn_df: DataFrame, keys: list) -> DataFrame:
     """Bloom/Cuckoo membership per key per window (BloomFilter.query:72-86)."""
     def fn(syn, row):
         member = syn.query(pd.Series(keys))
-        return pd.DataFrame({"key": keys, "member": member.astype(bool)})
+        return pd.DataFrame({"key": [str(k) for k in keys],
+                             "member": member.astype(bool)})
 
     return apply_per_window(
         syn_df, fn,
@@ -191,9 +197,13 @@ def wavelet_range_sums(slices_df: DataFrame, ranges: list[tuple[int, int]]) -> D
     """
     from ..synopsis.wavelet import SliceWaveletsManager, WaveletSynopsis
 
-    rows = slices_df.collect()
-    mgr = SliceWaveletsManager(
-        [(r["offset"], r["length"], Synopsis.from_bytes(r["state"])) for r in rows])
+    rows = sorted(slices_df.collect(), key=lambda r: r["slice_idx"])
+    triples = []
+    off = 0
+    for r in rows:  # offsets = running sum of this job's own slice lengths
+        triples.append((off, r["length"], Synopsis.from_bytes(r["state"])))
+        off += r["length"]
+    mgr = SliceWaveletsManager(triples)
     spark = slices_df.sparkSession
     data = [(int(lo), int(hi), float(mgr.range_sum_query(lo, hi))) for lo, hi in ranges]
     return spark.createDataFrame(data, "lo_idx long, hi_idx long, range_sum double")

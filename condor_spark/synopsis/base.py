@@ -78,10 +78,17 @@ class Synopsis:
         syn._load_state(d["state"])
         return syn
 
+    #: params irrelevant for merge compatibility (e.g. 'seed' for samplers
+    #: whose contents don't depend on hash functions)
+    MERGE_IGNORE_PARAMS: tuple = ()
+
     def _check_same(self, other: "Synopsis") -> None:
         # mirrors the reference's illegal-merge guards
         # (core/.../Sketches/CountMinSketch.java:156-173)
-        if type(other) is not type(self) or other.params != self.params:
+        skip = set(self.MERGE_IGNORE_PARAMS)
+        mine = {k: v for k, v in self.params.items() if k not in skip}
+        theirs = {k: v for k, v in getattr(other, "params", {}).items() if k not in skip}
+        if type(other) is not type(self) or mine != theirs:
             raise ValueError(
                 f"cannot merge {self.KIND}{self.params} with "
                 f"{getattr(other, 'KIND', type(other))}{getattr(other, 'params', {})}")

@@ -144,5 +144,5 @@ def strings_to_ints(values) -> np.ndarray:
         return arr.astype("int64").to_numpy()
     # vectorized deterministic string hashing (pandas siphash with fixed key)
     h = pd.util.hash_pandas_object(arr.astype(str), index=False,
-                                   hash_key="condor_spark_hash_0")
+                                   hash_key="condor_spark_16b")  # exactly 16 bytes
     return h.to_numpy().view(np.int64)

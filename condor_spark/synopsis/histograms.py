@@ -112,26 +112,22 @@ class BarSplittingHistogram(Synopsis):
                 "n_processed": self.n_processed}
 
     def update_batch(self, values, ts=None) -> None:
+        """Summarize the batch with its own quantile-edged bars (exact batch
+        counts), then overlay onto the maintained bars. Equivalent in spirit
+        to the reference's per-element inserts but batch-vectorized: the
+        uniform-within-bar assumption only ever applies at bar granularity,
+        never to a whole batch."""
         x = np.asarray(values, dtype=np.float64)
-        x = x[~np.isnan(x)]
+        x = x[np.isfinite(x)]
         if x.size == 0:
             return
-        if self.edges.size == 0:
-            lo, hi = float(x.min()), float(x.max())
-            if lo == hi:
-                hi = lo + 1e-9
-            self.edges = np.array([lo, hi])
-            self.bar_counts = np.zeros(1)
-        # extend domain to cover the batch
-        if x.min() < self.edges[0]:
-            self.edges = np.concatenate([[x.min()], self.edges])
-            self.bar_counts = np.concatenate([[0.0], self.bar_counts])
-        if x.max() >= self.edges[-1]:
-            self.edges = np.concatenate([self.edges, [np.nextafter(float(x.max()), np.inf)]])
-            self.bar_counts = np.concatenate([self.bar_counts, [0.0]])
-        idx = np.clip(np.searchsorted(self.edges, x, side="right") - 1,
-                      0, self.bar_counts.shape[0] - 1)
-        np.add.at(self.bar_counts, idx, 1.0)
+        b = int(min(self.max_bars, x.size))
+        qedges = np.unique(np.quantile(x, np.linspace(0.0, 1.0, b + 1)))
+        if qedges.size == 1:  # all-equal batch → single point bar
+            qedges = np.array([qedges[0], np.nextafter(qedges[0], np.inf)])
+        qedges[-1] = np.nextafter(qedges[-1], np.inf)  # right-exclusive bars
+        counts, _ = np.histogram(x, bins=qedges)
+        self._overlay(qedges, counts.astype(np.float64))
         self.n_processed += int(x.size)
         self._maintain()
 
@@ -169,33 +165,34 @@ class BarSplittingHistogram(Synopsis):
                 self.bar_counts = np.delete(self.bar_counts, j + 1)
                 self.edges = np.delete(self.edges, j + 1)
 
+    def _overlay(self, src_edges: np.ndarray, src_counts: np.ndarray) -> None:
+        """Proportionally add a bar-set onto self over the union edge grid."""
+        if src_counts.size == 0:
+            return
+        if self.bar_counts.size == 0:
+            self.edges = np.asarray(src_edges, dtype=np.float64).copy()
+            self.bar_counts = np.asarray(src_counts, dtype=np.float64).copy()
+            return
+        edges = np.union1d(self.edges, src_edges)
+        counts = np.zeros(edges.shape[0] - 1)
+        for e, c in ((self.edges, self.bar_counts), (src_edges, src_counts)):
+            lo_idx = np.searchsorted(edges, e[:-1])
+            hi_idx = np.searchsorted(edges, e[1:])
+            for i in range(c.shape[0]):  # O(bars), not O(batch)
+                span = e[i + 1] - e[i]
+                if span <= 0:
+                    counts[min(lo_idx[i], counts.shape[0] - 1)] += c[i]
+                    continue
+                widths = np.diff(edges[lo_idx[i]: hi_idx[i] + 1])
+                counts[lo_idx[i]: hi_idx[i]] += c[i] * widths / span
+        self.edges = edges
+        self.bar_counts = counts
+
     def merge(self, other: "BarSplittingHistogram") -> "BarSplittingHistogram":
         """Overlay the other's bars proportionally onto a merged edge grid,
         then re-maintain (BarSplittingHistogram.java:187-264)."""
         self._check_same(other)
-        if other.bar_counts.size == 0:
-            return self
-        if self.bar_counts.size == 0:
-            self.edges = other.edges.copy()
-            self.bar_counts = other.bar_counts.copy()
-            self.n_processed += other.n_processed
-            return self
-        edges = np.union1d(self.edges, other.edges)
-        counts = np.zeros(edges.shape[0] - 1)
-        for src_edges, src_counts in ((self.edges, self.bar_counts),
-                                      (other.edges, other.bar_counts)):
-            lo_idx = np.searchsorted(edges, src_edges[:-1])
-            hi_idx = np.searchsorted(edges, src_edges[1:])
-            for i in range(src_counts.shape[0]):
-                span = src_edges[i + 1] - src_edges[i]
-                if span <= 0:
-                    counts[lo_idx[i]] += src_counts[i]
-                    continue
-                segs = slice(lo_idx[i], hi_idx[i])
-                widths = np.diff(edges[lo_idx[i]: hi_idx[i] + 1])
-                counts[segs] += src_counts[i] * widths / span
-        self.edges = edges
-        self.bar_counts = counts
+        self._overlay(other.edges, other.bar_counts)
         self.n_processed += other.n_processed
         self._maintain()
         return self

@@ -34,6 +34,7 @@ class ReservoirSampler(Synopsis):
     KIND = "reservoir"
     TRAIT = Trait.COMMUTATIVE  # CommutativeSynopsis in the reference
     NEEDS_TIMESTAMPS = False
+    MERGE_IGNORE_PARAMS = ("seed",)  # sample contents are hash-independent
 
     def __init__(self, sample_size: int = 100, seed: int = 7):
         super().__init__(sample_size=int(sample_size), seed=int(seed))
@@ -95,6 +96,7 @@ class BiasedReservoirSampler(Synopsis):
     KIND = "biased_reservoir"
     TRAIT = Trait.MERGEABLE
     NEEDS_TIMESTAMPS = True
+    MERGE_IGNORE_PARAMS = ("seed",)
 
     def __init__(self, sample_size: int = 100, seed: int = 7):
         super().__init__(sample_size=int(sample_size), seed=int(seed))

@@ -1,0 +1,373 @@
+"""Kernel unit tests mirroring the reference's per-synopsis test strategy
+(SURVEY.md §5: update invariants, statistical error bounds, merge semantics,
+illegal-merge guards — cf. core/.../tests/*Test.java)."""
+
+import numpy as np
+import pytest
+
+from condor_spark.synopsis import make
+from condor_spark.synopsis.base import Synopsis
+
+RNG = np.random.default_rng(42)
+DATA = RNG.integers(0, 1000, size=50_000)
+TS = np.arange(DATA.size, dtype=np.int64)
+
+
+def roundtrip(syn):
+    return Synopsis.from_bytes(syn.to_bytes())
+
+
+# ---------------------------------------------------------------- CountMin
+class TestCountMin:
+    def test_row_sums_equal_n(self):
+        # every row sums to elementsProcessed (CountMinSketchTest.java:17-62)
+        cm = make("countmin", width=150, height=8, seed=7)
+        cm.update_batch(DATA)
+        assert (cm.counts.sum(axis=1) == DATA.size).all()
+
+    def test_error_bound(self):
+        # |est - true| <= residual mass / width (CountMinSketchTest.java:97-122)
+        cm = make("countmin", width=150, height=8, seed=7)
+        cm.update_batch(DATA)
+        true = np.bincount(DATA, minlength=1000)
+        est = cm.query(np.arange(1000))
+        assert (est >= true).all()  # one-sided overestimate
+        bound = (DATA.size - true) / 150
+        # per-key failure prob (1/2)^height; allow the expected tail
+        failures = (est - true > bound).sum()
+        assert failures <= max(3, int(0.02 * 1000))
+
+    def test_merge_doubles(self):
+        # merge(self-copy) doubles counters (CountMinSketchTest.java:136-156)
+        cm = make("countmin", width=128, height=4, seed=7)
+        cm.update_batch(DATA[:1000])
+        other = roundtrip(cm)
+        cm.merge(other)
+        assert (cm.counts.sum(axis=1) == 2000).all()
+
+    def test_invert(self):
+        cm = make("countmin", width=128, height=4, seed=7)
+        cm.update_batch(DATA[:2000])
+        part = make("countmin", width=128, height=4, seed=7)
+        part.update_batch(DATA[:1000])
+        cm.invert(part)
+        expect = make("countmin", width=128, height=4, seed=7)
+        expect.update_batch(DATA[1000:2000])
+        assert np.array_equal(cm.counts, expect.counts)
+
+    def test_illegal_merge(self):
+        # (CountMinSketchTest.java:124-135)
+        a = make("countmin", width=128, height=4, seed=7)
+        b = make("countmin", width=64, height=4, seed=7)
+        with pytest.raises(ValueError):
+            a.merge(b)
+
+    def test_string_keys(self):
+        cm = make("countmin", width=4096, height=5, seed=7)
+        keys = np.array(["alpha"] * 30 + ["beta"] * 5)
+        cm.update_batch(keys)
+        est = cm.query(np.array(["alpha", "beta", "gamma"]))
+        assert est[0] == 30 and est[1] == 5
+
+
+# ---------------------------------------------------------------- partition invariance
+@pytest.mark.parametrize("kind,params", [
+    ("countmin", dict(width=512, height=5, seed=7)),
+    ("ams", dict(width=256, height=5, seed=7)),
+    ("hll", dict(log_reg_num=10, seed=7)),
+    ("bloom", dict(n_bits=2048, max_elements=256, seed=7, merge_mode="union")),
+    ("equiwidth", dict(lower=0.0, upper=1000.0, num_buckets=20)),
+    ("ddsketch", dict(relative_accuracy=0.01, max_num_bins=2048)),
+])
+def test_merge_partition_invariance(kind, params):
+    """sketch(all) == merge(sketch(part_i)) — the core correctness property
+    the reference's two-phase build relies on (SynopsisBuilder.java:224-242)."""
+    full = make(kind, **params)
+    full.update_batch(DATA)
+    parts = None
+    for chunk in np.array_split(DATA, 7):
+        p = make(kind, **params)
+        p.update_batch(chunk)
+        parts = p if parts is None else parts.merge(p)
+    assert parts.to_bytes() == full.to_bytes() or _states_equal(parts, full)
+
+
+def _states_equal(a, b):
+    sa, sb = a._state(), b._state()
+    if set(sa) != set(sb):
+        return False
+    for k in sa:
+        va, vb = sa[k], sb[k]
+        if isinstance(va, np.ndarray):
+            if not np.array_equal(va, vb):
+                return False
+        elif va != vb:
+            return False
+    return True
+
+
+# ---------------------------------------------------------------- HLL
+class TestHLL:
+    def test_accuracy_bound(self):
+        # relative accuracy ~1.04/sqrt(m) (HyperLogLogSketchTest.java:125-158)
+        big = RNG.integers(0, 2**31 - 1, size=300_000)
+        true = len(np.unique(big))
+        h = make("hll", log_reg_num=12, seed=7)
+        h.update_batch(big)
+        assert abs(h.estimate() - true) / true < 3 * 1.04 / np.sqrt(4096)
+
+    def test_small_range_linear_counting(self):
+        h = make("hll", log_reg_num=12, seed=7)
+        h.update_batch(np.arange(100))
+        assert abs(h.estimate() - 100) <= 5
+
+    def test_merge_is_max(self):
+        h1 = make("hll", log_reg_num=8, seed=7)
+        h2 = make("hll", log_reg_num=8, seed=7)
+        h1.update_batch(np.arange(0, 5000))
+        h2.update_batch(np.arange(2500, 7500))
+        h1.merge(h2)
+        full = make("hll", log_reg_num=8, seed=7)
+        full.update_batch(np.arange(7500))
+        assert np.array_equal(h1.registers, full.registers)
+
+
+# ---------------------------------------------------------------- Bloom
+class TestBloom:
+    def test_fp_bound(self):
+        # fp <= (1 - e^{-kn/m})^k (BloomFilterTest.java:32-56); n=1500, m=3000
+        bl = make("bloom", n_bits=3000, max_elements=1500, seed=7)
+        present = RNG.integers(0, 2**31 - 1, size=1500)
+        bl.update_batch(present)
+        assert bl.query(present).all()  # no false negatives
+        absent = np.arange(10**9, 10**9 + 20_000)
+        fp = bl.query(absent).mean()
+        assert fp <= 1.5 * bl.fp_bound(1500) + 0.01
+
+    def test_reference_intersect_merge_quirk(self):
+        # BloomFilter.java:121 merges with AND
+        a = make("bloom", n_bits=1024, max_elements=64, seed=7)
+        b = make("bloom", n_bits=1024, max_elements=64, seed=7)
+        a.update_batch(np.array([1, 2, 3]))
+        b.update_batch(np.array([3, 4, 5]))
+        a.merge(b)
+        assert a.query(np.array([3]))[0]
+        assert not a.query(np.array([1]))[0]  # intersection semantics
+
+
+# ---------------------------------------------------------------- AMS
+class TestAMS:
+    def test_f2_bound(self):
+        # error F2/sqrt(width), failure prob 1/2^height (FastAGMS.java:196-211)
+        ams = make("ams", width=1024, height=7, seed=7)
+        ams.update_batch(DATA)
+        f2 = float((np.bincount(DATA).astype(np.float64) ** 2).sum())
+        assert abs(ams.estimate_f2() - f2) <= 4 * f2 / np.sqrt(1024)
+
+    def test_invert(self):
+        a = make("ams", width=128, height=5, seed=7)
+        a.update_batch(DATA[:2000])
+        b = make("ams", width=128, height=5, seed=7)
+        b.update_batch(DATA[:1000])
+        a.invert(b)
+        c = make("ams", width=128, height=5, seed=7)
+        c.update_batch(DATA[1000:2000])
+        assert np.array_equal(a.counts, c.counts)
+
+
+# ---------------------------------------------------------------- Cuckoo
+class TestCuckoo:
+    def test_membership_and_delete(self):
+        ck = make("cuckoo", bucket_size=4, num_buckets=1024, seed=7)
+        present = np.arange(1, 1500)
+        ck.update_batch(present)
+        assert ck.query(present).all()
+        assert not ck.full
+        assert ck.delete_batch(present[:200]).all()
+        # deleted keys mostly gone (residual = fingerprint collisions)
+        assert ck.query(present[:200]).mean() < 0.05
+
+    def test_merge_best_effort(self):
+        a = make("cuckoo", bucket_size=4, num_buckets=256, seed=7)
+        b = make("cuckoo", bucket_size=4, num_buckets=256, seed=7)
+        a.update_batch(np.arange(1, 300))
+        b.update_batch(np.arange(300, 600))
+        a.merge(b)
+        assert a.query(np.arange(1, 600)).mean() > 0.99
+
+
+# ---------------------------------------------------------------- samplers
+class TestSamplers:
+    def test_reservoir_uniformity(self):
+        # sample mean within CLT bound of population mean
+        rs = make("reservoir", sample_size=1000, seed=7)
+        rs.update_batch(DATA)
+        s = np.asarray(rs.sample, dtype=np.float64)
+        se = DATA.std() / np.sqrt(1000)
+        assert abs(s.mean() - DATA.mean()) < 4 * se
+        assert rs.n_processed == DATA.size
+
+    def test_reservoir_weighted_merge(self):
+        a = make("reservoir", sample_size=500, seed=7)
+        b = make("reservoir", sample_size=500, seed=11)
+        a.update_batch(DATA[:25000])
+        b.update_batch(DATA[25000:])
+        a.merge(b)
+        s = np.asarray(a.sample, dtype=np.float64)
+        assert len(s) == 500
+        se = DATA.std() / np.sqrt(500)
+        assert abs(s.mean() - DATA.mean()) < 4 * se
+
+    def test_fifo_newest_k(self):
+        f = make("fifo", sample_size=25)
+        f.update_batch(DATA[:30000], ts=TS[:30000], tiebreak=TS[:30000])
+        g = make("fifo", sample_size=25)
+        g.update_batch(DATA[30000:], ts=TS[30000:], tiebreak=TS[30000:])
+        f.merge(g)
+        _, t, _ = f.sorted_sample()
+        assert t.tolist() == list(range(DATA.size - 25, DATA.size))
+
+    def test_biased_reservoir_recency(self):
+        br = make("biased_reservoir", sample_size=200, seed=7)
+        br.update_batch(DATA, ts=TS)
+        assert np.mean(br.ts) > TS.mean()  # recency bias
+
+    def test_bottomk_deterministic_and_invariant(self):
+        full = make("bottomk", sample_size=100, seed=7)
+        full.update_batch(DATA)
+        merged = None
+        for chunk in np.array_split(DATA, 5):
+            p = make("bottomk", sample_size=100, seed=7)
+            p.update_batch(chunk)
+            merged = p if merged is None else merged.merge(p)
+        assert list(full.sorted_sample()[0]) == list(merged.sorted_sample()[0])
+
+
+# ---------------------------------------------------------------- histograms
+class TestHistograms:
+    def test_equiwidth_exact_and_range(self):
+        ew = make("equiwidth", lower=0.0, upper=1000.0, num_buckets=10)
+        ew.update_batch(DATA.astype(np.float64))
+        assert ew.frequency.sum() == DATA.size
+        exact = ((DATA >= 0) & (DATA < 500)).sum()
+        assert abs(ew.range_query(0, 500) - exact) < 0.01 * DATA.size
+
+    def test_equiwidth_out_of_range_dropped(self):
+        ew = make("equiwidth", lower=0.0, upper=10.0, num_buckets=5)
+        ew.update_batch(np.array([-1.0, 5.0, 10.0, 11.0]))
+        assert ew.n_processed == 1 and ew.frequency.sum() == 1
+
+    def test_bash_equidepth_quality(self):
+        vals = RNG.normal(100, 25, 50_000)
+        bash = make("bash", precision=7, num_buckets=10)
+        for chunk in np.array_split(vals, 20):
+            bash.update_batch(chunk)
+        bounds, _ = bash.build_equidepth()
+        counts = np.histogram(vals, bins=bounds)[0] / vals.size
+        assert (np.abs(counts - 0.1) < 0.05).all()  # each bucket ~10% mass
+
+    def test_bash_merge(self):
+        a = make("bash", precision=7, num_buckets=10)
+        b = make("bash", precision=7, num_buckets=10)
+        v1, v2 = RNG.normal(50, 10, 20000), RNG.normal(150, 10, 20000)
+        a.update_batch(v1)
+        b.update_batch(v2)
+        a.merge(b)
+        allv = np.concatenate([v1, v2])
+        bounds, _ = a.build_equidepth()
+        counts = np.histogram(allv, bins=bounds)[0] / allv.size
+        assert (np.abs(counts - 0.1) < 0.06).all()
+
+
+# ---------------------------------------------------------------- DDSketch
+class TestDDSketch:
+    def test_relative_accuracy(self):
+        vals = RNG.uniform(0.01, 500, 100_000)
+        dd = make("ddsketch", relative_accuracy=0.01, max_num_bins=2048)
+        dd.update_batch(vals)
+        for q in (0.01, 0.25, 0.5, 0.75, 0.95, 0.99):
+            exact = np.quantile(vals, q)
+            assert abs(dd.quantile(q) - exact) / exact <= 0.011 + 2.0 / 100_000
+
+    def test_merge_and_invert(self):
+        vals = RNG.uniform(1, 100, 10_000)
+        full = make("ddsketch", relative_accuracy=0.02)
+        full.update_batch(vals)
+        a = make("ddsketch", relative_accuracy=0.02)
+        b = make("ddsketch", relative_accuracy=0.02)
+        a.update_batch(vals[:6000])
+        b.update_batch(vals[6000:])
+        a.merge(b)
+        assert _states_equal(a, full)
+        a.invert(b)
+        c = make("ddsketch", relative_accuracy=0.02)
+        c.update_batch(vals[:6000])
+        assert _states_equal(a, c)
+
+    def test_collapse(self):
+        dd = make("ddsketch", relative_accuracy=0.001, max_num_bins=32)
+        dd.update_batch(RNG.uniform(0.001, 1e6, 10_000))
+        assert dd.keys.size <= 32 and dd.collapsed
+        # upper quantiles stay accurate after lowest-bin collapse
+        vals = RNG.uniform(1, 1000, 10_000)
+        dd2 = make("ddsketch", relative_accuracy=0.01, max_num_bins=64)
+        dd2.update_batch(vals)
+        exact = np.quantile(vals, 0.99)
+        assert abs(dd2.quantile(0.99) - exact) / exact < 0.02
+
+
+# ---------------------------------------------------------------- wavelet
+class TestWavelet:
+    def test_exact_with_full_budget(self):
+        x = RNG.uniform(0, 10, 3000)  # non-power-of-two → padding path
+        wv = make("wavelet", size=1 << 13)
+        wv.update_batch(x)
+        wv.finalize()
+        assert abs(wv.point_query(1234) - x[1234]) < 1e-9
+        assert abs(wv.range_sum_query(100, 2900) - x[100:2900].sum()) < 1e-6
+
+    def test_budget_compression(self):
+        smooth = np.cumsum(RNG.normal(0, 1, 8192))
+        wv = make("wavelet", size=256)
+        wv.update_batch(smooth)
+        wv.finalize()
+        true = smooth[1000:5000].sum()
+        assert abs(wv.range_sum_query(1000, 5000) - true) / abs(true) < 0.05
+
+    def test_slice_manager(self):
+        from condor_spark.synopsis.wavelet import SliceWaveletsManager
+        x = RNG.uniform(0, 10, 4096)
+        parts = []
+        off = 0
+        for chunk in np.array_split(x, 4):
+            w = make("wavelet", size=1 << 12)
+            w.update_batch(chunk)
+            w.finalize()
+            parts.append((off, chunk.size, w))
+            off += chunk.size
+        mgr = SliceWaveletsManager(parts)
+        assert abs(mgr.range_sum_query(100, 4000) - x[100:4000].sum()) < 1e-6
+        assert abs(mgr.point_query(2500) - x[2500]) < 1e-9
+
+
+# ---------------------------------------------------------------- serde
+@pytest.mark.parametrize("kind,params", [
+    ("countmin", dict(width=64, height=3, seed=7)),
+    ("ams", dict(width=64, height=3, seed=7)),
+    ("hll", dict(log_reg_num=8, seed=7)),
+    ("bloom", dict(n_bits=512, max_elements=64, seed=7)),
+    ("cuckoo", dict(bucket_size=4, num_buckets=64, seed=7)),
+    ("reservoir", dict(sample_size=10, seed=7)),
+    ("biased_reservoir", dict(sample_size=10, seed=7)),
+    ("fifo", dict(sample_size=10)),
+    ("bottomk", dict(sample_size=10, seed=7)),
+    ("equiwidth", dict(lower=0.0, upper=100.0, num_buckets=4)),
+    ("bash", dict(precision=3, num_buckets=4)),
+    ("ddsketch", dict(relative_accuracy=0.05)),
+])
+def test_serde_roundtrip(kind, params):
+    syn = make(kind, **params)
+    syn.update_batch(np.arange(1, 200), ts=np.arange(199))
+    back = roundtrip(syn)
+    assert back.n_processed == syn.n_processed
+    assert _states_equal(back, syn)
