@@ -1,0 +1,141 @@
+"""Audio payload: codecs, deterministic synthesis, vectorized decode+features.
+
+The north rule's input is an Iceberg/parquet table of audio clip + transcript
+pairs: (clip_id string, bytes binary, sr_hz int, dur_ms int, codec string,
+transcript string). This module provides:
+
+  * numpy codecs — pcm_s16le, pcm_u8, mulaw (continuous mu-law companding,
+    mu=255; the smooth form of ITU G.711) — encode/decode as pure array math;
+  * deterministic per-clip synthesis (two sinusoids + uniform noise, rng
+    seeded 42+i) used by the fixture generator AND as the ground truth for
+    the per-row invariant: decoded PCM must reach SNR >= 30 dB vs the
+    pre-encoding waveform, transcript must round-trip byte-equal;
+  * ``decode_features`` — mapInPandas feature extraction (no per-row Python
+    math: every op is numpy over whole clips / Arrow batches): RMS, peak,
+    zero-crossing rate, and energy quantiles over ``n_frames``
+    duration-normalized frames.
+
+No external audio libraries are used (none are available in this
+environment); the codecs above are real implementations, not stubs. Codecs
+beyond the three (e.g. compressed formats) would slot in behind
+``decode(...)`` and are marked NotImplementedError.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+MU = 255.0
+CODECS = ("pcm_s16le", "pcm_u8", "mulaw")
+
+
+# --------------------------------------------------------------- codecs
+def encode(wave: np.ndarray, codec: str) -> bytes:
+    """float waveform in [-1, 1] → encoded bytes."""
+    x = np.clip(np.asarray(wave, dtype=np.float64), -1.0, 1.0)
+    if codec == "pcm_s16le":
+        return (x * 32767.0).round().astype("<i2").tobytes()
+    if codec == "pcm_u8":
+        return ((x * 127.0).round() + 128).clip(0, 255).astype(np.uint8).tobytes()
+    if codec == "mulaw":
+        y = np.sign(x) * np.log1p(MU * np.abs(x)) / np.log1p(MU)
+        return ((y + 1.0) / 2.0 * 255.0).round().clip(0, 255).astype(np.uint8).tobytes()
+    raise NotImplementedError(f"codec {codec!r} not supported")
+
+
+def decode(blob: bytes, codec: str) -> np.ndarray:
+    """encoded bytes → float32 waveform in [-1, 1]."""
+    if codec == "pcm_s16le":
+        return (np.frombuffer(blob, dtype="<i2").astype(np.float32) / 32767.0)
+    if codec == "pcm_u8":
+        return ((np.frombuffer(blob, dtype=np.uint8).astype(np.float32) - 128.0) / 127.0)
+    if codec == "mulaw":
+        y = np.frombuffer(blob, dtype=np.uint8).astype(np.float64) / 255.0 * 2.0 - 1.0
+        x = np.sign(y) * (np.expm1(np.abs(y) * np.log1p(MU))) / MU
+        return x.astype(np.float32)
+    raise NotImplementedError(f"codec {codec!r} not supported")
+
+
+def snr_db(ref: np.ndarray, dec: np.ndarray) -> float:
+    """Signal-to-noise ratio of a decoded clip vs its reference waveform."""
+    ref = np.asarray(ref, dtype=np.float64)
+    dec = np.asarray(dec, dtype=np.float64)
+    noise = ref - dec
+    p_sig = float((ref ** 2).mean())
+    p_noise = float((noise ** 2).mean())
+    if p_noise == 0:
+        return float("inf")
+    return 10.0 * np.log10(p_sig / p_noise)
+
+
+# --------------------------------------------------------------- synthesis
+def synth_wave(i: int, sr_hz: int, dur_ms: int) -> np.ndarray:
+    """Deterministic per-clip waveform: two sinusoids + uniform noise,
+    rng = default_rng(42 + i) (FIXTURES.md F1). Peak-normalized to 0.9 so
+    every codec clears the 30 dB SNR invariant."""
+    rng = np.random.default_rng(42 + int(i))
+    n = max(1, int(round(dur_ms * sr_hz / 1000.0)))
+    t = np.arange(n, dtype=np.float64) / sr_hz
+    f1, f2 = rng.uniform(80.0, 1000.0), rng.uniform(1000.0, min(4000.0, sr_hz / 2.5))
+    p1, p2 = rng.uniform(0, 2 * np.pi, size=2)
+    a1, a2 = rng.uniform(0.4, 1.0), rng.uniform(0.1, 0.5)
+    noise_amp = rng.uniform(0.01, 0.05)
+    w = (a1 * np.sin(2 * np.pi * f1 * t + p1)
+         + a2 * np.sin(2 * np.pi * f2 * t + p2)
+         + noise_amp * rng.uniform(-1.0, 1.0, size=n))
+    w *= 0.9 / max(1e-9, np.abs(w).max())
+    return w.astype(np.float32)
+
+
+# --------------------------------------------------------------- features
+FEATURE_SCHEMA = ("clip_id string, codec string, sr_hz int, dur_ms int, "
+                  "n_samples long, rms double, peak double, zcr double, "
+                  "e_q25 double, e_q50 double, e_q75 double, e_q95 double, "
+                  "n_tokens int")
+
+
+def clip_features(wave: np.ndarray, n_frames: int = 20) -> dict:
+    """Per-clip features; frames are duration-normalized (always n_frames
+    regardless of dur_ms, so features are comparable across clip lengths)."""
+    n = wave.size
+    rms = float(np.sqrt((wave.astype(np.float64) ** 2).mean())) if n else 0.0
+    peak = float(np.abs(wave).max()) if n else 0.0
+    zcr = float((np.diff(np.signbit(wave)) != 0).mean()) if n > 1 else 0.0
+    usable = (n // n_frames) * n_frames
+    if usable >= n_frames:
+        frames = wave[:usable].astype(np.float64).reshape(n_frames, -1)
+        energy = (frames ** 2).mean(axis=1)
+        q = np.quantile(energy, [0.25, 0.5, 0.75, 0.95])
+    else:
+        q = np.full(4, rms ** 2)
+    return {"n_samples": n, "rms": rms, "peak": peak, "zcr": zcr,
+            "e_q25": float(q[0]), "e_q50": float(q[1]),
+            "e_q75": float(q[2]), "e_q95": float(q[3])}
+
+
+def decode_features(df, n_frames: int = 20):
+    """mapInPandas: decode each clip and extract features.
+
+    This is the NYCExtractKeyField analogue for the audio payload
+    (``benchmark/.../CountMinAccuracy.java:46``): downstream synopses
+    summarize the feature columns, not raw bytes.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for r in pdf.itertuples(index=False):  # per-clip numpy ops inside
+                wave = decode(r.bytes, r.codec)
+                feat = clip_features(wave, n_frames)
+                feat.update(clip_id=r.clip_id, codec=r.codec,
+                            sr_hz=int(r.sr_hz), dur_ms=int(r.dur_ms),
+                            n_tokens=len(str(r.transcript).split()))
+                rows.append(feat)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(fn, schema=FEATURE_SCHEMA)

@@ -1,0 +1,71 @@
+"""Deterministic synthetic fixtures (FIXTURES.md) — no external data.
+
+F1 ``audio_clips``: the north-rule input shape
+(clip_id string, bytes binary, sr_hz int, dur_ms int, codec string,
+transcript string) + derived event time ``ts`` with 5% late rows.
+Generated distributed via ``spark.range(n).mapInPandas`` — each row is a
+pure function of its index and seed 42, so any scale regenerates
+identically on any cluster size (the 10^12-clip posture: generation is
+embarrassingly parallel, nothing is collected).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from .engine.audio import CODECS, encode, synth_wave
+
+EPOCH0_MS = 1767225600000  # 2026-01-01 00:00:00 UTC
+VOCAB = [f"tok{j:03d}" for j in range(512)]
+
+CLIP_SCHEMA = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
+               "codec string, transcript string, ts timestamp")
+
+_SR_CYCLE = (8000, 16000, 22050, 44100)
+
+
+def clip_row(i: int) -> dict:
+    """Deterministic row i of the audio_clips table (FIXTURES.md F1)."""
+    rng = np.random.default_rng(42 + i)
+    sr = _SR_CYCLE[i % 4]
+    if i % 10 < 7:           # 70% hot key for skew tests
+        sr = 16000
+    dur_ms = 200 + (i * 37) % 2800
+    codec = CODECS[i % 3]
+    if i % 10 < 8:           # 80% hot key
+        codec = "pcm_s16le"
+    wave = synth_wave(i, sr, dur_ms)
+    n_tok = 3 + i % 12
+    transcript = " ".join(VOCAB[j] for j in rng.integers(0, 512, size=n_tok))
+    ts_ms = EPOCH0_MS + i * 50
+    if i % 20 == 19:         # 5% late rows (−30 s) to exercise watermarks
+        ts_ms -= 30_000
+    return {"clip_id": f"clip-{i:012d}", "bytes": encode(wave, codec),
+            "sr_hz": sr, "dur_ms": dur_ms, "codec": codec,
+            "transcript": transcript,
+            "ts": pd.Timestamp(ts_ms, unit="ms")}
+
+
+def clips_pandas(n: int, start: int = 0) -> pd.DataFrame:
+    return pd.DataFrame([clip_row(i) for i in range(start, start + n)])
+
+
+def audio_clips(spark, n: int, num_partitions: int | None = None):
+    """Distributed deterministic audio_clips DataFrame of n rows."""
+    base = spark.range(0, n, 1, num_partitions or spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame([clip_row(int(i)) for i in pdf["id"]])
+
+    return base.mapInPandas(gen, schema=CLIP_SCHEMA)
+
+
+def ground_truth_wave(i: int) -> np.ndarray:
+    """Pre-encoding float waveform for the per-row SNR>=30dB invariant."""
+    r = clip_row(i)  # cheap metadata recompute
+    return synth_wave(i, r["sr_hz"], r["dur_ms"])

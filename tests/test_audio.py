@@ -1,0 +1,78 @@
+"""Audio payload tests: the per-row invariant from BASELINE.json input_hint —
+decoded-PCM SNR >= 30 dB vs the reference waveform + transcript equality —
+plus vectorized feature extraction through the Spark surface."""
+
+import numpy as np
+import pytest
+
+from condor_spark.engine.audio import (clip_features, decode, encode,
+                                       snr_db, synth_wave)
+from condor_spark import fixtures
+
+
+@pytest.mark.parametrize("codec,min_snr", [
+    ("pcm_s16le", 80.0), ("pcm_u8", 40.0), ("mulaw", 30.0)])
+def test_codec_snr_invariant(codec, min_snr):
+    for i in (0, 7, 123):
+        w = synth_wave(i, 16000, 500)
+        dec = decode(encode(w, codec), codec)
+        assert dec.size == w.size
+        assert snr_db(w, dec) >= min_snr
+
+
+def test_unknown_codec_raises():
+    with pytest.raises(NotImplementedError):
+        encode(np.zeros(10), "opus")
+    with pytest.raises(NotImplementedError):
+        decode(b"\x00", "opus")
+
+
+def test_fixture_deterministic():
+    a, b = fixtures.clip_row(5), fixtures.clip_row(5)
+    assert a["bytes"] == b["bytes"] and a["transcript"] == b["transcript"]
+    late = fixtures.clip_row(19)
+    on_time = fixtures.clip_row(18)
+    assert (on_time["ts"] - late["ts"]).total_seconds() > 29  # late shift
+
+
+def test_per_row_invariant_sample():
+    """SNR >= 30 dB + transcript byte-equality over a deterministic sample."""
+    for i in range(0, 60):
+        row = fixtures.clip_row(i)
+        ref = fixtures.ground_truth_wave(i)
+        dec = decode(row["bytes"], row["codec"])
+        assert snr_db(ref, dec) >= 30.0, (i, row["codec"])
+        assert row["transcript"] == fixtures.clip_row(i)["transcript"]
+
+
+def test_features_shape():
+    w = synth_wave(1, 16000, 1000)
+    f = clip_features(w)
+    assert f["n_samples"] == w.size and 0 < f["rms"] < 1 and 0 <= f["zcr"] <= 1
+    assert f["e_q25"] <= f["e_q50"] <= f["e_q75"] <= f["e_q95"]
+
+
+def test_decode_features_spark(spark):
+    from condor_spark.engine.audio import decode_features
+
+    df = fixtures.audio_clips(spark, 200, num_partitions=4)
+    feats = decode_features(df).collect()
+    assert len(feats) == 200
+    by_id = {r["clip_id"]: r for r in feats}
+    # spot-check one row against a local recompute
+    i = 17
+    local = clip_features(decode(fixtures.clip_row(i)["bytes"],
+                                 fixtures.clip_row(i)["codec"]))
+    got = by_id[f"clip-{i:012d}"]
+    assert got["n_samples"] == local["n_samples"]
+    assert abs(got["rms"] - local["rms"]) < 1e-12
+    assert got["n_tokens"] == 3 + i % 12
+
+
+def test_skew_profile(spark):
+    """The fixture's deliberate hot keys (80% pcm_s16le, 70% sr=16000)."""
+    import pyspark.sql.functions as F
+
+    df = fixtures.audio_clips(spark, 1000, num_partitions=4)
+    codecs = dict(df.groupBy("codec").count().collect())
+    assert codecs["pcm_s16le"] / 1000 > 0.75

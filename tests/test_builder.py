@@ -1,0 +1,154 @@
+"""End-to-end builder tests on the driver's sf0.001/sf0.01 testdata —
+mirrors the reference's accuracy jobs (SURVEY.md §5 tier 2)."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from condor_spark.engine import evaluate as ev
+from condor_spark.engine.builder import (SynopsisSpec, build_batch,
+                                         build_count_windows, build_ordered)
+from condor_spark.engine.windows import (CountTumbling, GlobalWindow, Session,
+                                         Sliding, Tumbling)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet").cache()
+
+
+def test_tumbling_countmin_exact(spark, events):
+    spec = SynopsisSpec(kind="countmin", params=dict(width=8192, height=5, seed=7),
+                        column="user_id", ts_column="ts", window=Tumbling("1 day"))
+    syn = build_batch(events, spec)
+    keys = sorted(r.user_id for r in events.select("user_id").distinct().collect())
+    res = ev.frequency_estimates(syn, keys).collect()
+    exact = {(r["w"].replace(tzinfo=None), str(r["user_id"])): r["c"] for r in
+             events.groupBy(F.window("ts", "1 day").alias("win"), "user_id")
+                   .agg(F.count("*").alias("c"))
+                   .select(F.col("win.start").alias("w"), "user_id", "c").collect()}
+    assert res
+    for r in res:
+        t = exact.get((r["window_start"].replace(tzinfo=None), r["key"]), 0)
+        assert r["est_count"] == t
+
+
+def test_sliding_hll_bound(spark, events):
+    spec = SynopsisSpec(kind="hll", params=dict(log_reg_num=14, seed=7),
+                        column="user_id", ts_column="ts",
+                        window=Sliding("1 day", "6 hours"))
+    d = ev.distinct_estimates(build_batch(events, spec)).collect()
+    exact = {r["w"].replace(tzinfo=None): r["d"] for r in
+             events.groupBy(F.window("ts", "1 day", "6 hours").alias("win"))
+                   .agg(F.countDistinct("user_id").alias("d"))
+                   .select(F.col("win.start").alias("w"), "d").collect()}
+    assert len(d) == len(exact)
+    for r in d:
+        t = exact[r["window_start"].replace(tzinfo=None)]
+        assert abs(r["est_distinct"] - t) <= max(3, 0.05 * t)
+
+
+def test_parallelism_invariance(spark, events):
+    """Same output rows at 2 vs 8 input partitions (north rule)."""
+    def run(parts):
+        spec = SynopsisSpec(kind="countmin", params=dict(width=512, height=5, seed=7),
+                            column="user_id", ts_column="ts", window=Tumbling("1 day"))
+        syn = build_batch(events.repartition(parts), spec)
+        return sorted((str(r["window_start"]), r["key"], r["est_count"])
+                      for r in ev.frequency_estimates(syn, list(range(150))).collect())
+    assert run(2) == run(8)
+
+
+def test_session_windows(spark, events):
+    spec = SynopsisSpec(kind="equiwidth",
+                        params=dict(lower=0.0, upper=500.0, num_buckets=10),
+                        column="value", ts_column="ts",
+                        window=Session("30 minutes"), stratify_by="user_id")
+    rows = build_batch(events, spec).collect()
+    assert sum(r["n"] for r in rows) <= events.count()  # out-of-range drops
+    # every session's bounds must respect the gap semantics
+    for r in rows:
+        assert r["window_end"] >= r["window_start"]
+
+
+def test_count_windows_exact_sizes(spark, events):
+    n = events.count()
+    spec = SynopsisSpec(kind="ddsketch", params=dict(relative_accuracy=0.01),
+                        column="value", ts_column="ts",
+                        window=CountTumbling(200), tiebreak_column="event_id")
+    rows = sorted(build_count_windows(events, spec).collect(),
+                  key=lambda r: r["window_id"])
+    sizes = [r["n"] for r in rows]
+    assert sum(sizes) == n
+    assert all(s == 200 for s in sizes[:-1])
+
+
+def test_wavelet_range_sum_exact(spark, events):
+    spec = SynopsisSpec(kind="wavelet", params=dict(size=1 << 13), column="value",
+                        ts_column="ts", tiebreak_column="event_id")
+    sl = build_ordered(events, spec, num_partitions=4)
+    n = events.count()
+    res = {(r["lo_idx"], r["hi_idx"]): r["range_sum"]
+           for r in ev.wavelet_range_sums(sl, [(0, 100), (100, n)]).collect()}
+    import duckdb
+    lo100, rest = duckdb.sql(f"""
+      with o as (select value, row_number() over (order by ts, event_id) - 1 idx
+                 from read_parquet('{SF}/events.parquet'))
+      select sum(value) filter (idx < 100), sum(value) filter (idx >= 100) from o
+    """).fetchone()
+    assert abs(res[(0, 100)] - lo100) < 1e-6
+    assert abs(res[(100, n)] - rest) < 1e-6
+
+
+def test_global_window_quantiles(spark, events):
+    spec = SynopsisSpec(kind="ddsketch", params=dict(relative_accuracy=0.01),
+                        column="value", window=GlobalWindow())
+    qs = [0.25, 0.5, 0.95]
+    rows = ev.quantile_estimates(build_batch(events, spec), qs).collect()
+    vals = np.array([r["value"] for r in events.select("value").collect()])
+    got = {r["q"]: r["est_value"] for r in rows}
+    for q in qs:
+        exact = np.quantile(vals, q)
+        assert abs(got[q] - exact) / exact < 0.021
+
+
+def test_query_timestamped(spark, events):
+    spec = SynopsisSpec(kind="countmin", params=dict(width=4096, height=5, seed=7),
+                        column="user_id", ts_column="ts", window=Tumbling("1 day"))
+    syn = build_batch(events, spec).cache()
+    queries = spark.createDataFrame(
+        [("2024-01-02 06:00:00",), ("2024-01-05 23:00:00,".rstrip(","),)],
+        "q_ts_s string").select(F.col("q_ts_s").cast("timestamp").alias("q_ts"))
+
+    def fn(synopsis, pdf):
+        import pandas as pd
+        est = synopsis.query(pd.Series([7] * len(pdf)))
+        return pd.DataFrame({"q_ts": pdf["q_ts"], "est_count": est.astype("int64")})
+
+    res = ev.query_timestamped(syn, queries, fn,
+                               "q_ts timestamp, est_count long, window_start timestamp")
+    rows = res.collect()
+    assert len(rows) == 2
+    exact = {r["w"].replace(tzinfo=None): r["c"] for r in
+             events.filter(F.col("user_id") == 7)
+                   .groupBy(F.window("ts", "1 day").alias("win"))
+                   .agg(F.count("*").alias("c"))
+                   .select(F.col("win.start").alias("w"), "c").collect()}
+    for r in rows:
+        assert r["est_count"] == exact.get(r["window_start"].replace(tzinfo=None), 0)
+
+
+def test_query_latest(spark, events):
+    spec = SynopsisSpec(kind="hll", params=dict(log_reg_num=12, seed=7),
+                        column="user_id", ts_column="ts", window=Tumbling("1 day"))
+    syn = build_batch(events, spec)
+    lat = ev.latest(syn, per_stratum=False)
+    rows = ev.distinct_estimates(lat).collect()
+    assert len(rows) == 1
+    last_day = (events.groupBy(F.window("ts", "1 day").alias("win"))
+                .agg(F.countDistinct("user_id").alias("d"))
+                .select(F.col("win.start").alias("s"), "d")
+                .orderBy(F.desc("s")).first())
+    assert abs(rows[0]["est_distinct"] - last_day["d"]) <= max(3, 0.05 * last_day["d"])
