@@ -1,38 +1,639 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship: the north-star audio pipeline (synth clips →
+vectorized decode → per-codec windowed DDSketch quantiles) on sf0.001 scale.
+
+`queries()` — one entry per implemented operator from SURVEY.md §2 plus the
+training-data pipeline ops; `oracle_sql()` — exact DuckDB equivalents for
+every deterministic query (approximate-by-nature estimates are rows-only,
+as the contract allows).
+
+Engine design notes live in condor_spark/; reference file:line citations in
+each module's docstring.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from condor_spark.engine import evaluate as ev
+from condor_spark.engine import similarity, text
+from condor_spark.engine.builder import (SynopsisSpec, build_batch,
+                                         build_count_windows, build_ordered)
+from condor_spark.engine.windows import (CountTumbling, GlobalWindow, Session,
+                                         Sliding, Tumbling)
+
+DAY = "1 day"
+NTZ = "timestamp_ntz"
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _user_keys(df) -> list[int]:
+    return sorted(r[0] for r in df.select("user_id").distinct().collect())
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Audio-clip stream → decode+features (mapInPandas) → per-codec
+    1-minute tumbling DDSketch(1%) RMS quantiles. Runs on 2,000
+    deterministic synthetic clips (the sf0.001-scale smoke)."""
+    from condor_spark import fixtures
+    from condor_spark.engine.audio import decode_features
+
+    clips = fixtures.audio_clips(spark, 2000, num_partitions=8)
+    feats = decode_features(clips).join(clips.select("clip_id", "ts"), "clip_id")
+    spec = SynopsisSpec(kind="ddsketch", params=dict(relative_accuracy=0.01),
+                        column="rms", ts_column="ts",
+                        window=Tumbling("1 minute"), stratify_by="codec")
+    syn = build_batch(feats, spec)
+    return (ev.quantile_estimates(syn, [0.5, 0.95])
+            .select(F.col("window_start").cast(NTZ).alias("window_start"),
+                    "stratum", "q", F.round("est_value", 6).alias("est_value"))
+            .orderBy("window_start", "stratum", "q"))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_cm_user_frequency(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    spec = SynopsisSpec(kind="countmin", params=dict(width=8192, height=5, seed=7),
+                        column="user_id", ts_column="ts", window=Tumbling(DAY))
+    syn = build_batch(df, spec)
+    res = ev.frequency_estimates(syn, _user_keys(df))
+    return res.select(F.col("window_start").cast(NTZ).alias("window_start"),
+                      "key", "est_count")
+
+
+def q_bloom_membership(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    present = sorted(r[0] for r in df.select("event_type").distinct().collect())
+    keys = present + ["zzz_absent_a", "zzz_absent_b", "zzz_absent_c"]
+    spec = SynopsisSpec(kind="bloom",
+                        params=dict(n_bits=4096, max_elements=256, seed=7,
+                                    merge_mode="union"),
+                        column="event_type", ts_column="ts", window=Tumbling(DAY))
+    syn = build_batch(df, spec)
+    return (ev.membership(syn, keys)
+            .select(F.col("window_start").cast(NTZ).alias("window_start"),
+                    "key", "member"))
+
+
+def q_equiwidth_hist(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    spec = SynopsisSpec(kind="equiwidth",
+                        params=dict(lower=0.0, upper=500.0, num_buckets=20),
+                        column="value", ts_column="ts", window=Tumbling(DAY))
+    syn = build_batch(df, spec)
+    return (ev.histogram_counts(syn)
+            .select(F.col("window_start").cast(NTZ).alias("window_start"),
+                    F.col("bucket").cast("long").alias("bucket"), "cnt"))
+
+
+def q_ddsketch_quantiles(spark, sf_dir):
+    df = _events(spark, sf_dir).filter(F.col("value") > 0)
+    spec = SynopsisSpec(kind="ddsketch",
+                        params=dict(relative_accuracy=0.01, max_num_bins=4096),
+                        column="value", ts_column="ts", window=Tumbling(DAY))
+    syn = build_batch(df, spec)
+    return (ev.quantile_estimates(syn, [0.5, 0.95, 0.99])
+            .select(F.col("window_start").cast(NTZ).alias("window_start"),
+                    "q", F.round("est_value", 6).alias("est_value")))
+
+
+def q_fifo_latest(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    spec = SynopsisSpec(kind="fifo", params=dict(sample_size=20),
+                        column="event_id", ts_column="ts", window=Tumbling(DAY),
+                        tiebreak_column="event_id")
+    syn = build_batch(df, spec)
+    return (ev.sample_rows(syn, value_type="long")
+            .select(F.col("window_start").cast(NTZ).alias("window_start"),
+                    F.col("value").alias("event_id")))
+
+
+def q_bottomk_sample(spark, sf_dir):
+    df = (_events(spark, sf_dir)
+          .withColumn("__prio", F.md5(F.col("event_id").cast("string"))))
+    spec = SynopsisSpec(kind="bottomk", params=dict(sample_size=20, seed=7),
+                        column="event_id", ts_column="ts", window=Tumbling(DAY),
+                        priority_column="__prio")
+    syn = build_batch(df, spec)
+    return (ev.sample_rows(syn, value_type="long")
+            .select(F.col("window_start").cast(NTZ).alias("window_start"),
+                    F.col("value").alias("event_id")))
+
+
+def q_session_windows(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    spec = SynopsisSpec(kind="hll", params=dict(log_reg_num=4, seed=7),
+                        column="event_id", ts_column="ts",
+                        window=Session("30 minutes"), stratify_by="user_id")
+    syn = build_batch(df, spec)
+    return syn.select(F.col("stratum"),
+                      F.col("window_start").cast(NTZ).alias("window_start"),
+                      F.col("window_end").cast(NTZ).alias("window_end"),
+                      F.col("n"))
+
+
+def q_sliding_counts(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    spec = SynopsisSpec(kind="hll", params=dict(log_reg_num=4, seed=7),
+                        column="event_id", ts_column="ts",
+                        window=Sliding(DAY, "6 hours"))
+    syn = build_batch(df, spec)
+    return syn.select(F.col("window_start").cast(NTZ).alias("window_start"),
+                      F.col("n").alias("cnt"))
+
+
+def q_count_windows(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    spec = SynopsisSpec(kind="hll", params=dict(log_reg_num=4, seed=7),
+                        column="event_id", ts_column="ts",
+                        window=CountTumbling(1000), tiebreak_column="event_id")
+    return build_count_windows(df, spec).select("window_id", "n")
+
+
+def q_wavelet_range_sums(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    spec = SynopsisSpec(kind="wavelet", params=dict(size=1 << 15), column="value",
+                        ts_column="ts", tiebreak_column="event_id")
+    slices = build_ordered(df, spec, num_partitions=8)
+    res = ev.wavelet_range_sums(slices, [(0, 1000), (1000, 5000), (0, 1 << 40)])
+    return res.select("lo_idx", F.round("range_sum", 3).alias("range_sum"))
+
+
+def q_stratified_hist(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    spec = SynopsisSpec(kind="equiwidth",
+                        params=dict(lower=0.0, upper=500.0, num_buckets=10),
+                        column="value", stratify_by="event_type",
+                        window=GlobalWindow())
+    syn = build_batch(df, spec)
+    return (ev.histogram_counts(syn)
+            .select("stratum", F.col("bucket").cast("long").alias("bucket"), "cnt"))
+
+
+def q_tumbling_counts(spark, sf_dir):
+    # exact windowed aggregation (window semantics demo; Spark-builtin path)
+    df = _events(spark, sf_dir)
+    return (df.groupBy(F.window("ts", DAY).alias("win"))
+            .agg(F.count("*").alias("cnt"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select(F.col("win.start").cast(NTZ).alias("window_start"),
+                    "cnt", "sum_value"))
+
+
+Q_TS = ["2024-01-03 12:00:00", "2024-01-10 00:30:00", "2024-01-20 18:45:00"]
+Q_KEYS = [1, 2, 3]
+
+
+def q_query_timestamped(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    spec = SynopsisSpec(kind="countmin", params=dict(width=8192, height=5, seed=7),
+                        column="user_id", ts_column="ts", window=Tumbling(DAY))
+    syn = build_batch(df, spec)
+    queries = spark.createDataFrame([(t,) for t in Q_TS], "q_ts_s string") \
+        .select(F.col("q_ts_s").cast("timestamp").alias("q_ts"))
+
+    def fn(synopsis, pdf):
+        outs = []
+        for qts in pdf["q_ts"]:
+            est = synopsis.query(pd.Series(Q_KEYS))
+            outs.append(pd.DataFrame({"q_ts": [qts] * len(Q_KEYS),
+                                      "key": [str(k) for k in Q_KEYS],
+                                      "est_count": est.astype("int64")}))
+        return pd.concat(outs, ignore_index=True)
+
+    res = ev.query_timestamped(syn, queries, fn,
+                               "q_ts timestamp, key string, est_count long")
+    return res.select(F.col("q_ts").cast(NTZ).alias("q_ts"), "key", "est_count")
+
+
+def q_query_latest_hist(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    spec = SynopsisSpec(kind="equiwidth",
+                        params=dict(lower=0.0, upper=500.0, num_buckets=10),
+                        column="value", ts_column="ts", window=Tumbling(DAY))
+    syn = build_batch(df, spec)
+    latest = ev.latest(syn, per_stratum=False)
+    return (ev.histogram_counts(latest)
+            .select(F.col("bucket").cast("long").alias("bucket"), "cnt"))
+
+
+# ---- documents / embeddings pipeline ops ----------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return text.dedup_exact(_docs(spark, sf_dir))
+
+
+def q_token_counts(spark, sf_dir):
+    out = text.token_counts(_docs(spark, sf_dir))
+    return out.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+                      F.col("n_chars_text").cast("long").alias("n_chars_text"))
+
+
+def q_quality_scores(spark, sf_dir):
+    out = text.quality_scores(_docs(spark, sf_dir))
+    return out.select("doc_id",
+                      F.col("n_chars_q").cast("long").alias("n_chars_q"),
+                      F.col("n_tokens").cast("long").alias("n_tokens"),
+                      "punct_ratio", "stopword_ratio", "avg_token_len")
+
+
+def q_lang_id(spark, sf_dir):
+    return text.lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprints(spark, sf_dir):
+    return text.fingerprints(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return text.ngram_jaccard_pairs(_docs(spark, sf_dir), shingle=3, threshold=0.6)
+
+
+def q_ann_topk(spark, sf_dir):
+    out = similarity.brute_force_topk(_emb(spark, sf_dir), list(range(10)), k=5)
+    return out.select("query_id", F.col("rank").cast("long").alias("rank"),
+                      "neighbor_id", "cosine")
+
+
+# ---- approximate / randomized: rows-only checks ----------------------------
+
+def q_hll_distinct(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    spec = SynopsisSpec(kind="hll", params=dict(log_reg_num=14, seed=7),
+                        column="user_id", ts_column="ts", window=Tumbling(DAY))
+    return (ev.distinct_estimates(build_batch(df, spec))
+            .select(F.col("window_start").cast(NTZ).alias("window_start"),
+                    "est_distinct"))
+
+
+def q_ams_f2(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    spec = SynopsisSpec(kind="ams", params=dict(width=1024, height=7, seed=7),
+                        column="user_id", ts_column="ts", window=Tumbling(DAY))
+    return (ev.f2_estimates(build_batch(df, spec))
+            .select(F.col("window_start").cast(NTZ).alias("window_start"),
+                    F.round("est_f2", 2).alias("est_f2")))
+
+
+def q_cuckoo_membership(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    present = sorted(r[0] for r in df.select("event_type").distinct().collect())
+    keys = present + ["zzz_absent_a", "zzz_absent_b"]
+    spec = SynopsisSpec(kind="cuckoo",
+                        params=dict(bucket_size=4, num_buckets=1024, seed=7),
+                        column="event_type", window=GlobalWindow())
+    return ev.membership(build_batch(df, spec), keys).select("key", "member")
+
+
+def q_reservoir_sample(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    spec = SynopsisSpec(kind="reservoir", params=dict(sample_size=100, seed=7),
+                        column="value", ts_column="ts", window=Tumbling(DAY))
+    syn = build_batch(df, spec)
+
+    def fn(s, row):
+        import numpy as np
+        vals = np.asarray(s.sample, dtype=float)
+        return pd.DataFrame({"n_sample": [len(vals)],
+                             "sample_mean": [round(float(vals.mean()), 4)]})
+
+    return (ev.apply_per_window(syn, fn,
+            "window_start timestamp, n_sample long, sample_mean double")
+            .select(F.col("window_start").cast(NTZ).alias("window_start"),
+                    "n_sample", "sample_mean"))
+
+
+def q_biased_reservoir(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    spec = SynopsisSpec(kind="biased_reservoir", params=dict(sample_size=100, seed=7),
+                        column="value", ts_column="ts", window=Tumbling(DAY))
+    syn = build_batch(df, spec)
+
+    def fn(s, row):
+        import numpy as np
+        return pd.DataFrame({"n_sample": [len(s.values)],
+                             "newest_ts": [int(max(s.ts)) if s.ts else 0]})
+
+    return (ev.apply_per_window(syn, fn,
+            "window_start timestamp, n_sample long, newest_ts long")
+            .select(F.col("window_start").cast(NTZ).alias("window_start"),
+                    "n_sample", "newest_ts"))
+
+
+def q_bash_equidepth(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    spec = SynopsisSpec(kind="bash", params=dict(precision=7, num_buckets=10),
+                        column="value", window=GlobalWindow())
+    syn = build_batch(df, spec)
+    return (ev.equidepth_buckets(syn)
+            .select(F.col("bucket").cast("long").alias("bucket"),
+                    F.round("lo", 4).alias("lo"), F.round("hi", 4).alias("hi"),
+                    F.round("depth", 4).alias("depth")))
+
+
+def q_minhash_pairs(spark, sf_dir):
+    return text.minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.6)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    return text.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=10)
+
+
+def q_ann_topk_lsh(spark, sf_dir):
+    out = similarity.ann_topk_lsh(_emb(spark, sf_dir), list(range(10)), k=5,
+                                  num_planes=8)
+    return out.select("query_id", F.col("rank").cast("long").alias("rank"),
+                      "neighbor_id", "cosine")
+
+
+def q_audio_rms_quantiles(spark, sf_dir):
+    from condor_spark import fixtures
+    from condor_spark.engine.audio import decode_features
+
+    clips = fixtures.audio_clips(spark, 1000, num_partitions=8)
+    feats = decode_features(clips).join(clips.select("clip_id", "ts"), "clip_id")
+    spec = SynopsisSpec(kind="ddsketch", params=dict(relative_accuracy=0.01),
+                        column="rms", stratify_by="codec", window=GlobalWindow())
+    syn = build_batch(feats, spec)
+    return (ev.quantile_estimates(syn, [0.5, 0.95])
+            .select("stratum", "q", F.round("est_value", 6).alias("est_value")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # synopsis engine, oracle-backed
+        "cm_user_frequency": q_cm_user_frequency,
+        "bloom_membership": q_bloom_membership,
+        "equiwidth_hist": q_equiwidth_hist,
+        "ddsketch_quantiles": q_ddsketch_quantiles,
+        "fifo_latest": q_fifo_latest,
+        "bottomk_sample": q_bottomk_sample,
+        "session_windows": q_session_windows,
+        "sliding_counts": q_sliding_counts,
+        "count_windows": q_count_windows,
+        "wavelet_range_sums": q_wavelet_range_sums,
+        "stratified_hist": q_stratified_hist,
+        "tumbling_counts": q_tumbling_counts,
+        "query_timestamped": q_query_timestamped,
+        "query_latest_hist": q_query_latest_hist,
+        # pipeline ops, oracle-backed
+        "dedup_exact": q_dedup_exact,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "fingerprints": q_fingerprints,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_topk": q_ann_topk,
+        # approximate / randomized, rows-only
+        "hll_distinct": q_hll_distinct,
+        "ams_f2": q_ams_f2,
+        "cuckoo_membership": q_cuckoo_membership,
+        "reservoir_sample": q_reservoir_sample,
+        "biased_reservoir": q_biased_reservoir,
+        "bash_equidepth": q_bash_equidepth,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "audio_rms_quantiles": q_audio_rms_quantiles,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB SQL on the pre-registered views)
+# ---------------------------------------------------------------------------
+
+_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+_TOKS = f"string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')"
+_STOP_EN = "['the','a','of','and','to','in','is','it']"
+_LANG_LISTS = {
+    "de": "['der','die','das','und','ist','ein','nicht','zu']",
+    "en": _STOP_EN,
+    "es": "['el','la','los','y','es','un','una','no']",
+    "fr": "['le','la','les','et','est','un','une','pas']",
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_hits = ", ".join(
+        f"len(list_filter(toks, x -> list_contains({lst}, x))) AS h_{lang}"
+        for lang, lst in _LANG_LISTS.items())
+    lang_case = " ".join(
+        f"WHEN h_{lang} = greatest(h_de, h_en, h_es, h_fr) THEN '{lang}'"
+        for lang in sorted(_LANG_LISTS))
+    return {
+        "cm_user_frequency": """
+            WITH w AS (SELECT DISTINCT time_bucket(INTERVAL '1 day', ts) ws FROM events),
+                 u AS (SELECT DISTINCT user_id FROM events),
+                 c AS (SELECT time_bucket(INTERVAL '1 day', ts) ws, user_id, count(*) cnt
+                       FROM events GROUP BY 1, 2)
+            SELECT w.ws AS window_start, CAST(u.user_id AS VARCHAR) AS key,
+                   COALESCE(c.cnt, 0) AS est_count
+            FROM w CROSS JOIN u
+            LEFT JOIN c ON c.ws = w.ws AND c.user_id = u.user_id
+        """,
+        "bloom_membership": """
+            WITH w AS (SELECT DISTINCT time_bucket(INTERVAL '1 day', ts) ws FROM events),
+                 k AS (SELECT unnest(list_sort(list_distinct(list(event_type)))
+                              || ['zzz_absent_a','zzz_absent_b','zzz_absent_c']) AS key
+                       FROM events),
+                 p AS (SELECT DISTINCT time_bucket(INTERVAL '1 day', ts) ws, event_type
+                       FROM events)
+            SELECT w.ws AS window_start, k.key,
+                   (p.event_type IS NOT NULL) AS member
+            FROM w CROSS JOIN k
+            LEFT JOIN p ON p.ws = w.ws AND p.event_type = k.key
+        """,
+        "equiwidth_hist": """
+            WITH w AS (SELECT DISTINCT time_bucket(INTERVAL '1 day', ts) ws FROM events),
+                 b AS (SELECT i AS bucket FROM range(0, 20) t(i)),
+                 c AS (SELECT time_bucket(INTERVAL '1 day', ts) ws,
+                              CAST(floor(value / 25.0) AS BIGINT) bucket, count(*) cnt
+                       FROM events WHERE value >= 0 AND value < 500 GROUP BY 1, 2)
+            SELECT w.ws AS window_start, b.bucket, COALESCE(c.cnt, 0) AS cnt
+            FROM w CROSS JOIN b LEFT JOIN c ON c.ws = w.ws AND c.bucket = b.bucket
+        """,
+        "ddsketch_quantiles": """
+            WITH r AS (SELECT time_bucket(INTERVAL '1 day', ts) ws, value,
+                              row_number() OVER (PARTITION BY time_bucket(INTERVAL '1 day', ts)
+                                                 ORDER BY value) rn,
+                              count(*) OVER (PARTITION BY time_bucket(INTERVAL '1 day', ts)) n
+                       FROM events WHERE value > 0),
+                 qs AS (SELECT unnest([0.5, 0.95, 0.99]) q)
+            SELECT r.ws AS window_start, qs.q,
+                   ROUND(2 * pow(1.01/0.99, ceil(ln(r.value) / ln(1.01/0.99)))
+                         / (1.01/0.99 + 1), 6) AS est_value
+            FROM r JOIN qs ON r.rn = greatest(1, CAST(ceil(qs.q * r.n) AS BIGINT))
+        """,
+        "fifo_latest": """
+            WITH r AS (SELECT time_bucket(INTERVAL '1 day', ts) ws, event_id,
+                              row_number() OVER (PARTITION BY time_bucket(INTERVAL '1 day', ts)
+                                                 ORDER BY ts DESC, event_id DESC) rn
+                       FROM events)
+            SELECT ws AS window_start, event_id FROM r WHERE rn <= 20
+        """,
+        "bottomk_sample": """
+            WITH r AS (SELECT time_bucket(INTERVAL '1 day', ts) ws, event_id,
+                              row_number() OVER (PARTITION BY time_bucket(INTERVAL '1 day', ts)
+                                                 ORDER BY md5(CAST(event_id AS VARCHAR))) rn
+                       FROM events)
+            SELECT ws AS window_start, event_id FROM r WHERE rn <= 20
+        """,
+        "session_windows": """
+            WITH s AS (SELECT user_id, ts,
+                              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                                        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                           > INTERVAL '30 minutes'
+                                   THEN 1 ELSE 0 END brk
+                       FROM events),
+                 g AS (SELECT user_id, ts,
+                              sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                             ROWS UNBOUNDED PRECEDING) sess
+                       FROM s)
+            SELECT CAST(user_id AS VARCHAR) AS stratum,
+                   min(ts) AS window_start,
+                   max(ts) + INTERVAL '30 minutes' AS window_end,
+                   count(*) AS n
+            FROM g GROUP BY user_id, sess
+        """,
+        "sliding_counts": """
+            SELECT g.ws AS window_start, count(*) AS cnt
+            FROM (SELECT TIMESTAMP '2020-01-01' + INTERVAL (i * 6) HOUR AS ws
+                  FROM range(0, 20000) t(i)) g
+            JOIN events e ON e.ts >= g.ws AND e.ts < g.ws + INTERVAL '24' HOUR
+            GROUP BY 1
+        """,
+        "count_windows": """
+            WITH o AS (SELECT row_number() OVER (ORDER BY ts, event_id) - 1 AS idx
+                       FROM events)
+            SELECT idx // 1000 AS window_id, count(*) AS n FROM o GROUP BY 1
+        """,
+        "wavelet_range_sums": """
+            WITH o AS (SELECT value, row_number() OVER (ORDER BY ts, event_id) - 1 AS idx
+                       FROM events)
+            SELECT 0 AS lo_idx, ROUND(COALESCE(sum(value) FILTER (idx < 1000), 0), 3)
+                   AS range_sum FROM o
+            UNION ALL
+            SELECT 1000, ROUND(COALESCE(sum(value) FILTER (idx >= 1000 AND idx < 5000), 0), 3)
+            FROM o
+            UNION ALL
+            SELECT 0, ROUND(COALESCE(sum(value), 0), 3) FROM o
+        """,
+        "stratified_hist": """
+            WITH st AS (SELECT DISTINCT event_type FROM events),
+                 b AS (SELECT i AS bucket FROM range(0, 10) t(i)),
+                 c AS (SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) bucket,
+                              count(*) cnt
+                       FROM events WHERE value >= 0 AND value < 500 GROUP BY 1, 2)
+            SELECT st.event_type AS stratum, b.bucket, COALESCE(c.cnt, 0) AS cnt
+            FROM st CROSS JOIN b
+            LEFT JOIN c ON c.event_type = st.event_type AND c.bucket = b.bucket
+        """,
+        "tumbling_counts": """
+            SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+                   count(*) AS cnt, ROUND(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "query_timestamped": f"""
+            WITH q AS (SELECT unnest([{", ".join(f"TIMESTAMP '{t}'" for t in Q_TS)}]) q_ts),
+                 k AS (SELECT unnest([{", ".join(str(k) for k in Q_KEYS)}]) user_id),
+                 c AS (SELECT time_bucket(INTERVAL '1 day', ts) ws, user_id, count(*) cnt
+                       FROM events GROUP BY 1, 2)
+            SELECT q.q_ts, CAST(k.user_id AS VARCHAR) AS key,
+                   COALESCE(c.cnt, 0) AS est_count
+            FROM q CROSS JOIN k
+            LEFT JOIN c ON c.ws = time_bucket(INTERVAL '1 day', q.q_ts)
+                       AND c.user_id = k.user_id
+        """,
+        "query_latest_hist": """
+            WITH last AS (SELECT max(time_bucket(INTERVAL '1 day', ts)) ws FROM events),
+                 b AS (SELECT i AS bucket FROM range(0, 10) t(i)),
+                 c AS (SELECT CAST(floor(value / 50.0) AS BIGINT) bucket, count(*) cnt
+                       FROM events, last
+                       WHERE time_bucket(INTERVAL '1 day', ts) = last.ws
+                         AND value >= 0 AND value < 500
+                       GROUP BY 1)
+            SELECT b.bucket, COALESCE(c.cnt, 0) AS cnt
+            FROM b LEFT JOIN c USING (bucket)
+        """,
+        "dedup_exact": f"""
+            SELECT md5({_NORM}) AS fingerprint, min(doc_id) AS keep_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "token_counts": f"""
+            SELECT doc_id, len({_TOKS}) AS n_tokens,
+                   length(text) AS n_chars_text
+            FROM documents
+        """,
+        "quality_scores": f"""
+            WITH t AS (SELECT doc_id, text, {_TOKS} toks FROM documents)
+            SELECT doc_id,
+                   length(text) AS n_chars_q,
+                   len(toks) AS n_tokens,
+                   ROUND((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+                         / greatest(length(text), 1), 6) AS punct_ratio,
+                   ROUND(len(list_filter(toks, x -> list_contains({_STOP_EN}, x)))
+                         / greatest(len(toks), 1), 6) AS stopword_ratio,
+                   ROUND((length(text) + 1) / greatest(len(toks), 1) - 1, 6)
+                       AS avg_token_len
+            FROM t
+        """,
+        "lang_id": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} toks FROM documents),
+                 h AS (SELECT doc_id, {lang_hits} FROM t)
+            SELECT doc_id,
+                   CASE WHEN greatest(h_de, h_en, h_es, h_fr) <= 0 THEN 'unknown'
+                        {lang_case} END AS lang_pred
+            FROM h
+        """,
+        "fingerprints": f"""
+            SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents
+        """,
+        "ngram_jaccard": f"""
+            WITH sh AS (SELECT doc_id,
+                   list_distinct([substring({_NORM}, i, 3)
+                                  for i in range(1, greatest(length({_NORM}) - 2, 1) + 1)]) s
+                        FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   ROUND(len(list_intersect(a.s, b.s))
+                         / greatest(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 1),
+                         6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))
+                  / greatest(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 1) >= 0.6
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] qv FROM embeddings
+                       WHERE vec_id < 10),
+                 c AS (SELECT vec_id nid, embedding::DOUBLE[] cv FROM embeddings),
+                 s AS (SELECT qid AS query_id, nid AS neighbor_id,
+                              ROUND(list_cosine_similarity(qv, cv), 6) AS cosine
+                       FROM q, c WHERE qid != nid),
+                 r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                                    ORDER BY cosine DESC, neighbor_id) rank
+                       FROM s)
+            SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5
+        """,
+    }

@@ -58,13 +58,13 @@ class SynopsisSpec:
         return make(self.kind, **self.params)
 
 
-def _normalize(df: DataFrame, spec: SynopsisSpec, slice_ms: int | None) -> DataFrame:
+def _normalize(df: DataFrame, spec: SynopsisSpec, slice_us: int | None) -> DataFrame:
     """Project to the worker columns; all expressions JVM-side (codegen)."""
     cols = [F.col(spec.column).alias("__v")]
     if spec.ts_column:
-        # NTZ → LTZ is identity under the UTC session timezone; unix_millis
-        # stays JVM-side (codegen)
-        cols.append(F.unix_millis(F.col(spec.ts_column).cast("timestamp")).alias("__ts"))
+        # NTZ → LTZ is identity under the UTC session timezone; unix_micros
+        # stays JVM-side (codegen). Microseconds: full parquet ts precision.
+        cols.append(F.unix_micros(F.col(spec.ts_column).cast("timestamp")).alias("__ts"))
     else:
         cols.append(F.lit(0).cast("long").alias("__ts"))
     if spec.stratify_by:
@@ -76,9 +76,9 @@ def _normalize(df: DataFrame, spec: SynopsisSpec, slice_ms: int | None) -> DataF
     if spec.tiebreak_column:
         cols.append(F.col(spec.tiebreak_column).cast("long").alias("__tb"))
     out = df.select(*cols)
-    if slice_ms is not None:
+    if slice_us is not None:
         out = out.withColumn(
-            "__slice", (F.floor(F.col("__ts") / F.lit(slice_ms)) * F.lit(slice_ms)))
+            "__slice", (F.floor(F.col("__ts") / F.lit(slice_us)) * F.lit(slice_us)))
     else:
         out = out.withColumn("__slice", F.lit(0).cast("long"))
     return out
@@ -132,14 +132,14 @@ def _merge_group(pdf: pd.DataFrame) -> Synopsis:
     return syn
 
 
-def _final_merger(size_ms: int):
+def _final_merger(size_us: int):
     def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         syn = _merge_group(pdf)
         w = int(key[0])
         return pd.DataFrame({
-            "window_start": [pd.Timestamp(w, unit="ms")],
-            "window_end": [pd.Timestamp(w + size_ms, unit="ms") if size_ms else
-                           pd.Timestamp(w, unit="ms")],
+            "window_start": [pd.Timestamp(w, unit="us")],
+            "window_end": [pd.Timestamp(w + size_us, unit="us") if size_us else
+                           pd.Timestamp(w, unit="us")],
             "stratum": [key[1]],
             "state": [syn.to_bytes()],
             "n": [int(syn.n_processed)],
@@ -164,19 +164,19 @@ def build_batch(df: DataFrame, spec: SynopsisSpec) -> DataFrame:
         raise ValueError("use build_ordered() for order-based synopses")
 
     if isinstance(win, GlobalWindow):
-        slice_ms, size_ms = None, 0
+        slice_us, size_us = None, 0
     elif isinstance(win, Tumbling):
-        slice_ms, size_ms = win.slice_ms, win.size_ms
+        slice_us, size_us = win.slice_us, win.size_us
     elif isinstance(win, Sliding):
-        slice_ms, size_ms = win.slice_ms, win.size_ms
+        slice_us, size_us = win.slice_us, win.size_us
     else:
         raise ValueError(f"unsupported window {win}")
 
-    work = _normalize(df, spec, slice_ms)
+    work = _normalize(df, spec, slice_us)
     partials = work.mapInPandas(_partial_builder(spec), schema=_PARTIAL_SCHEMA)
 
     if isinstance(win, Sliding):
-        slide, size, sl = win.slide_ms, win.size_ms, win.slice_ms
+        slide, size, sl = win.slide_us, win.size_us, win.slice_us
         # windows (multiples of slide) containing slice [s, s+sl):
         #   w in [s + sl - size, s], w ≡ 0 (mod slide)   — JVM-side expansion
         first_w = (-F.floor((F.lit(size) - F.lit(sl) - F.col("__slice")) / F.lit(slide))
@@ -191,7 +191,7 @@ def build_batch(df: DataFrame, spec: SynopsisSpec) -> DataFrame:
         partials = partials.withColumn("__w", F.col("__slice"))
 
     return (partials.groupBy("__w", "__st")
-            .applyInPandas(_final_merger(size_ms), schema=_FINAL_SCHEMA))
+            .applyInPandas(_final_merger(size_us), schema=_FINAL_SCHEMA))
 
 
 def _build_session(df: DataFrame, spec: SynopsisSpec, win: Session) -> DataFrame:
@@ -202,7 +202,7 @@ def _build_session(df: DataFrame, spec: SynopsisSpec, win: Session) -> DataFrame
 
     work = _normalize(df, spec, None)
     wspec = W.partitionBy("__st").orderBy("__ts")
-    gap = win.gap_ms
+    gap = win.gap_us
     work = (work
             .withColumn("__prev", F.lag("__ts").over(wspec))
             .withColumn("__new", (F.col("__prev").isNull() |
@@ -215,8 +215,8 @@ def _build_session(df: DataFrame, spec: SynopsisSpec, win: Session) -> DataFrame
         syn = spec.make_synopsis()
         _update(syn, spec, pdf)
         return pd.DataFrame({
-            "window_start": [pd.Timestamp(int(pdf["__ts"].min()), unit="ms")],
-            "window_end": [pd.Timestamp(int(pdf["__ts"].max()) + gap, unit="ms")],
+            "window_start": [pd.Timestamp(int(pdf["__ts"].min()), unit="us")],
+            "window_end": [pd.Timestamp(int(pdf["__ts"].max()) + gap, unit="us")],
             "stratum": [key[0]],
             "state": [syn.to_bytes()],
             "n": [int(syn.n_processed)],

@@ -1,0 +1,266 @@
+"""Text analysis + dedup operators for training-data pipelines.
+
+Beyond the reference's synopsis set (these are the large-scale pipeline ops
+the engine adds): token counting, quality scoring, language-ID heuristic,
+document fingerprinting, exact dedup, MinHash+LSH near-dedup, SimHash.
+
+Everything that can stay JVM-side does (split/filter/md5/array ops —
+whole-stage codegen); only MinHash/SimHash signatures use a pandas UDF
+(vectorized numpy over Arrow batches). Each op is O(rows) map-side plus at
+most one groupBy on a short key — no all-pairs joins except behind LSH
+candidate generation, so the plans hold at 10^12 rows.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..synopsis.hashing import hash64
+
+# tiny per-language stopword lists for the heuristic language ID
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pas"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "no"],
+}
+
+_NORM_WS = r"\s+"
+
+
+def tokens_col(text_col: str = "text"):
+    """Whitespace tokens of the normalized text (JVM-side)."""
+    return F.split(F.regexp_replace(F.trim(F.col(text_col)), _NORM_WS, " "), " ")
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    return df.select(F.col(id_col),
+                     F.size(tokens_col(text_col)).alias("n_tokens"),
+                     F.length(F.col(text_col)).alias("n_chars_text"))
+
+
+def quality_scores(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features, rounded to 6
+    decimals so the values hash identically across engines."""
+    toks = tokens_col(text_col)
+    stop = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+    n_tok = F.size(toks)
+    punct_removed = F.regexp_replace(F.col(text_col), r"\p{Punct}", "")
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars_q"),
+        n_tok.alias("n_tokens"),
+        F.round((F.length(text_col) - F.length(punct_removed))
+                / F.greatest(F.length(text_col), F.lit(1)), 6).alias("punct_ratio"),
+        F.round(F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+                / F.greatest(n_tok, F.lit(1)).cast("double"), 6).alias("stopword_ratio"),
+        F.round((F.length(text_col) + 1) / F.greatest(n_tok, F.lit(1)).cast("double") - 1,
+                6).alias("avg_token_len"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-hit language heuristic (deterministic, SQL-expressible).
+
+    Predicts the language whose stopword list hits the most tokens;
+    'unknown' when nothing hits. Ties break by language name order.
+    """
+    toks = tokens_col(text_col)
+
+    def hit_count(words):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    hits = {lang: hit_count(words) for lang, words in sorted(LANG_STOPWORDS.items())}
+    best = F.greatest(*hits.values())
+    pred = F.when(best <= 0, F.lit("unknown"))
+    for lang in sorted(LANG_STOPWORDS):
+        pred = pred.when(hits[lang] == best, F.lit(lang))
+    return df.select(F.col(id_col), pred.alias("lang_pred"))
+
+
+def fingerprints(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Content fingerprint: md5 over whitespace-normalized lowered text."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), _NORM_WS, " "))
+    return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash: keep the minimum id per distinct text.
+
+    Hash-groupBy — one shuffle on the md5 key, no sorting, scales linearly.
+    """
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), _NORM_WS, " "))
+    return (df.select(F.md5(norm).alias("fingerprint"), F.col(id_col))
+              .groupBy("fingerprint")
+              .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups")))
+
+
+# --------------------------------------------------------------- MinHash/LSH
+def _shingle_minhash(texts: pd.Series, num_hashes: int, shingle: int,
+                     seed: int) -> np.ndarray:
+    """(n_docs, num_hashes) int64 MinHash signatures over character shingles.
+
+    Vectorized per document: shingles → hash64 per seed lane → min.
+    """
+    out = np.empty((len(texts), num_hashes), dtype=np.int64)
+    seeds = [seed * 1_000_003 + j for j in range(num_hashes)]
+    for i, t in enumerate(texts):  # per-doc numpy over all its shingles
+        t = " ".join(str(t).split()).lower()
+        if len(t) < shingle:
+            t = t.ljust(shingle, "_")
+        # shingle ids via polynomial over byte windows
+        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+        if b.size < shingle:
+            b = np.pad(b, (0, shingle - b.size))
+        win = np.lib.stride_tricks.sliding_window_view(b, shingle)
+        ids = np.unique(win @ (257 ** np.arange(shingle, dtype=np.int64)))
+        for j, s in enumerate(seeds):
+            out[i, j] = hash64(ids, s).min().astype(np.int64)
+    return out
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", num_hashes: int = 64,
+                       shingle: int = 3, seed: int = 7) -> DataFrame:
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            sig = _shingle_minhash(pdf[text_col], num_hashes, shingle, seed)
+            yield pd.DataFrame({"doc_id": pdf[id_col].to_numpy(),
+                                "signature": list(sig)})
+
+    return df.select(id_col, text_col).mapInPandas(
+        fn, schema="doc_id long, signature array<long>")
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 16,
+                        rows_per_band: int = 4) -> DataFrame:
+    """Band the signatures and emit same-bucket pairs (classic MinHash LSH):
+    explode to (band, band_hash) keys, groupBy bucket, pair within bucket.
+    Shuffle volume O(rows × bands) short keys — no all-pairs join.
+    """
+    banded = sig_df.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.hash(F.slice("signature", b * rows_per_band + 1,
+                                    rows_per_band)).alias("bucket"))
+            for b in range(bands)])).alias("bb"))
+    a = banded.select(F.col("bb.band").alias("band"),
+                      F.col("bb.bucket").alias("bucket"),
+                      F.col("doc_id").alias("doc_a"))
+    b = banded.select(F.col("bb.band").alias("band"),
+                      F.col("bb.bucket").alias("bucket"),
+                      F.col("doc_id").alias("doc_b"))
+    return (a.join(b, ["band", "bucket"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b").distinct())
+
+
+def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", threshold: float = 0.7,
+                        num_hashes: int = 64, shingle: int = 3,
+                        seed: int = 7) -> DataFrame:
+    """LSH candidates verified by exact character-shingle Jaccard (JVM-side)."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle, seed)
+    cand = lsh_candidate_pairs(sigs, bands=num_hashes // 4, rows_per_band=4)
+    sh = shingle_sets(df, id_col, text_col, shingle)
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
+    joined = cand.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter / F.greatest(union, F.lit(1)).cast("double")
+    return (joined.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+                  .filter(F.col("jaccard") >= threshold))
+
+
+def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                 shingle: int = 3) -> DataFrame:
+    """Distinct character shingles per doc — pure JVM expressions."""
+    return df.select(
+        F.col(id_col),
+        F.array_distinct(F.expr(
+            f"transform(sequence(1, greatest(length("
+            f"lower(regexp_replace(trim({text_col}), '\\\\s+', ' '))) - {shingle - 1}, 1)), "
+            f"i -> substring(lower(regexp_replace(trim({text_col}), '\\\\s+', ' ')), i, {shingle}))"
+        )).alias("shingles"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", shingle: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard (small sets / verification oracle path;
+    the scale path is minhash_dedup_pairs)."""
+    sh = shingle_sets(df, id_col, text_col, shingle)
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter / F.greatest(union, F.lit(1)).cast("double")
+    return (pairs.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+                 .filter(F.col("jaccard") >= threshold))
+
+
+# --------------------------------------------------------------- SimHash
+def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", seed: int = 7) -> DataFrame:
+    """64-bit SimHash over token hashes (vectorized pandas UDF)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = np.empty(len(pdf), dtype=np.int64)
+            for i, t in enumerate(pdf[text_col]):
+                toks = pd.Series(str(t).lower().split())
+                if toks.empty:
+                    out[i] = 0
+                    continue
+                h = hash64(pd.util.hash_pandas_object(
+                    toks, index=False, hash_key="condor_spark_16b").to_numpy()
+                    .view(np.int64), seed)
+                bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+                vote = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
+                out[i] = np.int64(
+                    np.uint64(((vote > 0).astype(np.uint64)
+                               << np.arange(64, dtype=np.uint64)).sum()))
+            yield pd.DataFrame({"doc_id": pdf[id_col].to_numpy(), "simhash": out})
+
+    return df.select(id_col, text_col).mapInPandas(
+        fn, schema="doc_id long, simhash long")
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", max_hamming: int = 3,
+                       seed: int = 7) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, via 4×16-bit chunk
+    blocking (a pair within hamming<=3 shares at least one exact chunk)."""
+    sig = simhash_signatures(df, id_col, text_col, seed)
+    chunks = sig.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"),
+                     F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF))
+                      .alias("val"))
+            for c in range(4)])).alias("cc"))
+    a = chunks.select(F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val"),
+                      F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    b = chunks.select(F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val"),
+                      F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    cand = (a.join(b, ["chunk", "val"]).filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b", "sig_a", "sig_b").distinct())
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (cand.select("doc_a", "doc_b", ham.alias("hamming"))
+                .filter(F.col("hamming") <= max_hamming))

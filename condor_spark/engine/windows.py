@@ -6,7 +6,7 @@ size, slide)`` with Time or Count measures plus session support
 335-337``). Spark-first mapping:
 
   * tumbling/sliding time windows → *slices*: a slice is a tumbling bucket of
-    ``gcd(size, slide)`` ms. Partial synopses are built per slice and each
+    ``gcd(size, slide)`` µs. Partial synopses are built per slice and each
     slice is expanded (JVM-side ``sequence``+``explode``) into the sliding
     windows that contain it — the relational form of Scotty's "general stream
     slicing": overlapping windows share slice partials, and only slice-sized
@@ -25,11 +25,15 @@ from dataclasses import dataclass
 import pandas as pd
 
 
-def duration_ms(s: str | int | float) -> int:
-    """'10 seconds' / '1 day' / int ms → milliseconds."""
+def duration_us(s: str | int | float) -> int:
+    """'10 seconds' / '1 day' / int microseconds → microseconds.
+
+    The engine tracks event time in epoch MICROseconds end-to-end: parquet
+    timestamps carry µs precision and any truncation would desynchronize
+    window/session bounds from the exact-SQL oracles."""
     if isinstance(s, (int, float)):
         return int(s)
-    return int(pd.Timedelta(s).total_seconds() * 1000)
+    return int(pd.Timedelta(s).total_seconds() * 1_000_000)
 
 
 @dataclass(frozen=True)
@@ -37,12 +41,12 @@ class Tumbling:
     size: str  # e.g. "1 day"
 
     @property
-    def size_ms(self) -> int:
-        return duration_ms(self.size)
+    def size_us(self) -> int:
+        return duration_us(self.size)
 
     @property
-    def slice_ms(self) -> int:
-        return self.size_ms
+    def slice_us(self) -> int:
+        return self.size_us
 
 
 @dataclass(frozen=True)
@@ -51,16 +55,16 @@ class Sliding:
     slide: str
 
     @property
-    def size_ms(self) -> int:
-        return duration_ms(self.size)
+    def size_us(self) -> int:
+        return duration_us(self.size)
 
     @property
-    def slide_ms(self) -> int:
-        return duration_ms(self.slide)
+    def slide_us(self) -> int:
+        return duration_us(self.slide)
 
     @property
-    def slice_ms(self) -> int:
-        return math.gcd(self.size_ms, self.slide_ms)
+    def slice_us(self) -> int:
+        return math.gcd(self.size_us, self.slide_us)
 
 
 @dataclass(frozen=True)
@@ -68,8 +72,8 @@ class Session:
     gap: str
 
     @property
-    def gap_ms(self) -> int:
-        return duration_ms(self.gap)
+    def gap_us(self) -> int:
+        return duration_us(self.gap)
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,79 @@
+"""Driver-contract mirror: run each ``queries()`` entry at sf0.01 and compare
+against ``oracle_sql()`` via DuckDB — row count, schema shape, and EXACT
+values (the driver's value-hash requires bitwise-equal values)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.01"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        s = pdf[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            pdf[c] = pd.to_datetime(s).dt.tz_localize(None).astype("datetime64[us]")
+        elif pd.api.types.is_bool_dtype(s):
+            pdf[c] = s.astype(bool)
+        elif pd.api.types.is_integer_dtype(s):
+            pdf[c] = s.astype("int64")
+        elif pd.api.types.is_float_dtype(s):
+            pdf[c] = s.astype("float64")
+        else:
+            pdf[c] = s.astype(str)
+    return pdf.sort_values(list(pdf.columns), kind="stable").reset_index(drop=True)
+
+
+ORACLE_QUERIES = sorted(entrymod.oracle_sql())
+ROWS_ONLY = sorted(set(entrymod.queries()) - set(ORACLE_QUERIES))
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_match(spark, ddb, name):
+    q = entrymod.queries()[name]
+    got = normalize(q(spark, SF).toPandas())
+    want = normalize(ddb.sql(entrymod.oracle_sql()[name]).df())
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} vs {list(want.columns)}")
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+    for c in got.columns:
+        a, b = got[c].to_numpy(), want[c].to_numpy()
+        if a.dtype.kind == "f":
+            bad = ~np.isclose(a, b, rtol=0, atol=0, equal_nan=True)
+            assert not bad.any(), (
+                f"{name}.{c}: {int(bad.sum())} float mismatches, max "
+                f"|diff|={np.abs(a[bad] - b[bad]).max()}")
+        else:
+            bad = a != b
+            assert not bad.any(), (
+                f"{name}.{c}: {int(bad.sum())} mismatches, first "
+                f"{a[bad][:3]} vs {b[bad][:3]}")
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(spark, name):
+    out = entrymod.queries()[name](spark, SF)
+    pdf = out.limit(5000).toPandas()
+    assert len(pdf) >= 0 and len(pdf.columns) > 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    pdf = df.toPandas()
+    assert len(pdf) > 0
+    assert set(pdf.columns) == {"window_start", "stratum", "q", "est_value"}
