@@ -1,0 +1,232 @@
+"""Structured Streaming synopsis maintenance with an exactly-once sink.
+
+North-rule surface: readStream over a table directory (the Iceberg stand-in;
+see ``catalog`` note below), event-time watermark with late-row drop,
+per-micro-batch two-phase build (same partial/merge engine as batch), and a
+``foreachBatch`` exactly-once idempotent sink:
+
+  sink_dir/
+    state/version=K/*.parquet   windowed-synopsis snapshot
+                                (window_start, window_end, stratum, state, n)
+    ledger.json                 {"version": K, "committed": {batch_id: version},
+                                 "max_event_us": ...}
+    metrics.jsonl               per-batch metrics + per-partition lineage
+
+Exactly-once: a replayed batch id short-circuits to its recorded version
+(reference sink analogue: idempotent upsert keyed (window, partition,
+batch_id) — SURVEY.md §2.4). A crash between snapshot write and ledger
+commit leaves an orphan version dir that the retried batch rewrites in
+place; readers only ever follow the ledger pointer, and the ledger is
+updated by atomic rename.
+
+Watermark semantics (Flink-style, applied explicitly because foreachBatch
+receives raw micro-batch rows): a row is late iff its event time <
+max_event_time_seen_so_far - delay; late rows are dropped and counted.
+Windows merge incrementally across batches via the kernels' merge() — the
+synopsis state is O(windows × strata × sketch), independent of row count,
+so snapshot rewriting per batch stays cheap at any input scale.
+
+Iceberg: no iceberg-spark-runtime jar ships in this sandbox, so the sink is
+parquet-snapshot based behind this module's API; the upsert keying and
+ledger protocol are format-agnostic (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..synopsis.base import Synopsis
+from .builder import (SynopsisSpec, _FINAL_SCHEMA, _merge_group, _normalize,
+                      _partial_builder)
+from .windows import Sliding, Tumbling, duration_us
+
+_STATE_SCHEMA = ("window_start long, window_end long, stratum string, "
+                 "state binary, n long")
+
+
+@dataclass
+class StreamingSynopsisJob:
+    spec: SynopsisSpec
+    sink_dir: str
+    watermark_delay: str = "10 seconds"
+
+    # ---------------- ledger ------------------------------------------------
+    @property
+    def _ledger_path(self) -> str:
+        return os.path.join(self.sink_dir, "ledger.json")
+
+    def _read_ledger(self) -> dict:
+        if os.path.exists(self._ledger_path):
+            with open(self._ledger_path) as f:
+                return json.load(f)
+        return {"version": 0, "committed": {}, "max_event_us": None}
+
+    def _write_ledger(self, ledger: dict) -> None:
+        tmp = self._ledger_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(ledger, f)
+        os.replace(tmp, self._ledger_path)  # atomic commit point
+
+    def _state_dir(self, version: int) -> str:
+        return os.path.join(self.sink_dir, "state", f"version={version}")
+
+    # ---------------- state access ------------------------------------------
+    def read_state(self, spark: SparkSession) -> DataFrame:
+        """Current committed windowed-synopsis table."""
+        ledger = self._read_ledger()
+        v = ledger["version"]
+        if v == 0:
+            return spark.createDataFrame([], _STATE_SCHEMA)
+        return spark.read.parquet(self._state_dir(v))
+
+    def read_state_df(self, spark: SparkSession) -> DataFrame:
+        """State with timestamp columns — feeds the evaluate layer."""
+        st = self.read_state(spark)
+        return st.select(
+            (F.col("window_start").cast("double") / 1e6).cast("timestamp")
+            .alias("window_start"),
+            (F.col("window_end").cast("double") / 1e6).cast("timestamp")
+            .alias("window_end"),
+            "stratum", "state", "n")
+
+    # ---------------- the foreachBatch body ----------------------------------
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        t0 = time.perf_counter()
+        spark = batch_df.sparkSession
+        os.makedirs(self.sink_dir, exist_ok=True)
+        ledger = self._read_ledger()
+        if str(batch_id) in ledger["committed"]:
+            return  # exactly-once: replayed batch after restart
+
+        win = self.spec.window
+        if isinstance(win, (Tumbling, Sliding)):
+            slice_us = win.slice_us
+        else:
+            raise ValueError("streaming supports tumbling/sliding windows")
+        size_us = win.size_us
+        delay_us = duration_us(self.watermark_delay)
+
+        work = _normalize(batch_df, self.spec, slice_us)
+        # watermark semantics: the cutoff for THIS batch comes from event time
+        # seen in PREVIOUS batches (the watermark advances after each batch,
+        # as in Spark/Flink); rows older than prev_max − delay are late.
+        batch_max = work.agg(F.max("__ts")).collect()[0][0]
+        n_input = work.count()
+        prev_max = ledger["max_event_us"]
+        if prev_max is not None:
+            work = work.filter(F.col("__ts") >= F.lit(prev_max - delay_us))
+        live = [x for x in (prev_max, batch_max) if x is not None]
+        wm = max(live) if live else None
+
+        partials = work.mapInPandas(_partial_builder(self.spec),
+                                    schema=("__slice long, __st string, __pid long, "
+                                            "state binary, n long"))
+        if isinstance(win, Sliding):
+            slide, size, sl = win.slide_us, win.size_us, win.slice_us
+            first_w = (-F.floor((F.lit(size) - F.lit(sl) - F.col("__slice"))
+                                / F.lit(slide)) * F.lit(slide)).cast("long")
+            last_w = (F.floor(F.col("__slice") / F.lit(slide)) * F.lit(slide)).cast("long")
+            wins = F.when(first_w <= last_w,
+                          F.sequence(first_w, last_w, F.lit(slide).cast("long"))
+                          ).otherwise(F.array().cast("array<long>"))
+            partials = partials.withColumn("__w", F.explode(wins))
+        else:
+            partials = partials.withColumn("__w", F.col("__slice"))
+
+        def merger(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            syn = _merge_group(pdf)
+            w = int(key[0])
+            return pd.DataFrame({
+                "window_start": [w], "window_end": [w + size_us],
+                "stratum": [key[1]], "state": [syn.to_bytes()],
+                "n": [int(syn.n_processed)]})
+
+        delta = (partials.groupBy("__w", "__st")
+                 .applyInPandas(merger, schema=_STATE_SCHEMA)).toPandas()
+
+        # merge delta into current snapshot (driver-side pandas: the synopsis
+        # table is O(windows × strata), small by construction)
+        cur = (pd.DataFrame(columns=["window_start", "window_end", "stratum",
+                                     "state", "n"])
+               if ledger["version"] == 0 else self.read_state(spark).toPandas())
+        merged_rows = []
+        cur_idx = {(r.window_start, r.stratum): i for i, r in cur.iterrows()}
+        used = set()
+        for _, r in delta.iterrows():
+            key = (r.window_start, r.stratum)
+            if key in cur_idx:
+                old = Synopsis.from_bytes(cur.at[cur_idx[key], "state"])
+                new = old.merge(Synopsis.from_bytes(r.state))
+                merged_rows.append((r.window_start, r.window_end, r.stratum,
+                                    new.to_bytes(), int(new.n_processed)))
+                used.add(key)
+            else:
+                merged_rows.append(tuple(r[["window_start", "window_end",
+                                            "stratum", "state", "n"]]))
+        for i, r in cur.iterrows():
+            if (r.window_start, r.stratum) not in used:
+                merged_rows.append(tuple(r[["window_start", "window_end",
+                                            "stratum", "state", "n"]]))
+        out = pd.DataFrame(merged_rows, columns=["window_start", "window_end",
+                                                 "stratum", "state", "n"])
+        out = out.sort_values(["window_start", "stratum"]).reset_index(drop=True)
+
+        new_version = ledger["version"] + 1
+        vdir = self._state_dir(new_version)
+        if os.path.exists(vdir):  # orphan from a crashed attempt — rewrite
+            shutil.rmtree(vdir)
+        (spark.createDataFrame(out, schema=_STATE_SCHEMA)
+         .coalesce(1).write.mode("overwrite").parquet(vdir))
+
+        # per-partition lineage: which partitions contributed to this batch
+        lineage = (partials.groupBy("__pid")
+                   .agg(F.count("*").alias("n_partials"),
+                        F.sum("n").alias("n_rows")).collect())
+        ledger["version"] = new_version
+        ledger["committed"][str(batch_id)] = new_version
+        ledger["max_event_us"] = int(wm) if wm is not None else None
+        self._write_ledger(ledger)  # commit point
+
+        metrics = {
+            "batch_id": int(batch_id),
+            "version": new_version,
+            "n_input": int(n_input) if n_input is not None else 0,
+            "n_late_dropped": (int(n_input - out_n_rows(lineage))
+                               if n_input is not None else 0),
+            "windows_updated": int(len(delta)),
+            "wall_sec": round(time.perf_counter() - t0, 3),
+            "watermark_us": int(wm) if wm is not None else None,
+            "partitions": [{"pid": int(r["__pid"]),
+                            "n_partials": int(r["n_partials"]),
+                            "n_rows": int(r["n_rows"])} for r in lineage],
+        }
+        with open(os.path.join(self.sink_dir, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(metrics) + "\n")
+
+    # ---------------- stream wiring ------------------------------------------
+    def start(self, spark: SparkSession, source_dir: str, checkpoint_dir: str,
+              schema=None, max_files_per_trigger: int = 1,
+              available_now: bool = True):
+        """Start the stream from a parquet directory source."""
+        if schema is None:
+            schema = spark.read.parquet(source_dir).schema
+        reader = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", max_files_per_trigger)
+                  .parquet(source_dir))
+        writer = (reader.writeStream
+                  .foreachBatch(self.process_batch)
+                  .option("checkpointLocation", checkpoint_dir))
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
+def out_n_rows(lineage) -> int:
+    return int(sum(r["n_rows"] for r in lineage))

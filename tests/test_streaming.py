@@ -1,0 +1,131 @@
+"""Streaming tests: watermark late-drop, exactly-once idempotence, checkpoint
+kill/resume equivalence, batch-vs-stream parity (north rule)."""
+
+import glob
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from condor_spark.engine import evaluate as ev
+from condor_spark.engine.builder import SynopsisSpec, build_batch
+from condor_spark.engine.streaming import StreamingSynopsisJob
+from condor_spark.engine.windows import Tumbling
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def source_dir(spark, tmp_path):
+    """events split into 5 parquet files ordered by ts (a file-replay
+    stream, like the reference's gzip replay sources)."""
+    src = str(tmp_path / "src")
+    (spark.read.parquet(f"{SF}/events.parquet")
+     .repartitionByRange(5, "ts")
+     .write.mode("overwrite").parquet(src))
+    return src
+
+
+def _spec():
+    return SynopsisSpec(kind="countmin", params=dict(width=4096, height=5, seed=7),
+                        column="user_id", ts_column="ts", window=Tumbling("1 day"))
+
+
+def _run_stream(spark, source_dir, sink, ckpt, watermark="10 seconds"):
+    job = StreamingSynopsisJob(spec=_spec(), sink_dir=sink,
+                               watermark_delay=watermark)
+    q = job.start(spark, source_dir, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(300)
+    return job
+
+
+def test_stream_matches_batch(spark, source_dir, tmp_path):
+    """Stream (5 micro-batches) ends with the same per-window estimates as a
+    single batch build, with a watermark wide enough to keep all rows."""
+    job = _run_stream(spark, source_dir, str(tmp_path / "sink"),
+                      str(tmp_path / "ckpt"), watermark="40 days")
+    stream_syn = job.read_state_df(spark)
+    batch_syn = build_batch(spark.read.parquet(f"{SF}/events.parquet"), _spec())
+    keys = list(range(150))
+    s = sorted((str(r["window_start"]), r["key"], r["est_count"])
+               for r in ev.frequency_estimates(stream_syn, keys).collect())
+    b = sorted((str(r["window_start"]), r["key"], r["est_count"])
+               for r in ev.frequency_estimates(batch_syn, keys).collect())
+    assert s == b
+
+    # metrics + lineage recorded per batch
+    lines = [json.loads(l) for l in
+             open(os.path.join(str(tmp_path / "sink"), "metrics.jsonl"))]
+    assert len(lines) == 5
+    assert all(m["partitions"] for m in lines)
+    assert sum(m["n_input"] for m in lines) == 1000
+
+
+def test_exactly_once_replay(spark, source_dir, tmp_path):
+    """Reprocessing an already-committed batch id is a no-op."""
+    sink = str(tmp_path / "sink")
+    job = _run_stream(spark, source_dir, sink, str(tmp_path / "ckpt"),
+                      watermark="40 days")
+    ledger_before = job._read_ledger()
+    df = spark.read.parquet(source_dir)
+    job.process_batch(df, batch_id=0)  # replay batch 0
+    ledger_after = job._read_ledger()
+    assert ledger_after == ledger_before
+
+
+def test_checkpoint_resume(spark, source_dir, tmp_path):
+    """Stop after 2 files, restart from checkpoint → identical final state to
+    an uninterrupted run."""
+    sink_a = str(tmp_path / "sink_a")
+    ckpt_a = str(tmp_path / "ckpt_a")
+    # phase 1: only 2 files visible
+    part_src = str(tmp_path / "partial_src")
+    os.makedirs(part_src)
+    files = sorted(glob.glob(os.path.join(source_dir, "part-*.parquet")))
+    import shutil
+    for f in files[:2]:
+        shutil.copy(f, part_src)
+    job_a = StreamingSynopsisJob(spec=_spec(), sink_dir=sink_a,
+                                 watermark_delay="40 days")
+    q = job_a.start(spark, part_src, ckpt_a, max_files_per_trigger=1)
+    q.awaitTermination(300)
+    assert job_a._read_ledger()["version"] == 2
+    # phase 2: remaining files arrive; restart from the same checkpoint
+    for f in files[2:]:
+        shutil.copy(f, part_src)
+    q = job_a.start(spark, part_src, ckpt_a, max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    # uninterrupted reference run
+    sink_b = str(tmp_path / "sink_b")
+    job_b = _run_stream(spark, source_dir, sink_b, str(tmp_path / "ckpt_b"),
+                        watermark="40 days")
+    keys = list(range(150))
+    a = sorted((str(r["window_start"]), r["key"], r["est_count"]) for r in
+               ev.frequency_estimates(job_a.read_state_df(spark), keys).collect())
+    b = sorted((str(r["window_start"]), r["key"], r["est_count"]) for r in
+               ev.frequency_estimates(job_b.read_state_df(spark), keys).collect())
+    assert a == b
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """A second file whose rows are older than (max_ts - delay) is dropped."""
+    src = str(tmp_path / "src")
+    df = spark.read.parquet(f"{SF}/events.parquet")
+    hi = df.filter(F.col("event_id") < 500)
+    lo_late = df.filter(F.col("event_id") >= 500).withColumn(
+        "ts", F.col("ts") - F.expr("INTERVAL 500 DAYS"))
+    hi.coalesce(1).write.parquet(os.path.join(src, "f=1"))
+    lo_late.coalesce(1).write.parquet(os.path.join(src, "f=2"))
+    job = StreamingSynopsisJob(spec=_spec(), sink_dir=str(tmp_path / "sink"),
+                               watermark_delay="1 hour")
+    schema = df.schema
+    q = job.start(spark, src + "/*", ckpt_dir if (ckpt_dir := str(tmp_path / "ck")) else None,
+                  schema=schema, max_files_per_trigger=1)
+    q.awaitTermination(300)
+    metrics = [json.loads(l) for l in
+               open(os.path.join(str(tmp_path / "sink"), "metrics.jsonl"))]
+    total_rows = sum(r["n"] for r in job.read_state(spark).collect())
+    assert total_rows == 500  # late file fully dropped
+    assert any(m["n_late_dropped"] > 0 for m in metrics)
