@@ -58,7 +58,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from condor_spark.engine.audio import decode_features
 
     clips = fixtures.audio_clips(spark, 2000, num_partitions=8)
-    feats = decode_features(clips).join(clips.select("clip_id", "ts"), "clip_id")
+    feats = decode_features(clips, passthrough=("ts",))
     spec = SynopsisSpec(kind="ddsketch", params=dict(relative_accuracy=0.01),
                         column="rms", ts_column="ts",
                         window=Tumbling("1 minute"), stratify_by="codec")
@@ -373,7 +373,7 @@ def q_audio_rms_quantiles(spark, sf_dir):
     from condor_spark.engine.audio import decode_features
 
     clips = fixtures.audio_clips(spark, 1000, num_partitions=8)
-    feats = decode_features(clips).join(clips.select("clip_id", "ts"), "clip_id")
+    feats = decode_features(clips, passthrough=("ts",))
     spec = SynopsisSpec(kind="ddsketch", params=dict(relative_accuracy=0.01),
                         column="rms", stratify_by="codec", window=GlobalWindow())
     syn = build_batch(feats, spec)

@@ -71,7 +71,7 @@ def audio_throughput(spark, n_clips: int) -> dict:
 
     t0 = time.perf_counter()
     clips = fixtures.audio_clips(spark, n_clips, num_partitions=CPUS)
-    feats = decode_features(clips).join(clips.select("clip_id", "ts"), "clip_id")
+    feats = decode_features(clips, passthrough=("ts",))
     spec = SynopsisSpec(kind="ddsketch", params=dict(relative_accuracy=0.01),
                         column="rms", ts_column="ts", window=Tumbling("1 minute"),
                         stratify_by="codec")

@@ -91,10 +91,11 @@ def synth_wave(i: int, sr_hz: int, dur_ms: int) -> np.ndarray:
 
 
 # --------------------------------------------------------------- features
-FEATURE_SCHEMA = ("clip_id string, codec string, sr_hz int, dur_ms int, "
-                  "n_samples long, rms double, peak double, zcr double, "
-                  "e_q25 double, e_q50 double, e_q75 double, e_q95 double, "
-                  "n_tokens int")
+FEATURE_COLS = ("clip_id string, codec string, sr_hz int, dur_ms int, "
+                "n_samples long, rms double, peak double, zcr double, "
+                "e_q25 double, e_q50 double, e_q75 double, e_q95 double, "
+                "n_tokens int")
+FEATURE_SCHEMA = FEATURE_COLS  # backwards-compat alias
 
 
 def clip_features(wave: np.ndarray, n_frames: int = 20) -> dict:
@@ -116,13 +117,20 @@ def clip_features(wave: np.ndarray, n_frames: int = 20) -> dict:
             "e_q75": float(q[2]), "e_q95": float(q[3])}
 
 
-def decode_features(df, n_frames: int = 20):
+def decode_features(df, n_frames: int = 20, passthrough: tuple[str, ...] = ()):
     """mapInPandas: decode each clip and extract features.
 
     This is the NYCExtractKeyField analogue for the audio payload
     (``benchmark/.../CountMinAccuracy.java:46``): downstream synopses
     summarize the feature columns, not raw bytes.
+
+    ``passthrough`` carries extra columns (e.g. the event-time ``ts``)
+    through the decode in one pass — never re-join on clip_id afterwards;
+    that would re-read (or regenerate) the multi-KB ``bytes`` column and
+    shuffle it.
     """
+    extra_schema = "".join(
+        f", {c} {dict(df.dtypes)[c]}" for c in passthrough)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -135,7 +143,9 @@ def decode_features(df, n_frames: int = 20):
                 feat.update(clip_id=r.clip_id, codec=r.codec,
                             sr_hz=int(r.sr_hz), dur_ms=int(r.dur_ms),
                             n_tokens=len(str(r.transcript).split()))
+                for c in passthrough:
+                    feat[c] = getattr(r, c)
                 rows.append(feat)
             yield pd.DataFrame(rows)
 
-    return df.mapInPandas(fn, schema=FEATURE_SCHEMA)
+    return df.mapInPandas(fn, schema=FEATURE_COLS + extra_schema)

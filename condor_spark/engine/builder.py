@@ -195,34 +195,40 @@ def build_batch(df: DataFrame, spec: SynopsisSpec) -> DataFrame:
 
 
 def _build_session(df: DataFrame, spec: SynopsisSpec, win: Session) -> DataFrame:
-    """Session windows via gaps-and-islands; rows are already co-located by
-    the sessionization shuffle, so the build is single-phase per session
-    (matching ``session_window`` semantics: end = last event + gap)."""
-    from pyspark.sql import Window as W
-
-    work = _normalize(df, spec, None)
-    wspec = W.partitionBy("__st").orderBy("__ts")
+    """Session windows via gaps-and-islands, computed partition-locally:
+    strata are hash-co-located (one shuffle of raw rows — unavoidable for
+    sessionization, same as Spark's own ``session_window``), sorted within
+    partition, then sessions are derived vectorized (np.diff > gap) and each
+    session's synopsis is built in-process. One Arrow exchange per
+    partition instead of one applyInPandas call per session."""
     gap = win.gap_us
-    work = (work
-            .withColumn("__prev", F.lag("__ts").over(wspec))
-            .withColumn("__new", (F.col("__prev").isNull() |
-                                  ((F.col("__ts") - F.col("__prev")) > gap)).cast("long"))
-            .withColumn("__sess", F.sum("__new").over(
-                wspec.rowsBetween(W.unboundedPreceding, 0))))
+    work = _normalize(df, spec, None)
+    p = df.rdd.getNumPartitions()
+    work = (work.repartition(p, "__st")
+                .sortWithinPartitions("__st", "__ts"))
 
-    def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("__ts", kind="stable")
-        syn = spec.make_synopsis()
-        _update(syn, spec, pdf)
-        return pd.DataFrame({
-            "window_start": [pd.Timestamp(int(pdf["__ts"].min()), unit="us")],
-            "window_end": [pd.Timestamp(int(pdf["__ts"].max()) + gap, unit="us")],
-            "stratum": [key[0]],
-            "state": [syn.to_bytes()],
-            "n": [int(syn.n_processed)],
-        })
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [pdf for pdf in batches if not pdf.empty]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        rows = []
+        for st, sub in pdf.groupby("__st", sort=False, dropna=False):
+            ts = sub["__ts"].to_numpy()
+            breaks = np.flatnonzero(np.diff(ts) > gap) + 1
+            bounds = np.concatenate([[0], breaks, [ts.shape[0]]])
+            for i in range(bounds.size - 1):
+                lo, hi = int(bounds[i]), int(bounds[i + 1])
+                syn = spec.make_synopsis()
+                _update(syn, spec, sub.iloc[lo:hi])
+                rows.append((pd.Timestamp(int(ts[lo]), unit="us"),
+                             pd.Timestamp(int(ts[hi - 1]) + gap, unit="us"),
+                             None if pd.isna(st) else st,
+                             syn.to_bytes(), int(syn.n_processed)))
+        yield pd.DataFrame(rows, columns=["window_start", "window_end",
+                                          "stratum", "state", "n"])
 
-    return work.groupBy("__st", "__sess").applyInPandas(build, schema=_FINAL_SCHEMA)
+    return work.mapInPandas(build, schema=_FINAL_SCHEMA)
 
 
 def _global_order(df: DataFrame, spec: SynopsisSpec, num_partitions: int | None):

@@ -111,8 +111,11 @@ def _shingle_minhash(texts: pd.Series, num_hashes: int, shingle: int,
 
     Vectorized per document: shingles → hash64 per seed lane → min.
     """
+    from ..synopsis.hashing import hash64_multi
+
     out = np.empty((len(texts), num_hashes), dtype=np.int64)
-    seeds = [seed * 1_000_003 + j for j in range(num_hashes)]
+    seeds = np.array([seed * 1_000_003 + j for j in range(num_hashes)],
+                     dtype=np.uint64)
     for i, t in enumerate(texts):  # per-doc numpy over all its shingles
         t = " ".join(str(t).split()).lower()
         if len(t) < shingle:
@@ -123,8 +126,8 @@ def _shingle_minhash(texts: pd.Series, num_hashes: int, shingle: int,
             b = np.pad(b, (0, shingle - b.size))
         win = np.lib.stride_tricks.sliding_window_view(b, shingle)
         ids = np.unique(win @ (257 ** np.arange(shingle, dtype=np.int64)))
-        for j, s in enumerate(seeds):
-            out[i, j] = hash64(ids, s).min().astype(np.int64)
+        # all hash lanes at once: (k, n_shingles) → min per lane
+        out[i] = hash64_multi(ids, seeds).min(axis=1).astype(np.int64)
     return out
 
 

@@ -31,10 +31,13 @@ class FastAGMS(Synopsis):
         self._eh3 = EH3Family(self.height, self.seed)
 
     def _state(self) -> dict:
-        return {"counts": self.counts, "n_processed": self.n_processed}
+        from .countmin import _pack_counts
+        return {"counts": _pack_counts(self.counts),
+                "n_processed": self.n_processed}
 
     def _load_state(self, state: dict) -> None:
-        self.counts = state["counts"]
+        from .countmin import _unpack_counts
+        self.counts = _unpack_counts(state["counts"], (self.height, self.width))
         self.n_processed = int(state["n_processed"])
 
     def update_batch(self, values, ts=None) -> None:

@@ -19,6 +19,24 @@ from .base import Synopsis, Trait, register
 from .hashing import H3Family, strings_to_ints
 
 
+def _pack_counts(counts: np.ndarray):
+    """Sparse-encode a counter grid when <25% of cells are set."""
+    flat = counts.ravel()
+    nz = np.flatnonzero(flat)
+    if nz.size * 3 < flat.size:  # (idx,val) pairs still ~2/3 smaller
+        return ("sparse", nz.astype(np.int64), flat[nz])
+    return counts
+
+
+def _unpack_counts(packed, shape) -> np.ndarray:
+    if isinstance(packed, tuple) and packed[0] == "sparse":
+        _, idx, vals = packed
+        flat = np.zeros(shape[0] * shape[1], dtype=np.int64)
+        flat[idx] = vals
+        return flat.reshape(shape)
+    return packed
+
+
 @register
 class CountMinSketch(Synopsis):
     KIND = "countmin"
@@ -33,12 +51,16 @@ class CountMinSketch(Synopsis):
         self.n_processed = 0
         self._h3 = H3Family(self.height, self.seed)
 
-    # H3Family is derived from params; keep blobs small by rebuilding it
+    # H3Family is derived from params; keep blobs small by rebuilding it.
+    # Partial sketches over few rows are mostly zeros → sparse blobs keep the
+    # phase-2 shuffle bounded by data volume, not sketch width (a 65536x5
+    # dense partial is 2.6 MB even when only 1k cells are set).
     def _state(self) -> dict:
-        return {"counts": self.counts, "n_processed": self.n_processed}
+        return {"counts": _pack_counts(self.counts),
+                "n_processed": self.n_processed}
 
     def _load_state(self, state: dict) -> None:
-        self.counts = state["counts"]
+        self.counts = _unpack_counts(state["counts"], (self.height, self.width))
         self.n_processed = int(state["n_processed"])
 
     def _cols(self, values) -> np.ndarray:

@@ -127,6 +127,20 @@ def hash64(values: np.ndarray, seed: int) -> np.ndarray:
         return x ^ (x >> _U64(31))
 
 
+def hash64_multi(values: np.ndarray, seeds: np.ndarray) -> np.ndarray:
+    """Vectorized hash64 across many seeds at once: (k_seeds, n_values)."""
+    with np.errstate(over="ignore"):
+        x = np.asarray(values).astype(np.int64, copy=False).astype(np.uint64)
+        s = np.asarray(seeds, dtype=np.uint64)
+        m = x[None, :] ^ s[:, None]
+        c1 = _U64(0xBF58476D1CE4E5B9)
+        c2 = _U64(0x94D049BB133111EB)
+        m = (m + _U64(0x9E3779B97F4A7C15)) & _MASK64
+        m = ((m ^ (m >> _U64(30))) * c1) & _MASK64
+        m = ((m ^ (m >> _U64(27))) * c2) & _MASK64
+        return m ^ (m >> _U64(31))
+
+
 def strings_to_ints(values) -> np.ndarray:
     """Deterministically map a batch of arbitrary values to int64 hash inputs.
 

@@ -96,12 +96,15 @@ def _states_equal(a, b):
     sa, sb = a._state(), b._state()
     if set(sa) != set(sb):
         return False
+    def eq(va, vb):
+        if isinstance(va, np.ndarray) or isinstance(vb, np.ndarray):
+            return np.array_equal(np.asarray(va), np.asarray(vb))
+        if isinstance(va, (tuple, list)) and isinstance(vb, (tuple, list)):
+            return len(va) == len(vb) and all(eq(a, b) for a, b in zip(va, vb))
+        return va == vb
+
     for k in sa:
-        va, vb = sa[k], sb[k]
-        if isinstance(va, np.ndarray):
-            if not np.array_equal(va, vb):
-                return False
-        elif va != vb:
+        if not eq(sa[k], sb[k]):
             return False
     return True
 
