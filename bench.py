@@ -8,7 +8,9 @@ proxy: the same build job at local[8] vs local[32] on identical input, with
 scaling efficiency = T32 / (4 * T8).
 
 Child mode (used for the scaling runs): ``python bench.py --throughput N``
-prints a single JSON dict with rows/sec on local[N].
+prints a single JSON dict with clips/sec on local[N] — after an untimed
+warmup pass so JVM/codegen/python-worker startup doesn't pollute the
+scaling ratio (the whole point is marginal throughput per added core).
 """
 
 from __future__ import annotations
@@ -33,7 +35,10 @@ def make_spark(cpus: int):
             .config("spark.sql.adaptive.enabled", "true")
             .config("spark.sql.session.timeZone", "UTC")
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-            .config("spark.driver.memory", "48g")
+            # NOTE: big heaps regress badly on this VM (page-fault storms
+            # during heap growth: 48g heap made a 2s decode stage take 6-30s
+            # at local[32]); 12g is ample — synopsis state is KB-scale
+            .config("spark.driver.memory", "12g")
             .config("spark.ui.enabled", "false")
             .config("spark.ui.showConsoleProgress", "false")
             .getOrCreate())
@@ -62,20 +67,25 @@ def throughput_job(spark, sf_dir: str) -> dict:
     return {"rows": n * 3, "sec": wall, "rows_per_sec": n * 3 / wall}
 
 
-def audio_throughput(spark, n_clips: int) -> dict:
-    """clips/sec through synth→decode→features→windowed stratified sketch."""
+def audio_throughput(spark, n_clips: int, cpus: int, warmup: int = 1000) -> dict:
+    """clips/sec through synth→decode→features→windowed stratified sketch
+    (the BASELINE.json metric). Warmup pass excluded from timing."""
     from condor_spark import fixtures
     from condor_spark.engine.audio import decode_features
     from condor_spark.engine.builder import SynopsisSpec, build_batch
     from condor_spark.engine.windows import Tumbling
 
+    def run(n):
+        clips = fixtures.audio_clips(spark, n, num_partitions=cpus * 2)
+        feats = decode_features(clips, passthrough=("ts",))
+        spec = SynopsisSpec(kind="ddsketch", params=dict(relative_accuracy=0.01),
+                            column="rms", ts_column="ts",
+                            window=Tumbling("1 minute"), stratify_by="codec")
+        build_batch(feats, spec).count()
+
+    run(warmup)  # spawns + warms the python worker pool, JIT, codegen
     t0 = time.perf_counter()
-    clips = fixtures.audio_clips(spark, n_clips, num_partitions=CPUS)
-    feats = decode_features(clips, passthrough=("ts",))
-    spec = SynopsisSpec(kind="ddsketch", params=dict(relative_accuracy=0.01),
-                        column="rms", ts_column="ts", window=Tumbling("1 minute"),
-                        stratify_by="codec")
-    build_batch(feats, spec).count()
+    run(n_clips)
     wall = time.perf_counter() - t0
     return {"clips": n_clips, "sec": wall, "clips_per_sec": n_clips / wall}
 
@@ -94,7 +104,10 @@ def main() -> None:
         cpus = int(sys.argv[2])
         spark = make_spark(cpus)
         spark.sparkContext.setLogLevel("ERROR")
-        out = throughput_job(spark, SF_DIR)
+        # large enough that parallel work dominates the ~5s of fixed
+        # per-run overhead (stage scheduling + Arrow stream setup); the
+        # scaling ratio is about marginal throughput, not startup
+        out = audio_throughput(spark, 300_000, cpus, warmup=8_000)
         spark.stop()
         print(json.dumps(out))
         return
@@ -111,7 +124,7 @@ def main() -> None:
         per_query[name] = round(time.perf_counter() - t0, 3)
 
     tput = throughput_job(spark, SF_DIR)
-    audio = audio_throughput(spark, 20_000)
+    audio = audio_throughput(spark, 20_000, CPUS)
     spark.stop()
 
     scaling = {}
@@ -122,9 +135,9 @@ def main() -> None:
                                capture_output=True, text=True, cwd=REPO)
             line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
             runs[n] = json.loads(line)
-        eff = runs[32]["rows_per_sec"] / (4 * runs[8]["rows_per_sec"])
-        scaling = {"local8_rows_per_sec": round(runs[8]["rows_per_sec"]),
-                   "local32_rows_per_sec": round(runs[32]["rows_per_sec"]),
+        eff = runs[32]["clips_per_sec"] / (4 * runs[8]["clips_per_sec"])
+        scaling = {"local8_clips_per_sec": round(runs[8]["clips_per_sec"]),
+                   "local32_clips_per_sec": round(runs[32]["clips_per_sec"]),
                    "efficiency_n_to_4n": round(eff, 3)}
 
     print(json.dumps({

@@ -53,8 +53,21 @@ class SynopsisSpec:
     stratify_by: str | None = None  # StratifiedSynopsis partition key
     priority_column: str | None = None  # for bottomk: precomputed orderable priority
     tiebreak_column: str | None = None  # for fifo: deterministic tie-break
+    #: user-defined synopsis class (the reference's reflective extension
+    #: point, SynopsisAggregator.java:66-86). The class ships to executors
+    #: inside this spec; make it importable there (--py-files) or, from an
+    #: interactive session, `pyspark.cloudpickle.register_pickle_by_value`.
+    synopsis_cls: type | None = None
+
+    def ensure_registered(self) -> None:
+        if self.synopsis_cls is not None:
+            from ..synopsis.base import register
+            register(self.synopsis_cls)  # so from_bytes resolves on this worker
 
     def make_synopsis(self) -> Synopsis:
+        if self.synopsis_cls is not None:
+            self.ensure_registered()
+            return self.synopsis_cls(**self.params)
         return make(self.kind, **self.params)
 
 
@@ -132,8 +145,10 @@ def _merge_group(pdf: pd.DataFrame) -> Synopsis:
     return syn
 
 
-def _final_merger(size_us: int):
+def _final_merger(size_us: int, spec: SynopsisSpec | None = None):
     def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        if spec is not None:
+            spec.ensure_registered()
         syn = _merge_group(pdf)
         w = int(key[0])
         return pd.DataFrame({
@@ -191,7 +206,7 @@ def build_batch(df: DataFrame, spec: SynopsisSpec) -> DataFrame:
         partials = partials.withColumn("__w", F.col("__slice"))
 
     return (partials.groupBy("__w", "__st")
-            .applyInPandas(_final_merger(size_us), schema=_FINAL_SCHEMA))
+            .applyInPandas(_final_merger(size_us, spec), schema=_FINAL_SCHEMA))
 
 
 def _build_session(df: DataFrame, spec: SynopsisSpec, win: Session) -> DataFrame:

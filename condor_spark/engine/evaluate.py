@@ -188,6 +188,56 @@ def equidepth_buckets(syn_df: DataFrame) -> DataFrame:
         "bucket int, lo double, hi double, depth double")
 
 
+def equidepth_from_ddsketch(syn_df: DataFrame, num_buckets: int) -> DataFrame:
+    """Equi-depth boundaries from a windowed DDSketch
+    (SplitAndMergeWithDDSketch analogue)."""
+    def fn(syn, row):
+        bounds = syn.equidepth_bounds(num_buckets)
+        return pd.DataFrame({"bucket": range(num_buckets),
+                             "lo": bounds[:-1], "hi": bounds[1:]})
+
+    return apply_per_window(
+        syn_df, fn,
+        "window_start timestamp, window_end timestamp, stratum string, "
+        "bucket int, lo double, hi double")
+
+
+def sliding_via_inversion(syn_slices: DataFrame, size_slices: int) -> DataFrame:
+    """Sliding windows for INVERTIBLE synopses via prefix differences:
+    window ending at slice k = prefix(k) − prefix(k − size) — the relational
+    analogue of Scotty's invertible slide-eviction
+    (``processor/compute/scotty/InvertibleSynopsisFunction.java:64-114``):
+    each slice is merged into the running prefix exactly once, and expired
+    slices leave via ``invert`` instead of a rebuild.
+
+    ``syn_slices``: per-slice synopses (window_start == slice start; one
+    stratum) sorted ascending. Prefix accumulation is sequential over the
+    slice list — slices are few and sketch-sized, so this runs driver-side,
+    like the reference's parallelism-1 final stage.
+    """
+    rows = sorted(syn_slices.collect(), key=lambda r: r["window_start"])
+    if not rows:
+        return syn_slices.sparkSession.createDataFrame([], syn_slices.schema)
+    prefixes = []
+    acc = None
+    for r in rows:
+        s = Synopsis.from_bytes(r["state"])
+        acc = s if acc is None else acc.merge(s)
+        prefixes.append(Synopsis.from_bytes(acc.to_bytes()))  # snapshot
+    out = []
+    for k, r in enumerate(rows):
+        win = Synopsis.from_bytes(prefixes[k].to_bytes())
+        if k - size_slices >= 0:
+            win = win.invert(prefixes[k - size_slices])
+        start = rows[max(0, k - size_slices + 1)]["window_start"]
+        out.append((start, r["window_end"], r["stratum"], win.to_bytes(),
+                    int(win.n_processed)))
+    spark = syn_slices.sparkSession
+    return spark.createDataFrame(
+        out, "window_start timestamp, window_end timestamp, stratum string, "
+             "state binary, n long")
+
+
 def wavelet_range_sums(slices_df: DataFrame, ranges: list[tuple[int, int]]) -> DataFrame:
     """Range-sum queries over the unified slice manager
     (HaarWaveletsAccuracy.java:69-84; DistributedWaveletsManager.java:42-76).

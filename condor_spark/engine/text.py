@@ -146,8 +146,8 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
         fn, schema="doc_id long, signature array<long>")
 
 
-def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 16,
-                        rows_per_band: int = 4) -> DataFrame:
+def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 8,
+                        rows_per_band: int = 8) -> DataFrame:
     """Band the signatures and emit same-bucket pairs (classic MinHash LSH):
     explode to (band, band_hash) keys, groupBy bucket, pair within bucket.
     Shuffle volume O(rows × bands) short keys — no all-pairs join.
@@ -174,9 +174,14 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", threshold: float = 0.7,
                         num_hashes: int = 64, shingle: int = 3,
                         seed: int = 7) -> DataFrame:
-    """LSH candidates verified by exact character-shingle Jaccard (JVM-side)."""
+    """LSH candidates verified by exact character-shingle Jaccard (JVM-side).
+
+    Banding r=8, b=8 targets the ~0.7 LSH threshold ((1/b)^(1/r)); recall
+    below that is partial by construction — the exact all-pairs oracle is
+    ``ngram_jaccard_pairs``.
+    """
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle, seed)
-    cand = lsh_candidate_pairs(sigs, bands=num_hashes // 4, rows_per_band=4)
+    cand = lsh_candidate_pairs(sigs, bands=num_hashes // 8, rows_per_band=8)
     sh = shingle_sets(df, id_col, text_col, shingle)
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))

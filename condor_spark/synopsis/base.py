@@ -66,15 +66,28 @@ class Synopsis:
         self.__dict__.update(state)
 
     def to_bytes(self) -> bytes:
+        d = {"kind": self.KIND, "params": self.params, "state": self._state()}
+        if type(self).__module__.split(".")[0] != "condor_spark":
+            # user-defined synopsis: carry the class in the blob (cloudpickle,
+            # by value) so any worker stage deserializes without registration
+            d["cls"] = type(self)
+            try:
+                from pyspark import cloudpickle
+                return cloudpickle.dumps(d, protocol=pickle.HIGHEST_PROTOCOL)
+            except ImportError:
+                pass
         buf = io.BytesIO()
-        pickle.dump({"kind": self.KIND, "params": self.params, "state": self._state()},
-                    buf, protocol=pickle.HIGHEST_PROTOCOL)
+        pickle.dump(d, buf, protocol=pickle.HIGHEST_PROTOCOL)
         return buf.getvalue()
 
     @staticmethod
     def from_bytes(blob: bytes) -> "Synopsis":
         d = pickle.loads(blob)
-        syn = make(d["kind"], **d["params"])
+        if "cls" in d:
+            register(d["cls"])
+            syn = d["cls"](**d["params"])
+        else:
+            syn = make(d["kind"], **d["params"])
         syn._load_state(d["state"])
         return syn
 

@@ -114,6 +114,17 @@ class DDSketch(Synopsis):
     def quantiles(self, qs) -> np.ndarray:
         return np.array([self.quantile(float(q)) for q in qs], dtype=np.float64)
 
+    def equidepth_bounds(self, num_buckets: int) -> np.ndarray:
+        """Equi-depth histogram boundaries as the quantiles at i/B — the
+        DDSketch-backed equi-depth variant the reference ships as
+        ``SplitAndMergeWithDDSketch`` (core/.../Histograms/
+        SplitAndMergeWithDDSketch.java:15-37); fully mergeable and
+        partition-parallel here, unlike the reference's parallelism-1
+        recommendation."""
+        qs = np.linspace(0.0, 1.0, num_buckets + 1)
+        qs[0] = 1.0 / max(1, self.n_processed)  # rank >= 1
+        return self.quantiles(qs)
+
     def merge(self, other: "DDSketch") -> "DDSketch":
         self._check_same(other)
         self._add_bins(other.keys, other.bin_counts)
