@@ -1,0 +1,167 @@
+"""Keyed streaming synopsis state via ``applyInPandasWithState``.
+
+The second streaming execution strategy (alongside the ``foreachBatch``
+snapshot sink in ``streaming.py``): the two-phase treeReduce-style combine
+runs *inside* Spark's state store —
+
+  phase 1 (stateless, per micro-batch): ``mapInPandas`` partial — one sketch
+    blob per (slice, stratum) per input partition; raw rows never shuffle,
+    exactly the batch engine's property (builder.py). Slices are expanded
+    into their sliding windows JVM-side before the shuffle.
+  phase 2 (stateful): ``groupBy(window, stratum).applyInPandasWithState`` —
+    each key's ``GroupState`` holds one running sketch blob; arriving
+    partials merge into it (treeReduce: the state is the reduction root,
+    partials are already partition-local reductions). On event-time timeout
+    (watermark ≥ window_end + delay) the finished ``WindowedSynopsis`` row
+    is emitted exactly once and the state removed.
+
+This is the engine's analogue of Condor's incremental window accumulation
+(``SynopsisAggregator`` add/merge inside Flink windows,
+``flinkScottyConnector/.../compute/flink/SynopsisAggregator.java:66-140``)
+— but with Spark's checkpointed state store giving fault-tolerant resume
+for free (the foreachBatch path manages its own ledger instead; both are
+exposed because the snapshot sink supports ad-hoc queries over *open*
+windows, while this path emits only *closed* windows downstream).
+
+State size is O(open windows × strata × sketch bytes), independent of row
+count; shuffle volume is O(partitions × slices × strata) blobs per batch —
+the 10^12-row posture holds.
+
+Late data: rows later than the watermark delay arrive as partials whose
+window already fired; ``GroupState.getCurrentWatermarkMs`` identifies them
+and they are dropped (counted per-key before drop), matching the
+reference's watermark-drop semantics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (BinaryType, LongType, StringType, StructField,
+                               StructType, TimestampType)
+
+from ..synopsis.base import Synopsis
+from .builder import (_PARTIAL_SCHEMA, SynopsisSpec, _normalize,
+                      _partial_builder)
+from .windows import Sliding, Tumbling, duration_us
+
+_OUT_SCHEMA = StructType([
+    StructField("window_start", TimestampType()),
+    StructField("window_end", TimestampType()),
+    StructField("stratum", StringType()),
+    StructField("state", BinaryType()),
+    StructField("n", LongType()),
+])
+_STATE_SCHEMA = StructType([
+    StructField("blob", BinaryType()),
+    StructField("n", LongType()),
+])
+
+
+@dataclass
+class StatefulSynopsisStream:
+    """Builds the streaming plan; ``transform(stream_df)`` returns the
+    closed-window synopsis stream (append mode)."""
+    spec: SynopsisSpec
+    watermark_delay: str = "10 seconds"
+
+    def transform(self, stream_df: DataFrame) -> DataFrame:
+        spec, win = self.spec, self.spec.window
+        if isinstance(win, (Tumbling, Sliding)):
+            slice_us, size_us = win.slice_us, win.size_us
+        else:
+            raise ValueError("stateful path supports tumbling/sliding windows")
+        delay = self.watermark_delay
+        delay_us = duration_us(delay)
+
+        # phase-1 partials are stateless, so the query's single watermark is
+        # defined downstream on the partials' slice time (redefining a
+        # watermark twice in one query is disallowed). wm = max(slice_start)
+        # − delay ≤ raw watermark, i.e. strictly conservative: windows fire
+        # no earlier than with a raw-row watermark.
+        work = _normalize(stream_df, spec, slice_us)
+        partials = work.mapInPandas(_partial_builder(spec), schema=_PARTIAL_SCHEMA)
+
+        if isinstance(win, Sliding):
+            slide, size, sl = win.slide_us, win.size_us, win.slice_us
+            first_w = (-F.floor((F.lit(size) - F.lit(sl) - F.col("__slice"))
+                                / F.lit(slide)) * F.lit(slide)).cast("long")
+            last_w = (F.floor(F.col("__slice") / F.lit(slide))
+                      * F.lit(slide)).cast("long")
+            wins = F.when(first_w <= last_w,
+                          F.sequence(first_w, last_w, F.lit(slide).cast("long"))
+                          ).otherwise(F.array().cast("array<long>"))
+            partials = partials.withColumn("__w", F.explode(wins))
+        else:
+            partials = partials.withColumn("__w", F.col("__slice"))
+
+        # re-anchor the watermark for the stateful operator on the partials'
+        # event time (max ts of a slice = slice end − 1µs ≤ raw max, so the
+        # computed watermark is never ahead of the raw one)
+        partials = (partials
+                    .withColumn("__evt", (F.col("__slice") / 1e6).cast("timestamp"))
+                    .withWatermark("__evt", delay))
+
+        def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+            spec.ensure_registered()
+            w_us, stratum = int(key[0]), key[1]
+            if state.hasTimedOut:
+                blob, n = state.get
+                state.remove()
+                yield pd.DataFrame({
+                    "window_start": [pd.Timestamp(w_us, unit="us")],
+                    "window_end": [pd.Timestamp(w_us + size_us, unit="us")],
+                    "stratum": [stratum], "state": [blob], "n": [int(n)]})
+                return
+
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            if not state.exists and wm_us > 0 and w_us + size_us + delay_us <= wm_us:
+                return  # late partial for an already-emitted window: drop
+
+            rows = [pdf for pdf in pdfs if not pdf.empty]
+            if not rows:
+                return
+            pdf = (pd.concat(rows, ignore_index=True)
+                   .sort_values(["__pid", "__slice"], kind="stable"))
+            syn = None
+            if state.exists:
+                blob, _n = state.get
+                syn = Synopsis.from_bytes(blob)
+            for b in pdf["state"]:
+                nxt = Synopsis.from_bytes(b)
+                syn = nxt if syn is None else syn.merge(nxt)
+            state.update((syn.to_bytes(), int(syn.n_processed)))
+            # fire once the watermark passes window_end (+delay slack for
+            # stragglers admitted by the raw watermark); Spark requires the
+            # timeout to sit strictly beyond the current watermark
+            fire_us = max(w_us + size_us + delay_us, wm_us + 1_000)
+            state.setTimeoutTimestamp(fire_us // 1000)
+            return
+
+        return partials.groupBy("__w", "__st").applyInPandasWithState(
+            update, _OUT_SCHEMA, _STATE_SCHEMA, "append",
+            GroupStateTimeout.EventTimeTimeout)
+
+    def start(self, spark, source_dir: str, out_dir: str, checkpoint_dir: str,
+              schema=None, max_files_per_trigger: int = 1,
+              available_now: bool = True):
+        """Wire source → transform → parquet append sink (exactly-once via
+        Spark's own file-sink transaction log + checkpointed state)."""
+        if schema is None:
+            schema = spark.read.parquet(source_dir).schema
+        reader = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", max_files_per_trigger)
+                  .parquet(source_dir))
+        out = self.transform(reader)
+        writer = (out.writeStream.format("parquet")
+                  .option("path", out_dir)
+                  .option("checkpointLocation", checkpoint_dir)
+                  .outputMode("append"))
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

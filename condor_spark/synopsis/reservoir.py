@@ -237,10 +237,12 @@ class BottomKSampler(Synopsis):
         self.n_processed += vals.shape[0]
 
     def _trim(self) -> None:
-        if self.values.shape[0] > self.sample_size:
-            order = np.argsort(self.prio, kind="stable")[: self.sample_size]
-            self.values = self.values[order]
-            self.prio = self.prio[order]
+        # canonical state: kept sample always sorted by (prio, value), so the
+        # serialized bytes are a pure function of the input multiset — byte-
+        # identical across any merge topology (flat, tree, N vs 4N partitions)
+        order = np.lexsort((self.values, self.prio))[: self.sample_size]
+        self.values = self.values[order]
+        self.prio = self.prio[order]
 
     def merge(self, other: "BottomKSampler") -> "BottomKSampler":
         self._check_same(other)

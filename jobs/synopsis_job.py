@@ -1,0 +1,104 @@
+"""spark-submit entrypoint: streaming synopsis maintenance over a table dir.
+
+North-rule deployment surface — the job runs on a real multi-executor
+cluster exactly as here::
+
+    zip -r condor_spark.zip condor_spark
+    spark-submit --master <cluster> --py-files condor_spark.zip \
+        jobs/synopsis_job.py \
+        --input  /data/audio_clips        # parquet/Iceberg table dir \
+        --sink   /out/synopses \
+        --checkpoint /chk/synopses \
+        --kind countmin --params '{"width": 65536, "height": 5, "seed": 7}' \
+        --column rms --ts-column ts --window "1 minute" --stratify-by codec
+
+The driver creates no SparkSession config of its own beyond shuffle
+partitioning — master, executor sizing and dynamic allocation come from
+spark-submit, so the same artifact runs local[N] or a 1000-executor
+cluster unchanged. Resume: re-submitting with the same --checkpoint and
+--sink continues from the last committed batch (exactly-once ledger,
+condor_spark/engine/streaming.py).
+
+Modes:
+  --mode stream    foreachBatch snapshot sink (default; queryable open windows)
+  --mode stateful  applyInPandasWithState closed-window append stream
+  --mode batch     one-shot batch build of the input table
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True)
+    p.add_argument("--sink", required=True)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--kind", required=True)
+    p.add_argument("--params", default="{}", help="JSON synopsis params")
+    p.add_argument("--column", required=True)
+    p.add_argument("--ts-column", default="ts")
+    p.add_argument("--window", default="1 minute")
+    p.add_argument("--slide", default=None)
+    p.add_argument("--stratify-by", default=None)
+    p.add_argument("--watermark-delay", default="10 seconds")
+    p.add_argument("--mode", choices=("stream", "stateful", "batch"),
+                   default="stream")
+    p.add_argument("--max-files-per-trigger", type=int, default=4)
+    p.add_argument("--decode-audio", action="store_true",
+                   help="input is the audio-clip table: decode + extract "
+                        "features first; --column then names a feature "
+                        "(rms, peak, zcr, e_q50, n_tokens, ...)")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+
+    from pyspark.sql import SparkSession
+
+    from condor_spark.engine.builder import SynopsisSpec, build_batch
+    from condor_spark.engine.stateful import StatefulSynopsisStream
+    from condor_spark.engine.streaming import StreamingSynopsisJob
+    from condor_spark.engine.windows import Sliding, Tumbling
+
+    spark = SparkSession.builder.appName(
+        f"condor_spark_{args.kind}_{args.mode}").getOrCreate()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    window = (Sliding(args.window, args.slide) if args.slide
+              else Tumbling(args.window))
+    spec = SynopsisSpec(kind=args.kind, params=json.loads(args.params),
+                        column=args.column, ts_column=args.ts_column,
+                        window=window, stratify_by=args.stratify_by)
+
+    if args.mode == "batch":
+        df = spark.read.parquet(args.input)
+        if args.decode_audio:
+            from condor_spark.engine.audio import decode_features
+            df = decode_features(df, passthrough=(args.ts_column,))
+        build_batch(df, spec).write.mode("overwrite").parquet(args.sink)
+        spark.stop()
+        return
+
+    if args.checkpoint is None:
+        raise SystemExit("--checkpoint is required in streaming modes")
+
+    if args.mode == "stateful":
+        job = StatefulSynopsisStream(spec, watermark_delay=args.watermark_delay)
+        q = job.start(spark, args.input, args.sink, args.checkpoint,
+                      max_files_per_trigger=args.max_files_per_trigger)
+    else:
+        job = StreamingSynopsisJob(spec, sink_dir=args.sink,
+                                   watermark_delay=args.watermark_delay)
+        q = job.start(spark, args.input, args.checkpoint,
+                      max_files_per_trigger=args.max_files_per_trigger)
+    q.awaitTermination()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

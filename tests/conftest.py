@@ -21,3 +21,7 @@ def spark():
 
 SF_DIR = "/root/testdata/sf0.01"
 SF_SMALL = "/root/testdata/sf0.001"
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running deployment tests")

@@ -1,0 +1,64 @@
+"""Deployment contract: the job artifact runs under spark-submit --py-files
+from a directory where the package is NOT importable, proving the zip is the
+only code channel — exactly how it ships to a multi-executor cluster."""
+
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = "/root/testdata/sf0.001"
+
+
+def _make_zip(tmp_path) -> str:
+    zpath = str(tmp_path / "condor_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        pkg = os.path.join(REPO, "condor_spark")
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+@pytest.mark.slow
+def test_spark_submit_batch_job(tmp_path):
+    spark_submit = shutil.which("spark-submit")
+    assert spark_submit, "spark-submit not on PATH"
+    out = str(tmp_path / "syn_out")
+    cmd = [
+        spark_submit, "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--py-files", _make_zip(tmp_path),
+        os.path.join(REPO, "jobs", "synopsis_job.py"),
+        "--mode", "batch",
+        "--input", f"{SF}/events.parquet",
+        "--sink", out,
+        "--kind", "countmin",
+        "--params", '{"width": 2048, "height": 5, "seed": 7}',
+        "--column", "user_id", "--ts-column", "ts", "--window", "1 day",
+    ]
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    r = subprocess.run(cmd, cwd=str(tmp_path), env=env,
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-4000:]
+
+    # validate the produced synopsis table in-process
+    from condor_spark.engine import evaluate as ev
+    from pyspark.sql import SparkSession
+    spark = SparkSession.getActiveSession() or (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false").getOrCreate())
+    syn = spark.read.parquet(out)
+    assert syn.count() == 30  # one window per day of January
+    ests = ev.frequency_estimates(syn, [1, 2, 3])
+    assert ests.count() == 90

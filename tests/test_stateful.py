@@ -1,0 +1,154 @@
+"""applyInPandasWithState streaming path + stateful stream-stream join."""
+
+import glob
+import os
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from condor_spark import fixtures
+from condor_spark.engine import evaluate as ev
+from condor_spark.engine.builder import SynopsisSpec, build_batch
+from condor_spark.engine.joins import (clip_transcript_join,
+                                       run_join_to_parquet, split_streams)
+from condor_spark.engine.stateful import StatefulSynopsisStream
+from condor_spark.engine.windows import Tumbling
+
+SF = "/root/testdata/sf0.001"
+
+
+def _spec():
+    return SynopsisSpec(kind="countmin", params=dict(width=4096, height=5, seed=7),
+                        column="user_id", ts_column="ts", window=Tumbling("1 day"))
+
+
+def _flush_file(spark, src, name, ts):
+    (spark.createDataFrame(
+        pd.DataFrame({"event_id": [0], "ts": [pd.Timestamp(ts)],
+                      "user_id": [0], "event_type": ["flush"],
+                      "value": [0.0], "props": ["{}"]}),
+        schema=spark.read.parquet(src).schema)
+     .coalesce(1).write.mode("append").parquet(src))
+
+
+def _replay_in_order(spark, df, src: str, n_chunks: int) -> None:
+    """Write df as n_chunks parquet files in event-time order with strictly
+    increasing mtimes. FileStreamSource replays files mtime-ordered; a single
+    bulk write gives identical mtimes (arbitrary replay order), which makes
+    early events late w.r.t. the watermark — a replay-harness artifact, not
+    an engine property."""
+    import numpy as np
+    pdf = df.toPandas().sort_values("ts").reset_index(drop=True)
+    chunks = np.array_split(pdf, n_chunks)
+    base = 1_000_000_000
+    for i, chunk in enumerate(chunks):
+        before = set(glob.glob(os.path.join(src, "*.parquet")))
+        (spark.createDataFrame(chunk, schema=df.schema)
+         .coalesce(1).write.mode("append").parquet(src))
+        for f in set(glob.glob(os.path.join(src, "*.parquet"))) - before:
+            os.utime(f, (base + i, base + i))
+
+
+def test_stateful_matches_batch(spark, tmp_path):
+    """Closed windows emitted by the applyInPandasWithState path carry the
+    same synopsis content as a batch build over the same rows, each window
+    exactly once."""
+    src = str(tmp_path / "src")
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    os.makedirs(src, exist_ok=True)
+    _replay_in_order(spark, events, src, 5)
+
+    job = StatefulSynopsisStream(_spec(), watermark_delay="1 hour")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = job.start(spark, src, out_dir, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    # resume with two far-future flush batches: the first fires everything
+    # pending at the old watermark, the second fires the rest (watermark now
+    # past every real window end + delay)
+    _flush_file(spark, src, "flush1", "2024-06-01")
+    _flush_file(spark, src, "flush2", "2024-07-01")
+    q = job.start(spark, src, out_dir, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out_dir).filter("window_start < '2024-05-01'")
+    # exactly once per (window, stratum)
+    dup = (got.groupBy("window_start", "stratum").count()
+           .filter("count > 1").count())
+    assert dup == 0
+
+    keys = list(range(100))
+    s = sorted((str(r["window_start"]), r["key"], r["est_count"])
+               for r in ev.frequency_estimates(got, keys).collect())
+    b = sorted((str(r["window_start"]), r["key"], r["est_count"])
+               for r in ev.frequency_estimates(build_batch(events, _spec()),
+                                               keys).collect())
+    assert s == b
+
+
+def test_stateful_resume_from_checkpoint(spark, tmp_path):
+    """Kill after the first files, resume with the rest: the union of emitted
+    windows still matches batch, no duplicates (checkpointed state store)."""
+    src1 = str(tmp_path / "a")
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    os.makedirs(src1, exist_ok=True)
+    _replay_in_order(spark, events.filter(F.col("ts") < "2024-01-16"), src1, 3)
+
+    job = StatefulSynopsisStream(_spec(), watermark_delay="1 hour")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = job.start(spark, src1, out_dir, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(300)  # "crash" here: stream stopped mid-input
+
+    _replay_in_order(spark, events.filter(F.col("ts") >= "2024-01-16"), src1, 3)
+    _flush_file(spark, src1, "flush1", "2024-06-01")
+    _flush_file(spark, src1, "flush2", "2024-07-01")
+    q = job.start(spark, src1, out_dir, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out_dir).filter("window_start < '2024-05-01'")
+    assert (got.groupBy("window_start", "stratum").count()
+            .filter("count > 1").count()) == 0
+    keys = list(range(100))
+    s = sorted((str(r["window_start"]), r["key"], r["est_count"])
+               for r in ev.frequency_estimates(got, keys).collect())
+    b = sorted((str(r["window_start"]), r["key"], r["est_count"])
+               for r in ev.frequency_estimates(build_batch(events, _spec()),
+                                               keys).collect())
+    assert s == b
+
+
+N_CLIPS = 300
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Watermarked clip⋈transcript join recovers every pair with the right
+    transcript; state is bounded by the lag predicate."""
+    clips = fixtures.audio_clips(spark, N_CLIPS, num_partitions=4).cache()
+    audio, text = split_streams(clips, lag="5 seconds")
+    a_dir, t_dir = str(tmp_path / "audio"), str(tmp_path / "text")
+    audio.repartitionByRange(3, "audio_ts").write.parquet(a_dir)
+    text.repartitionByRange(3, "txt_ts").write.parquet(t_dir)
+
+    out, ckpt = str(tmp_path / "joined"), str(tmp_path / "ckpt")
+    q = run_join_to_parquet(spark, a_dir, t_dir, out, ckpt,
+                            max_lag="5 seconds", watermark_delay="60 seconds")
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out)
+    assert got.count() == N_CLIPS
+    # transcript equality per clip vs the source of truth
+    mismatch = (got.alias("g")
+                .join(clips.alias("c"), "clip_id")
+                .filter("g.transcript <> c.transcript").count())
+    assert mismatch == 0
+
+
+def test_join_batch_parity(spark):
+    """The same join plan on batch inputs returns identical pairs — batch
+    oracle for the streaming join."""
+    clips = fixtures.audio_clips(spark, 200, num_partitions=4)
+    audio, text = split_streams(clips, lag="5 seconds")
+    joined = clip_transcript_join(audio, text, max_lag="5 seconds")
+    assert joined.count() == 200
+    assert joined.select("clip_id").distinct().count() == 200
