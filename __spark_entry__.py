@@ -381,6 +381,105 @@ def q_audio_rms_quantiles(spark, sf_dir):
             .select("stratum", "q", F.round("est_value", 6).alias("est_value")))
 
 
+def q_cm_frequency_tree(spark, sf_dir):
+    """Two-level treeReduce merge topology — byte-identical synopses to the
+    flat merge, so it shares cm_user_frequency's exact oracle."""
+    from condor_spark.engine.skew import build_batch_tree
+
+    df = _events(spark, sf_dir)
+    spec = SynopsisSpec(kind="countmin", params=dict(width=8192, height=5, seed=7),
+                        column="user_id", ts_column="ts", window=Tumbling(DAY))
+    syn = build_batch_tree(df, spec, fanout=4)
+    res = ev.frequency_estimates(syn, _user_keys(df))
+    return res.select(F.col("window_start").cast(NTZ).alias("window_start"),
+                      "key", "est_count")
+
+
+def q_stream_stateful_frequency(spark, sf_dir):
+    """The applyInPandasWithState streaming path, end-to-end: ordered file
+    replay → watermark → keyed sketch state → event-time-timeout emission.
+    Closed windows must match the exact batch oracle (cm_user_frequency)."""
+    import tempfile
+
+    from condor_spark import fixtures
+    from condor_spark.engine.stateful import StatefulSynopsisStream
+
+    df = _events(spark, sf_dir)
+    max_ts = df.agg(F.max("ts")).collect()[0][0]
+    cutoff = pd.Timestamp(max_ts) + pd.Timedelta(days=1)
+    tmp = tempfile.mkdtemp(prefix="condor_stateful_")
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    fixtures.replay_in_order(
+        spark, df, src, n_chunks=5,
+        flush_ts=[cutoff + pd.Timedelta(days=40), cutoff + pd.Timedelta(days=80)])
+
+    spec = SynopsisSpec(kind="countmin", params=dict(width=8192, height=5, seed=7),
+                        column="user_id", ts_column="ts", window=Tumbling(DAY))
+    job = StatefulSynopsisStream(spec, watermark_delay="1 hour")
+    q = job.start(spark, src, out, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(600)
+
+    syn = spark.read.parquet(out).filter(F.col("window_end") <= F.lit(cutoff))
+    res = ev.frequency_estimates(syn, _user_keys(df))
+    return res.select(F.col("window_start").cast(NTZ).alias("window_start"),
+                      "key", "est_count")
+
+
+def q_stream_sessions(spark, sf_dir):
+    """Streaming session windows (gap-merge in applyInPandasWithState);
+    closed sessions must equal the batch sessionization → shares the exact
+    session_windows oracle."""
+    import tempfile
+
+    from condor_spark import fixtures
+    from condor_spark.engine.stateful import StatefulSessionStream
+
+    df = _events(spark, sf_dir)
+    max_ts = df.agg(F.max("ts")).collect()[0][0]
+    cutoff = pd.Timestamp(max_ts) + pd.Timedelta(days=1)
+    tmp = tempfile.mkdtemp(prefix="condor_sessions_")
+    fixtures.replay_in_order(
+        spark, df, f"{tmp}/src", n_chunks=5,
+        flush_ts=[cutoff + pd.Timedelta(days=40), cutoff + pd.Timedelta(days=80)])
+    spec = SynopsisSpec(kind="hll", params=dict(log_reg_num=4, seed=7),
+                        column="event_id", ts_column="ts",
+                        window=Session("30 minutes"), stratify_by="user_id")
+    job = StatefulSessionStream(spec, gap="30 minutes", watermark_delay="1 hour")
+    q = job.start(spark, f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt",
+                  max_files_per_trigger=1)
+    q.awaitTermination(600)
+    syn = (spark.read.parquet(f"{tmp}/out")
+           .filter(F.col("window_start") < F.lit(cutoff)))
+    return syn.select(F.col("stratum"),
+                      F.col("window_start").cast(NTZ).alias("window_start"),
+                      F.col("window_end").cast(NTZ).alias("window_end"),
+                      F.col("n"))
+
+
+def q_stream_join(spark, sf_dir):
+    """Stateful stream-stream clip⋈transcript join (watermarks + lag-bounded
+    state), availableNow over ordered file replay; rows-only check (the
+    joined table's own invariants are asserted in tests/test_stateful.py)."""
+    import tempfile
+
+    from condor_spark import fixtures
+    from condor_spark.engine.joins import run_join_to_parquet, split_streams
+
+    clips = fixtures.audio_clips(spark, 400, num_partitions=4)
+    audio, txt = split_streams(clips, lag="5 seconds")
+    tmp = tempfile.mkdtemp(prefix="condor_join_")
+    a_dir, t_dir = f"{tmp}/audio", f"{tmp}/text"
+    audio.repartitionByRange(3, "audio_ts").write.parquet(a_dir)
+    txt.repartitionByRange(3, "txt_ts").write.parquet(t_dir)
+    q = run_join_to_parquet(spark, a_dir, t_dir, f"{tmp}/out", f"{tmp}/ckpt",
+                            max_lag="5 seconds", watermark_delay="60 seconds")
+    q.awaitTermination(600)
+    got = spark.read.parquet(f"{tmp}/out")
+    return (got.select("clip_id", "codec", "sr_hz",
+                       F.length("transcript").alias("transcript_len"))
+            .orderBy("clip_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # synopsis engine, oracle-backed
@@ -398,6 +497,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_counts": q_tumbling_counts,
         "query_timestamped": q_query_timestamped,
         "query_latest_hist": q_query_latest_hist,
+        "cm_frequency_tree": q_cm_frequency_tree,
+        "stream_stateful_frequency": q_stream_stateful_frequency,
+        "stream_sessions": q_stream_sessions,
         # pipeline ops, oracle-backed
         "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
@@ -417,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ann_topk_lsh": q_ann_topk_lsh,
         "audio_rms_quantiles": q_audio_rms_quantiles,
+        "stream_join": q_stream_join,
     }
 
 
@@ -442,7 +545,7 @@ def oracle_sql() -> dict[str, str]:
     lang_case = " ".join(
         f"WHEN h_{lang} = greatest(h_de, h_en, h_es, h_fr) THEN '{lang}'"
         for lang in sorted(_LANG_LISTS))
-    return {
+    oracles = {
         "cm_user_frequency": """
             WITH w AS (SELECT DISTINCT time_bucket(INTERVAL '1 day', ts) ws FROM events),
                  u AS (SELECT DISTINCT user_id FROM events),
@@ -637,3 +740,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5
         """,
     }
+    # alternate execution strategies over the same logical query share its
+    # exact oracle: the tree merge is byte-identical to the flat merge, and
+    # the stateful streaming path must emit every closed window with the
+    # same synopsis content as the batch build
+    oracles["cm_frequency_tree"] = oracles["cm_user_frequency"]
+    oracles["stream_stateful_frequency"] = oracles["cm_user_frequency"]
+    oracles["stream_sessions"] = oracles["session_windows"]
+    return oracles

@@ -46,7 +46,7 @@ from pyspark.sql.types import (BinaryType, LongType, StringType, StructField,
 
 from ..synopsis.base import Synopsis
 from .builder import (_PARTIAL_SCHEMA, SynopsisSpec, _normalize,
-                      _partial_builder)
+                      _partial_builder, _update)
 from .windows import Sliding, Tumbling, duration_us
 
 _OUT_SCHEMA = StructType([
@@ -165,3 +165,147 @@ class StatefulSynopsisStream:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+
+@dataclass
+class StatefulSessionStream:
+    """Streaming session windows with synopsis state (the trickiest
+    streaming-state piece per SURVEY.md §7.3; Scotty supports sessions,
+    ``SynopsisBuilder.java:335-337`` — here per-key session state lives in
+    Spark's checkpointed state store).
+
+    Two-phase like everything else in this engine:
+
+      phase 1 (stateless ``mapInPandas``): partition-local *mini-sessions*
+        per stratum — rows sorted by ts, split where the gap exceeds
+        ``gap``; each mini-session is (stratum, first_ts, last_ts, sketch
+        blob, n). Only these blobs shuffle, never raw rows — hot strata
+        (codec skew) cannot pile raw rows onto one task.
+      phase 2 (``applyInPandasWithState`` keyed by stratum): gap-merge of
+        mini-sessions into the per-key open-session list (interval merge:
+        two sessions coalesce iff their ts-span gap ≤ ``gap``; synopsis
+        blobs merge — associative, so partition boundaries and batch
+        boundaries are invisible in the result). A session closes when the
+        watermark passes last_ts + gap + delay; closed sessions are emitted
+        (append) and dropped from state. Event-time timeout flushes
+        sessions for keys that stop receiving data.
+
+    Session semantics match the batch path (builder._build_session) and
+    Spark's ``session_window``: window = [first_ts, last_ts + gap).
+    """
+    spec: SynopsisSpec
+    gap: str = "30 minutes"
+    watermark_delay: str = "10 seconds"
+
+    def transform(self, stream_df: DataFrame) -> DataFrame:
+        import pickle
+
+        spec = self.spec
+        gap_us = duration_us(self.gap)
+        delay_us = duration_us(self.watermark_delay)
+
+        work = _normalize(stream_df, spec, None)
+
+        def mini_sessions(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+            parts = [pdf for pdf in batches if not pdf.empty]
+            if not parts:
+                return
+            pdf = pd.concat(parts, ignore_index=True)
+            rows = []
+            for st, sub in pdf.groupby("__st", sort=False, dropna=False):
+                sub = sub.sort_values("__ts", kind="stable")
+                ts = sub["__ts"].to_numpy()
+                breaks = np.flatnonzero(np.diff(ts) > gap_us) + 1
+                bounds = np.concatenate([[0], breaks, [ts.shape[0]]])
+                for i in range(bounds.size - 1):
+                    lo, hi = int(bounds[i]), int(bounds[i + 1])
+                    syn = spec.make_synopsis()
+                    _update(syn, spec, sub.iloc[lo:hi])
+                    rows.append((None if pd.isna(st) else st, int(ts[lo]),
+                                 int(ts[hi - 1]), syn.to_bytes(),
+                                 int(syn.n_processed)))
+            if rows:
+                yield pd.DataFrame(rows, columns=["__st", "first_us", "last_us",
+                                                  "state", "n"])
+
+        minis = work.mapInPandas(
+            mini_sessions,
+            schema="__st string, first_us long, last_us long, state binary, n long")
+        minis = (minis
+                 .withColumn("__evt", (F.col("last_us") / 1e6).cast("timestamp"))
+                 .withWatermark("__evt", self.watermark_delay))
+
+        def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+            spec.ensure_registered()
+            stratum = key[0]
+            sessions: list = []  # [first_us, last_us, blob, n], sorted
+            if state.exists:
+                sessions = pickle.loads(state.get[0])
+
+            if not state.hasTimedOut:
+                rows = [pdf for pdf in pdfs if not pdf.empty]
+                if rows:
+                    pdf = pd.concat(rows, ignore_index=True)
+                    incoming = [[int(r.first_us), int(r.last_us), r.state, int(r.n)]
+                                for r in pdf.itertuples(index=False)]
+                    sessions = _gap_merge(sessions + incoming, gap_us)
+
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            closed = [s for s in sessions if s[1] + gap_us + delay_us <= wm_us]
+            kept = [s for s in sessions if s[1] + gap_us + delay_us > wm_us]
+            if kept:
+                state.update((pickle.dumps(kept),))
+                fire_us = max(min(s[1] for s in kept) + gap_us + delay_us,
+                              wm_us + 1_000)
+                state.setTimeoutTimestamp(fire_us // 1000)
+            elif state.exists:
+                state.remove()
+            if closed:
+                yield pd.DataFrame({
+                    "window_start": [pd.Timestamp(s[0], unit="us") for s in closed],
+                    "window_end": [pd.Timestamp(s[1] + gap_us, unit="us")
+                                   for s in closed],
+                    "stratum": [stratum] * len(closed),
+                    "state": [s[2] for s in closed],
+                    "n": [int(s[3]) for s in closed]})
+
+        return minis.groupBy("__st").applyInPandasWithState(
+            update, _OUT_SCHEMA, StructType([StructField("blob", BinaryType())]),
+            "append", GroupStateTimeout.EventTimeTimeout)
+
+    def start(self, spark, source_dir: str, out_dir: str, checkpoint_dir: str,
+              schema=None, max_files_per_trigger: int = 1,
+              available_now: bool = True):
+        if schema is None:
+            schema = spark.read.parquet(source_dir).schema
+        reader = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", max_files_per_trigger)
+                  .parquet(source_dir))
+        out = self.transform(reader)
+        writer = (out.writeStream.format("parquet")
+                  .option("path", out_dir)
+                  .option("checkpointLocation", checkpoint_dir)
+                  .outputMode("append"))
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
+def _gap_merge(sessions: list, gap_us: int) -> list:
+    """Interval-merge sessions whose ts-span gap ≤ gap_us; synopsis blobs
+    merge pairwise (associative/commutative per the trait contract, so any
+    merge order yields the same synopsis content)."""
+    sessions = sorted(sessions, key=lambda s: (s[0], s[1]))
+    out = []
+    for s in sessions:
+        if out and s[0] - out[-1][1] <= gap_us:
+            prev = out[-1]
+            syn = Synopsis.from_bytes(prev[2]).merge(Synopsis.from_bytes(s[2]))
+            prev[1] = max(prev[1], s[1])
+            prev[2] = syn.to_bytes()
+            prev[3] = prev[3] + s[3]
+        else:
+            out.append(list(s))
+    return out

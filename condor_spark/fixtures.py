@@ -69,3 +69,36 @@ def ground_truth_wave(i: int) -> np.ndarray:
     """Pre-encoding float waveform for the per-row SNR>=30dB invariant."""
     r = clip_row(i)  # cheap metadata recompute
     return synth_wave(i, r["sr_hz"], r["dur_ms"])
+
+
+def replay_in_order(spark, df, src_dir: str, n_chunks: int,
+                    ts_col: str = "ts", flush_ts: list | None = None) -> None:
+    """File-replay stream source in event-time order (the analogue of the
+    reference's gzip replay sources, ``NYCTaxiRideSource.java:36-55``).
+
+    Writes df as ``n_chunks`` parquet files sorted by ``ts_col`` with
+    strictly increasing mtimes — FileStreamSource replays files in mtime
+    order, and a single bulk write gives identical mtimes (arbitrary replay
+    order, which makes early events spuriously late w.r.t. the watermark).
+    Optional ``flush_ts`` rows (clones of the first row at the given
+    timestamps) are appended as final batches to push the watermark past
+    every real window so event-time timeouts fire before an availableNow
+    run terminates.
+    """
+    import glob as _glob
+    import os as _os
+
+    _os.makedirs(src_dir, exist_ok=True)
+    pdf = df.toPandas().sort_values(ts_col).reset_index(drop=True)
+    chunks = [c for c in np.array_split(pdf, n_chunks) if len(c)]
+    for t in (flush_ts or []):
+        row = pdf.iloc[[0]].copy()
+        row[ts_col] = pd.Timestamp(t)
+        chunks.append(row)
+    base = 1_000_000_000
+    for i, chunk in enumerate(chunks):
+        before = set(_glob.glob(_os.path.join(src_dir, "*.parquet")))
+        (spark.createDataFrame(chunk, schema=df.schema)
+         .coalesce(1).write.mode("append").parquet(src_dir))
+        for f in set(_glob.glob(_os.path.join(src_dir, "*.parquet"))) - before:
+            _os.utime(f, (base + i, base + i))

@@ -118,6 +118,37 @@ def test_stateful_resume_from_checkpoint(spark, tmp_path):
     assert s == b
 
 
+def test_stateful_sessions_match_batch(spark, tmp_path):
+    """Streaming session windows (gap-merged in applyInPandasWithState)
+    emit exactly the batch sessionization result once all sessions close."""
+    from condor_spark.engine.stateful import StatefulSessionStream
+    from condor_spark.engine.windows import Session
+    from condor_spark import fixtures
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    spec = SynopsisSpec(kind="hll", params=dict(log_reg_num=4, seed=7),
+                        column="event_id", ts_column="ts",
+                        window=Session("30 minutes"), stratify_by="user_id")
+
+    src = str(tmp_path / "src")
+    fixtures.replay_in_order(spark, events, src, 5,
+                             flush_ts=["2024-06-01", "2024-07-01"])
+    job = StatefulSessionStream(spec, gap="30 minutes",
+                                watermark_delay="1 hour")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = job.start(spark, src, out_dir, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out_dir).filter("window_start < '2024-05-01'")
+    s = sorted((str(r["window_start"]), str(r["window_end"]), r["stratum"], r["n"])
+               for r in got.collect())
+    b = sorted((str(r["window_start"]), str(r["window_end"]), r["stratum"], r["n"])
+               for r in build_batch(events, spec).collect())
+    assert s == b
+    # no duplicate emissions
+    assert len(s) == len({x[:3] for x in s})
+
+
 N_CLIPS = 300
 
 
