@@ -293,6 +293,107 @@ class StatefulSessionStream:
         return writer.start()
 
 
+_COUNT_OUT_SCHEMA = StructType([
+    StructField("window_id", LongType()),
+    StructField("lo_idx", LongType()),
+    StructField("hi_idx", LongType()),
+    StructField("stratum", StringType()),
+    StructField("state", BinaryType()),
+    StructField("n", LongType()),
+])
+
+
+@dataclass
+class StatefulCountWindowStream:
+    """Streaming count-based tumbling windows (the reference's
+    ``keyBy.countWindow``, ``SynopsisBuilder.java:219-221``): per stratum,
+    a synopsis over every ``count`` consecutive elements, emitted as soon
+    as the window fills.
+
+    Count windows are inherently sequential per key — the reference routes
+    them through a parallelism-1 ``OrderAndIndex`` stage
+    (``processor/divide/OrderAndIndex.java:41-67``); here each stratum is
+    one state-store key (parallel across strata, sequential within, which
+    strictly dominates the reference's single global task). Rows are
+    mini-batch-ordered by (ts, tiebreak) inside each micro-batch — the
+    analogue of the reference's priority-queue miniBatch reordering
+    (``NonMergeableSynopsisAggregator.java:114-128``); cross-batch order
+    is the replay order. State = the currently-open window's sketch +
+    running index; full windows leave state immediately (append mode), the
+    trailing partial window stays open until more data arrives.
+    """
+    spec: SynopsisSpec
+    count: int
+
+    def transform(self, stream_df: DataFrame) -> DataFrame:
+        spec, count = self.spec, int(self.count)
+
+        work = _normalize(stream_df, spec, None)
+        if "__tb" not in work.columns:
+            work = work.withColumn("__tb", F.lit(0).cast("long"))
+
+        def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+            spec.ensure_registered()
+            stratum = key[0]
+            if state.exists:
+                blob, open_n, next_idx = state.get
+                syn = Synopsis.from_bytes(blob) if blob is not None else None
+            else:
+                syn, open_n, next_idx = None, 0, 0
+
+            out = []
+            for pdf in pdfs:
+                if pdf.empty:
+                    continue
+                pdf = pdf.sort_values(["__ts", "__tb"], kind="stable")
+                pos = 0
+                while pos < len(pdf):
+                    take = min(count - open_n, len(pdf) - pos)
+                    chunk = pdf.iloc[pos:pos + take]
+                    if syn is None:
+                        syn = spec.make_synopsis()
+                    _update(syn, spec, chunk)
+                    open_n += take
+                    pos += take
+                    if open_n == count:
+                        wid = next_idx // count
+                        out.append((wid, wid * count, (wid + 1) * count,
+                                    stratum, syn.to_bytes(), count))
+                        next_idx += count
+                        syn, open_n = None, 0
+
+            state.update((syn.to_bytes() if syn is not None else None,
+                          int(open_n), int(next_idx)))
+            if out:
+                yield pd.DataFrame(out, columns=["window_id", "lo_idx", "hi_idx",
+                                                 "stratum", "state", "n"])
+
+        return work.groupBy("__st").applyInPandasWithState(
+            update, _COUNT_OUT_SCHEMA,
+            StructType([StructField("blob", BinaryType()),
+                        StructField("open_n", LongType()),
+                        StructField("next_idx", LongType())]),
+            "append", GroupStateTimeout.NoTimeout)
+
+    def start(self, spark, source_dir: str, out_dir: str, checkpoint_dir: str,
+              schema=None, max_files_per_trigger: int = 1,
+              available_now: bool = True):
+        if schema is None:
+            schema = spark.read.parquet(source_dir).schema
+        reader = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", max_files_per_trigger)
+                  .parquet(source_dir))
+        out = self.transform(reader)
+        writer = (out.writeStream.format("parquet")
+                  .option("path", out_dir)
+                  .option("checkpointLocation", checkpoint_dir)
+                  .outputMode("append"))
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
 def _gap_merge(sessions: list, gap_us: int) -> list:
     """Interval-merge sessions whose ts-span gap ≤ gap_us; synopsis blobs
     merge pairwise (associative/commutative per the trait contract, so any

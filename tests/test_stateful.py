@@ -149,6 +149,40 @@ def test_stateful_sessions_match_batch(spark, tmp_path):
     assert len(s) == len({x[:3] for x in s})
 
 
+def test_stateful_count_windows_match_batch(spark, tmp_path):
+    """Streaming count windows emit the same full windows as the batch
+    global-order build (single stratum → sequential semantics, matching the
+    reference's par=1 OrderAndIndex route)."""
+    from condor_spark.engine.builder import build_count_windows
+    from condor_spark.engine.stateful import StatefulCountWindowStream
+    from condor_spark.engine.windows import CountTumbling
+    from condor_spark import fixtures
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    spec = SynopsisSpec(kind="hll", params=dict(log_reg_num=8, seed=7),
+                        column="event_id", ts_column="ts",
+                        window=CountTumbling(300), tiebreak_column="event_id")
+
+    src = str(tmp_path / "src")
+    fixtures.replay_in_order(spark, events, src, 5)
+    job = StatefulCountWindowStream(spec, count=300)
+    q = job.start(spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+                  max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    from condor_spark.engine import evaluate as ev
+    got = spark.read.parquet(str(tmp_path / "out"))
+    batch = build_count_windows(events, spec).filter(F.col("n") == 300)
+    s = sorted((r["window_id"], r["lo_idx"], r["hi_idx"], r["n"],
+                bytes(r["state"]))
+               for r in got.collect())
+    b = sorted((r["window_id"], r["lo_idx"], r["hi_idx"], r["n"],
+                bytes(r["state"]))
+               for r in batch.collect())
+    assert [x[:4] for x in s] == [x[:4] for x in b]
+    assert s == b  # byte-identical synopsis content (same row→window routing)
+
+
 N_CLIPS = 300
 
 
