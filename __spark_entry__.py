@@ -456,6 +456,26 @@ def q_stream_sessions(spark, sf_dir):
                       F.col("n"))
 
 
+def q_stream_count_windows(spark, sf_dir):
+    """Streaming count windows (applyInPandasWithState counter); emitted
+    full windows match the batch global-order routing exactly."""
+    import tempfile
+
+    from condor_spark import fixtures
+    from condor_spark.engine.stateful import StatefulCountWindowStream
+
+    df = _events(spark, sf_dir)
+    spec = SynopsisSpec(kind="hll", params=dict(log_reg_num=4, seed=7),
+                        column="event_id", ts_column="ts",
+                        window=CountTumbling(1000), tiebreak_column="event_id")
+    tmp = tempfile.mkdtemp(prefix="condor_cw_")
+    fixtures.replay_in_order(spark, df, f"{tmp}/src", n_chunks=5)
+    q = StatefulCountWindowStream(spec, count=1000).start(
+        spark, f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt", max_files_per_trigger=1)
+    q.awaitTermination(600)
+    return spark.read.parquet(f"{tmp}/out").select("window_id", "n")
+
+
 def q_stream_join(spark, sf_dir):
     """Stateful stream-stream clip⋈transcript join (watermarks + lag-bounded
     state), availableNow over ordered file replay; rows-only check (the
@@ -500,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_frequency_tree": q_cm_frequency_tree,
         "stream_stateful_frequency": q_stream_stateful_frequency,
         "stream_sessions": q_stream_sessions,
+        "stream_count_windows": q_stream_count_windows,
         # pipeline ops, oracle-backed
         "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
@@ -747,4 +768,10 @@ def oracle_sql() -> dict[str, str]:
     oracles["cm_frequency_tree"] = oracles["cm_user_frequency"]
     oracles["stream_stateful_frequency"] = oracles["cm_user_frequency"]
     oracles["stream_sessions"] = oracles["session_windows"]
+    oracles["stream_count_windows"] = """
+            WITH o AS (SELECT row_number() OVER (ORDER BY ts, event_id) - 1 AS idx
+                       FROM events)
+            SELECT idx // 1000 AS window_id, count(*) AS n FROM o
+            GROUP BY 1 HAVING count(*) = 1000
+        """
     return oracles
