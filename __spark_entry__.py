@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from condor_spark.engine import evaluate as ev
 from condor_spark.engine import similarity, text
 from condor_spark.engine.builder import (SynopsisSpec, build_batch,
+                                         build_batch_multi,
                                          build_count_windows, build_ordered)
 from condor_spark.engine.windows import (CountTumbling, GlobalWindow, Session,
                                          Sliding, Tumbling)
@@ -164,6 +165,20 @@ def q_sliding_counts(spark, sf_dir):
                       F.col("n").alias("cnt"))
 
 
+def q_concurrent_windows(spark, sf_dir):
+    # Scotty's N-concurrent-windows from one slice pass (multi-addWindow);
+    # exact per-window counts via synopsis n (count is exact in every kind)
+    df = _events(spark, sf_dir)
+    spec = SynopsisSpec(kind="hll", params=dict(log_reg_num=4, seed=7),
+                        column="event_id", ts_column="ts")
+    syn = build_batch_multi(df, spec, [Tumbling(DAY),
+                                       Sliding("2 days", DAY),
+                                       Sliding(DAY, "6 hours")])
+    return syn.select(F.col("window_id").cast("long").alias("window_id"),
+                      F.col("window_start").cast(NTZ).alias("window_start"),
+                      F.col("n").alias("cnt"))
+
+
 def q_count_windows(spark, sf_dir):
     df = _events(spark, sf_dir)
     spec = SynopsisSpec(kind="hll", params=dict(log_reg_num=4, seed=7),
@@ -277,6 +292,10 @@ def q_ann_topk(spark, sf_dir):
                       "neighbor_id", "cosine")
 
 
+def q_dedup_cosine(spark, sf_dir):
+    return similarity.cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
 # ---- approximate / randomized: rows-only checks ----------------------------
 
 def q_hll_distinct(spark, sf_dir):
@@ -359,6 +378,11 @@ def q_minhash_pairs(spark, sf_dir):
 
 def q_simhash_pairs(spark, sf_dir):
     return text.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=10)
+
+
+def q_dedup_cosine_lsh(spark, sf_dir):
+    return similarity.cosine_near_dup_pairs_lsh(_emb(spark, sf_dir), threshold=0.4,
+                                                bands=8, rows_per_band=2)
 
 
 def q_ann_topk_lsh(spark, sf_dir):
@@ -511,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bottomk_sample": q_bottomk_sample,
         "session_windows": q_session_windows,
         "sliding_counts": q_sliding_counts,
+        "concurrent_windows": q_concurrent_windows,
         "count_windows": q_count_windows,
         "wavelet_range_sums": q_wavelet_range_sums,
         "stratified_hist": q_stratified_hist,
@@ -529,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
+        "dedup_cosine": q_dedup_cosine,
         # approximate / randomized, rows-only
         "hll_distinct": q_hll_distinct,
         "ams_f2": q_ams_f2,
@@ -539,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "dedup_cosine_lsh": q_dedup_cosine_lsh,
         "audio_rms_quantiles": q_audio_rms_quantiles,
         "stream_join": q_stream_join,
     }
@@ -647,6 +674,23 @@ def oracle_sql() -> dict[str, str]:
                   FROM range(0, 20000) t(i)) g
             JOIN events e ON e.ts >= g.ws AND e.ts < g.ws + INTERVAL '24' HOUR
             GROUP BY 1
+        """,
+        "concurrent_windows": """
+            SELECT 0 AS window_id, time_bucket(INTERVAL '1 day', ts) AS window_start,
+                   count(*) AS cnt
+            FROM events GROUP BY 2
+            UNION ALL
+            SELECT 1, g.ws, count(*)
+            FROM (SELECT TIMESTAMP '2020-01-01' + INTERVAL (i) DAY AS ws
+                  FROM range(0, 5000) t(i)) g
+            JOIN events e ON e.ts >= g.ws AND e.ts < g.ws + INTERVAL '48' HOUR
+            GROUP BY 2
+            UNION ALL
+            SELECT 2, g.ws, count(*)
+            FROM (SELECT TIMESTAMP '2020-01-01' + INTERVAL (i * 6) HOUR AS ws
+                  FROM range(0, 20000) t(i)) g
+            JOIN events e ON e.ts >= g.ws AND e.ts < g.ws + INTERVAL '24' HOUR
+            GROUP BY 2
         """,
         "count_windows": """
             WITH o AS (SELECT row_number() OVER (ORDER BY ts, event_id) - 1 AS idx
@@ -759,6 +803,14 @@ def oracle_sql() -> dict[str, str]:
                                                     ORDER BY cosine DESC, neighbor_id) rank
                        FROM s)
             SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5
+        """,
+        "dedup_cosine": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.4
         """,
     }
     # alternate execution strategies over the same logical query share its

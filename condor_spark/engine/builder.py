@@ -209,6 +209,76 @@ def build_batch(df: DataFrame, spec: SynopsisSpec) -> DataFrame:
             .applyInPandas(_final_merger(size_us, spec), schema=_FINAL_SCHEMA))
 
 
+def build_batch_multi(df: DataFrame, spec: SynopsisSpec,
+                      windows: list) -> DataFrame:
+    """N concurrent tumbling/sliding windows from ONE pass over the data —
+    the Scotty general-stream-slicing property (``SynopsisBuilder.java:
+    335-337`` ``addWindow`` loop; concurrent-window sweep n ∈ {1,5,10,20,40}
+    in ``benchmark/.../windowing/``).
+
+    Slices are built once at gcd granularity of every window's size and
+    slide, then each slice's partial synopsis is expanded (JVM-side
+    sequence+explode of (window_id, window_start) structs) into all windows
+    of all specs that contain it. Per-element update cost is O(1) regardless
+    of window count; only the slice→window merge fan-out grows with N, and
+    that shuffles sketch blobs, not rows.
+
+    Returns the ``build_batch`` schema plus a leading ``window_id`` int
+    column (index into ``windows``).
+    """
+    from math import gcd
+
+    sizes, slides = [], []
+    for w in windows:
+        if isinstance(w, Tumbling):
+            sizes.append(w.size_us); slides.append(w.size_us)
+        elif isinstance(w, Sliding):
+            sizes.append(w.size_us); slides.append(w.slide_us)
+        else:
+            raise ValueError(f"multi-window supports Tumbling/Sliding, got {w}")
+    slice_us = 0
+    for v in sizes + slides:
+        slice_us = gcd(slice_us, v)
+
+    work = _normalize(df, spec, slice_us)
+    partials = work.mapInPandas(_partial_builder(spec), schema=_PARTIAL_SCHEMA)
+
+    per_spec = []
+    for wid, (size, slide) in enumerate(zip(sizes, slides)):
+        first_w = (-F.floor((F.lit(size) - F.lit(slice_us) - F.col("__slice"))
+                            / F.lit(slide)) * F.lit(slide)).cast("long")
+        last_w = (F.floor(F.col("__slice") / F.lit(slide)) * F.lit(slide)).cast("long")
+        wins = F.when(first_w <= last_w,
+                      F.sequence(first_w, last_w, F.lit(slide).cast("long"))
+                      ).otherwise(F.array().cast("array<long>"))
+        per_spec.append(F.transform(
+            wins, lambda w: F.struct(F.lit(wid).alias("wid"), w.alias("w"))))
+    exploded = (partials
+                .withColumn("__ww", F.explode(F.concat(*per_spec)))
+                .withColumn("__wid", F.col("__ww.wid"))
+                .withColumn("__w", F.col("__ww.w"))
+                .drop("__ww"))
+
+    size_by_id = dict(enumerate(sizes))
+
+    def merger(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        if spec is not None:
+            spec.ensure_registered()
+        syn = _merge_group(pdf)
+        wid, w = int(key[0]), int(key[1])
+        return pd.DataFrame({
+            "window_id": [wid],
+            "window_start": [pd.Timestamp(w, unit="us")],
+            "window_end": [pd.Timestamp(w + size_by_id[wid], unit="us")],
+            "stratum": [key[2]],
+            "state": [syn.to_bytes()],
+            "n": [int(syn.n_processed)],
+        })
+
+    return (exploded.groupBy("__wid", "__w", "__st")
+            .applyInPandas(merger, schema="window_id int, " + _FINAL_SCHEMA))
+
+
 def _build_session(df: DataFrame, spec: SynopsisSpec, win: Session) -> DataFrame:
     """Session windows via gaps-and-islands, computed partition-locally:
     strata are hash-co-located (one shuffle of raw rows — unavoidable for

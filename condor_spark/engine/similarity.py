@@ -95,3 +95,97 @@ def ann_topk_lsh(emb_df: DataFrame, query_ids: list[int], k: int = 5,
     return (sims.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k)
                 .select("query_id", "rank", "neighbor_id", "cosine"))
+
+
+def cosine_near_dup_pairs(emb_df: DataFrame, threshold: float = 0.4,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
+
+    All-pairs is O(n^2) — this exact form is the small-table baseline and
+    the correctness oracle. At 100 TB use :func:`cosine_near_dup_pairs_lsh`,
+    which equi-joins on LSH band buckets so the shuffle carries short keys
+    and only same-bucket vectors are compared.
+
+    The cosine is computed JVM-side (zip_with + aggregate over pre-normalized
+    vectors → whole-stage codegen); norms are computed once per row, not per
+    pair.
+    """
+    norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0),
+                              lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    unit = emb_df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col),
+                    lambda v: v.cast("double") / F.greatest(norm, F.lit(1e-12))
+                    ).alias("_unit"))
+    a = unit.select(F.col("_id").alias("id_a"), F.col("_unit").alias("_ua"))
+    b = unit.select(F.col("_id").alias("id_b"), F.col("_unit").alias("_ub"))
+    dot = F.aggregate(F.zip_with(F.col("_ua"), F.col("_ub"), lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+             .withColumn("cosine", F.round(dot, 6))
+             .filter(F.col("cosine") >= threshold)
+             .select("id_a", "id_b", "cosine"))
+
+
+def cosine_near_dup_pairs_lsh(emb_df: DataFrame, threshold: float = 0.4,
+                              bands: int = 8, rows_per_band: int = 2,
+                              seed: int = 7, id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """Banded random-hyperplane LSH near-dup pairs: candidates share at least
+    one band's full sign pattern; candidates are then verified with the exact
+    cosine, so precision is 1.0 and only recall is approximate.
+
+    bands=8 x rows_per_band=2 makes P(candidate) = 1-(1-p^2)^8 with
+    p = 1 - theta/pi — steep around cosine ~0.4. The pair join is an
+    equi-join on (band, bucket): shuffle cost ~ bands x n short rows, never
+    all pairs.
+    """
+    num_planes = bands * rows_per_band
+
+    def sig_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if planes is None:
+                rng = np.random.default_rng(seed)
+                planes = rng.standard_normal((mat.shape[1], num_planes))
+            bits = (mat @ planes > 0).astype(np.int64)
+            out = {"_sid": pdf[id_col].to_numpy()}
+            for band in range(bands):
+                chunk = bits[:, band * rows_per_band:(band + 1) * rows_per_band]
+                out[f"b{band}"] = (
+                    chunk * (1 << np.arange(rows_per_band, dtype=np.int64))
+                ).sum(axis=1)
+            yield pd.DataFrame(out)
+
+    sig_schema = "_sid long, " + ", ".join(f"b{i} long" for i in range(bands))
+    sig = emb_df.select(id_col, vec_col).mapInPandas(sig_fn, schema=sig_schema)
+    # long form: one row per (vector, band) → equi-join on (band, bucket)
+    pairs_of = F.array(*[F.struct(F.lit(i).alias("band"), F.col(f"b{i}").alias("bucket"))
+                         for i in range(bands)])
+    long = (sig.select("_sid", F.explode(pairs_of).alias("bb"))
+               .select("_sid", F.col("bb.band").alias("band"),
+                       F.col("bb.bucket").alias("bucket")))
+    la = long.select(F.col("_sid").alias("id_a"), "band", "bucket")
+    lb = long.select(F.col("_sid").alias("id_b"), "band", "bucket")
+    cand = (la.join(lb, ["band", "bucket"])
+              .filter(F.col("id_a") < F.col("id_b"))
+              .select("id_a", "id_b").distinct())
+    norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0),
+                              lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    unit = emb_df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col),
+                    lambda v: v.cast("double") / F.greatest(norm, F.lit(1e-12))
+                    ).alias("_unit"))
+    dot = F.aggregate(F.zip_with(F.col("_ua"), F.col("_ub"), lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    return (cand
+            .join(unit.select(F.col("_id").alias("id_a"), F.col("_unit").alias("_ua")), "id_a")
+            .join(unit.select(F.col("_id").alias("id_b"), F.col("_unit").alias("_ub")), "id_b")
+            .withColumn("cosine", F.round(dot, 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))

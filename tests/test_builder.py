@@ -152,3 +152,47 @@ def test_query_latest(spark, events):
                 .select(F.col("win.start").alias("s"), "d")
                 .orderBy(F.desc("s")).first())
     assert abs(rows[0]["est_distinct"] - last_day["d"]) <= max(3, 0.05 * last_day["d"])
+
+
+def test_build_batch_multi_matches_single(spark, events):
+    """N concurrent windows from one slice pass == N independent builds
+    (the Scotty addWindow loop, SynopsisBuilder.java:335-337)."""
+    from condor_spark.engine.builder import build_batch_multi
+
+    windows = [Tumbling("1 day"), Sliding("2 days", "1 day"),
+               Sliding("1 day", "6 hours")]
+    spec = SynopsisSpec(kind="countmin", params=dict(width=4096, height=5, seed=7),
+                        column="user_id", ts_column="ts")
+    multi = build_batch_multi(events, spec, windows).collect()
+    by_id = {}
+    for r in multi:
+        by_id.setdefault(r["window_id"], {})[
+            r["window_start"].replace(tzinfo=None)] = (r["state"], r["n"])
+    for wid, win in enumerate(windows):
+        single_spec = SynopsisSpec(kind="countmin",
+                                   params=dict(width=4096, height=5, seed=7),
+                                   column="user_id", ts_column="ts", window=win)
+        single = build_batch(events, single_spec).collect()
+        got = by_id.get(wid, {})
+        assert len(single) == len(got), f"window {wid}: row-count mismatch"
+        for r in single:
+            st, n = got[r["window_start"].replace(tzinfo=None)]
+            assert n == r["n"]
+            assert st == r["state"], f"window {wid}: sketch bytes differ"
+
+
+def test_cosine_near_dup_exact_and_lsh(spark):
+    from condor_spark.engine import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    exact = similarity.cosine_near_dup_pairs(emb, threshold=0.4).collect()
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact}
+    assert all(r["id_a"] < r["id_b"] and r["cosine"] >= 0.4 for r in exact)
+    assert len(exact_pairs) == len(exact)
+
+    lsh = similarity.cosine_near_dup_pairs_lsh(emb, threshold=0.4,
+                                               bands=8, rows_per_band=2).collect()
+    lsh_pairs = {(r["id_a"], r["id_b"]) for r in lsh}
+    # precision 1.0 (candidates are exact-verified); recall high but < forced
+    assert lsh_pairs <= exact_pairs
+    assert len(lsh_pairs) >= 0.9 * len(exact_pairs)
