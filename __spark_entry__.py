@@ -109,6 +109,29 @@ def q_equiwidth_hist(spark, sf_dir):
                     F.col("bucket").cast("long").alias("bucket"), "cnt"))
 
 
+def q_hist4lt_ranges(spark, sf_dir):
+    # 4LT-compressed equi-width histogram (EquiWidthHistogram4LT.java:9-45):
+    # per-window range estimates read through the lossy 8-bins-per-32-bit view
+    df = _events(spark, sf_dir)
+    spec = SynopsisSpec(kind="equiwidth4lt",
+                        params=dict(lower=0.0, upper=500.0, num_buckets=16),
+                        column="value", ts_column="ts", window=Tumbling(DAY))
+    syn = build_batch(df, spec)
+    ranges = [(0.0, 125.0), (100.0, 300.0), (250.0, 500.0)]
+
+    def fn(s, row):
+        return pd.DataFrame({
+            "lo": [a for a, _ in ranges],
+            "hi": [b for _, b in ranges],
+            "est": [round(s.range_query_compressed(a, b), 4) for a, b in ranges],
+        })
+
+    out = ev.apply_per_window(syn, fn, "window_start timestamp, lo double, "
+                                       "hi double, est double")
+    return out.select(F.col("window_start").cast(NTZ).alias("window_start"),
+                      "lo", "hi", "est")
+
+
 def q_ddsketch_quantiles(spark, sf_dir):
     df = _events(spark, sf_dir).filter(F.col("value") > 0)
     spec = SynopsisSpec(kind="ddsketch",
@@ -562,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reservoir_sample": q_reservoir_sample,
         "biased_reservoir": q_biased_reservoir,
         "bash_equidepth": q_bash_equidepth,
+        "hist4lt_ranges": q_hist4lt_ranges,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk_lsh": q_ann_topk_lsh,

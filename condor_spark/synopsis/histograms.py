@@ -231,3 +231,94 @@ class BarSplittingHistogram(Synopsis):
             frac = (min(hi, b_hi) - max(lo, b_lo)) / (b_hi - b_lo)
             total += depth * frac
         return float(total)
+
+
+@register
+class EquiWidth4LTHistogram(EquiWidthHistogram):
+    """Equi-width histogram compressed with 4-level-tree (4LT) buckets.
+
+    Capability parity with ``core/.../Histograms/EquiWidthHistogram4LT.java:
+    9-45`` + ``RealValuedBucket4LT.java:7-60``: each group of 8 fine bins is
+    encoded as a root count plus one 32-bit word of hierarchical deltas
+    (6 bits for level 2, 2x5 bits for level 3, 4x4 bits for level 4) — 8 bins
+    in ~8 bytes, with bounded within-group error.
+
+    Divergences from the reference, by design:
+      * the reference's ``merge`` is unimplemented (returns null,
+        ``EquiWidthHistogram4LT.java:70-77``); we stay mergeable by keeping
+        the exact fine bins as the streaming state (binwise add — identical
+        to the plain equi-width path) and compressing on demand
+        (``compress()``/``decoded_frequency()``), which is also what the
+        reference does operationally (it compresses a finished histogram).
+      * range queries decode the tree back to approximate leaf counts and
+        interpolate fractionally (the continuous-value assumption of
+        ``EquiWidthHistogram.rangeQuery``); for leaf-aligned ranges this is
+        exactly the reference's recursive tree walk.
+
+    num_buckets is padded up to a multiple of 8 (extra empty bins widen the
+    upper bound), as ``EquiWidthHistogram4LT.java:23-25`` does.
+    """
+
+    KIND = "equiwidth4lt"
+    TRAIT = Trait.INVERTIBLE
+
+    def __init__(self, lower: float, upper: float, num_buckets: int):
+        nb = int(num_buckets)
+        pad = (-nb) % 8
+        width = (float(upper) - float(lower)) / nb
+        super().__init__(lower, float(upper) + pad * width, nb + pad)
+
+    def compress(self) -> tuple[np.ndarray, np.ndarray]:
+        """(roots int64[g], packed uint32[g]) for the g = num_buckets/8 groups."""
+        f = self.frequency.reshape(-1, 8).astype(np.float64)
+        c3_1 = f[:, 0] + f[:, 1]
+        c3_3 = f[:, 4] + f[:, 5]
+        c2_1 = c3_1 + f[:, 2] + f[:, 3]
+        roots = f.sum(axis=1)
+
+        def ratio(num, den, bits):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                r = np.where(den > 0, num / np.where(den > 0, den, 1), 0.0)
+            # Java Math.round = floor(x + 0.5), not banker's rounding
+            return np.floor(r * (2 ** bits - 1) + 0.5).astype(np.uint32)
+
+        packed = (ratio(c2_1, roots, 6) << 26)
+        packed |= ratio(c3_1, c2_1, 5) << 21
+        packed |= ratio(c3_3, roots - c2_1, 5) << 16
+        packed |= ratio(f[:, 0], c3_1, 4) << 12
+        packed |= ratio(f[:, 2], c2_1 - c3_1, 4) << 8
+        packed |= ratio(f[:, 4], c3_3, 4) << 4
+        packed |= ratio(f[:, 6], roots - c2_1 - c3_3, 4)
+        return roots.astype(np.int64), packed
+
+    def decoded_frequency(self) -> np.ndarray:
+        """Approximate fine-bin counts reconstructed from the 4LT encoding —
+        the lossy view a reader of the compressed sketch sees."""
+        roots, packed = self.compress()
+        _jround = lambda x: np.floor(x + 0.5)  # Java Math.round parity
+        l2_0 = _jround((packed >> 26) / 64.0 * roots)
+        l2_1 = roots - l2_0
+        l3_0 = _jround(((packed >> 21) & 31) / 32.0 * l2_0)
+        l3_1 = l2_0 - l3_0
+        l3_2 = _jround(((packed >> 16) & 31) / 32.0 * l2_1)
+        l3_3 = l2_1 - l3_2
+        out = np.empty((roots.size, 8))
+        out[:, 0] = _jround(((packed >> 12) & 15) / 16.0 * l3_0)
+        out[:, 1] = l3_0 - out[:, 0]
+        out[:, 2] = _jround(((packed >> 8) & 15) / 16.0 * l3_1)
+        out[:, 3] = l3_1 - out[:, 2]
+        out[:, 4] = _jround(((packed >> 4) & 15) / 16.0 * l3_2)
+        out[:, 5] = l3_2 - out[:, 4]
+        out[:, 6] = _jround((packed & 15) / 16.0 * l3_3)
+        out[:, 7] = l3_3 - out[:, 6]
+        return out.reshape(-1).astype(np.int64)
+
+    def range_query_compressed(self, lo: float, hi: float) -> float:
+        """Range estimate through the lossy 4LT view (the reference's
+        ``EquiWidthHistogram4LT.rangeQuery``)."""
+        saved = self.frequency
+        try:
+            self.frequency = self.decoded_frequency()
+            return self.range_query(lo, hi)
+        finally:
+            self.frequency = saved

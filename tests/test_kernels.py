@@ -374,3 +374,54 @@ def test_serde_roundtrip(kind, params):
     back = roundtrip(syn)
     assert back.n_processed == syn.n_processed
     assert _states_equal(back, syn)
+
+
+class TestEquiWidth4LT:
+    def test_packed_bits_reference_vector(self):
+        # RealValuedBucket4LTTest.buildTest vector, bit-for-bit
+        from condor_spark.synopsis.histograms import EquiWidth4LTHistogram
+        h = EquiWidth4LTHistogram(0.0, 18.0, 8)
+        h.frequency = np.array([12, 18, 16, 6, 6, 14, 13, 15], dtype=np.int64)
+        roots, packed = h.compress()
+        assert roots[0] == 100
+        assert bin(int(packed[0]))[2:].zfill(32) == \
+            "10000110010011010110101101010111"
+
+    def test_range_error_bound(self):
+        # RealValuedBucket4LTTest.getFrequencyTest bounds
+        from condor_spark.synopsis.histograms import EquiWidth4LTHistogram
+        h = EquiWidth4LTHistogram(0.0, 240.0, 8)
+        h.frequency = np.array(sorted([481, 477, 520, 492, 552, 489, 474, 515]),
+                               dtype=np.int64)
+        err = 30 * 240 / 32
+        for (a, b), want in [((-25, 100), 1635), ((180, 300), 989),
+                             ((90, 150), 1044), ((185, 200), 228),
+                             ((75, 85), 189), ((-10, 25), 403),
+                             ((230, 250), 170), ((87, 185), 1662)]:
+            assert abs(h.range_query_compressed(a, b) - want) <= err
+        assert h.range_query_compressed(0, 240) == 4000
+        assert h.range_query_compressed(-80, 0) == 0
+        assert h.range_query_compressed(600, 1000) == 0
+        assert h.range_query_compressed(155, 155) == 0
+
+    def test_merge_invert_roundtrip_and_padding(self):
+        from condor_spark.synopsis.base import Synopsis
+        from condor_spark.synopsis.histograms import EquiWidth4LTHistogram
+        h = EquiWidth4LTHistogram(0.0, 10.0, 10)   # pads to 16 bins
+        assert h.num_buckets == 16 and h.upper == 16.0
+        rng = np.random.default_rng(0)
+        h.update_batch(rng.uniform(0, 10, 5000))
+        other = EquiWidth4LTHistogram(0.0, 10.0, 10)
+        other.update_batch(rng.uniform(0, 10, 3000))
+        h.merge(other)
+        assert h.n_processed == 8000
+        assert h.decoded_frequency().sum() == 8000  # deltas conserve the root
+        rt = Synopsis.from_bytes(h.to_bytes())
+        assert isinstance(rt, EquiWidth4LTHistogram)
+        assert (rt.frequency == h.frequency).all()
+        h.invert(other)
+        assert h.n_processed == 5000
+        # compressed estimate tracks the exact one: quantization error is
+        # ~root/2^6 per level-2 delta, well under 2% of n here
+        assert abs(h.range_query_compressed(2, 7) - h.range_query(2, 7)) \
+            <= 0.02 * h.n_processed
