@@ -426,3 +426,55 @@ def build_ordered(df: DataFrame, spec: SynopsisSpec,
     out = work.mapInPandas(build, schema="slice_idx long, length long, state binary")
     work.unpersist()
     return out
+
+
+def build_ordered_round_robin(df: DataFrame, spec: SynopsisSpec,
+                              parallelism: int) -> DataFrame:
+    """Order-based build with round-robin division: global order-index i is
+    routed to wavelet i % parallelism at local index i // parallelism — the
+    ``OrderAndIndex`` + ``DistributedWaveletsManager`` path
+    (``processor/divide/OrderAndIndex.java:58-66``,
+    ``Wavelets/DistributedWaveletsManager.java:21-29``).
+
+    Shuffles (route key, local idx, value) rows once — the same volume the
+    reference moves through its keyBy after OrderAndIndex. Returns
+    DataFrame(slice_idx long, length long, state binary) with slice_idx =
+    the round-robin residue; consume via
+    ``synopsis.wavelet.DistributedWaveletsManager``.
+    """
+    work, offsets, _total = _global_order(df, spec, None)
+    P = int(parallelism)
+
+    from pyspark import TaskContext
+
+    def index_and_route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        seen = offsets.get(pid, 0)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            gidx = np.arange(seen, seen + len(pdf), dtype=np.int64)
+            seen += len(pdf)
+            yield pd.DataFrame({"__rr": gidx % P, "__lidx": gidx // P,
+                                "__v": pdf["__v"].to_numpy()})
+
+    routed = work.mapInPandas(index_and_route,
+                              schema="__rr long, __lidx long, __v double")
+
+    def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        spec.ensure_registered()
+        pdf = pdf.sort_values("__lidx", kind="stable")
+        syn = spec.make_synopsis()
+        syn.update_batch(pdf["__v"].to_numpy())
+        if hasattr(syn, "finalize"):
+            syn.finalize()
+        return pd.DataFrame({"slice_idx": [int(key[0])], "length": [len(pdf)],
+                             "state": [syn.to_bytes()]})
+
+    out = (routed.groupBy("__rr")
+           .applyInPandas(build, schema="slice_idx long, length long, state binary"))
+    out = out.cache()
+    out.count()  # materialize before unpersisting the ordered input
+    work.unpersist()
+    return out

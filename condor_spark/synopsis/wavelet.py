@@ -163,3 +163,43 @@ class SliceWaveletsManager:
             if s_hi > s_lo:
                 total += syn.range_sum_query(s_lo - off, s_hi - off)
         return total
+
+
+class DistributedWaveletsManager:
+    """Round-robin-interleave manager (DistributedWaveletsManager.java:21-29,
+    42-76): element with global order-index i lives in wavelet i % P at local
+    index i // P. 'Unify' = keep the P wavelets side by side; queries do the
+    index arithmetic.
+
+    Contrast with :class:`SliceWaveletsManager` (contiguous slices): round-
+    robin spreads any query range across ALL partitions, so per-wavelet
+    ranges stay short and the per-wavelet coefficient budget is used evenly —
+    the reference's choice for parallel builds over an ordered stream.
+    """
+
+    def __init__(self, parallelism: int, wavelets: list["WaveletSynopsis"]):
+        if len(wavelets) != parallelism:
+            raise ValueError("need exactly one wavelet per partition")
+        self.parallelism = int(parallelism)
+        self.wavelets = wavelets
+
+    @property
+    def n(self) -> int:
+        return int(sum(getattr(w, "n_processed", 0) for w in self.wavelets))
+
+    def point_query(self, i: int) -> float:
+        p = i % self.parallelism
+        return self.wavelets[p].point_query(i // self.parallelism)
+
+    def range_sum_query(self, lo: int, hi: int) -> float:
+        """Sum of elements with global index in [lo, hi): each partition p
+        holds the arithmetic progression p, p+P, p+2P, … — a contiguous LOCAL
+        range [ceil((lo-p)/P), floor((hi-1-p)/P)] (java :58-76)."""
+        total = 0.0
+        P = self.parallelism
+        for p, syn in enumerate(self.wavelets):
+            j_lo = -((lo - p) // -P)          # ceil div
+            j_hi = (hi - 1 - p) // P          # floor div
+            if j_hi >= j_lo:
+                total += syn.range_sum_query(j_lo, j_hi + 1)
+        return total

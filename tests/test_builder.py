@@ -196,3 +196,33 @@ def test_cosine_near_dup_exact_and_lsh(spark):
     # precision 1.0 (candidates are exact-verified); recall high but < forced
     assert lsh_pairs <= exact_pairs
     assert len(lsh_pairs) >= 0.9 * len(exact_pairs)
+
+
+def test_build_ordered_round_robin_wavelet(spark, events):
+    """Round-robin division + DistributedWaveletsManager index math
+    (OrderAndIndex.java:58-66, DistributedWaveletsManager.java:42-76):
+    point/range-sum queries match exact prefix sums of the ordered stream."""
+    from condor_spark.engine.builder import build_ordered_round_robin
+    from condor_spark.synopsis.base import Synopsis
+    from condor_spark.synopsis.wavelet import DistributedWaveletsManager
+
+    P = 4
+    spec = SynopsisSpec(kind="wavelet", params=dict(size=4096),
+                        column="value", ts_column="ts",
+                        tiebreak_column="event_id")
+    rows = build_ordered_round_robin(events, spec, parallelism=P).collect()
+    assert sorted(r["slice_idx"] for r in rows) == list(range(P))
+    mgr = DistributedWaveletsManager(
+        P, [Synopsis.from_bytes(r["state"]) for r in
+            sorted(rows, key=lambda r: r["slice_idx"])])
+
+    ordered = np.array([r[0] for r in events.orderBy("ts", "event_id")
+                        .select("value").collect()])
+    assert mgr.n == len(ordered)
+    # size 4096 >= ceil(n/P) rounded to pow2 → lossless coefficients
+    for i in (0, 1, 17, len(ordered) // 2, len(ordered) - 1):
+        assert abs(mgr.point_query(i) - ordered[i]) < 1e-6 * max(1, abs(ordered[i]))
+    for lo, hi in [(0, len(ordered)), (5, 105), (333, 777),
+                   (len(ordered) - 50, len(ordered))]:
+        assert abs(mgr.range_sum_query(lo, hi) - ordered[lo:hi].sum()) \
+            <= 1e-6 * max(1.0, abs(ordered[lo:hi].sum()))
