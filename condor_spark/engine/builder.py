@@ -97,17 +97,27 @@ def _normalize(df: DataFrame, spec: SynopsisSpec, slice_us: int | None) -> DataF
     return out
 
 
-def _update(syn: Synopsis, spec: SynopsisSpec, sub: pd.DataFrame) -> None:
-    vals = sub["__v"].to_numpy()
-    ts = sub["__ts"].to_numpy() if syn.NEEDS_TIMESTAMPS else None
-    if spec.kind == "bottomk" and "__prio" in sub:
-        syn.update_batch(vals, ts=ts, priorities=sub["__prio"].to_numpy())
-    elif spec.kind == "fifo" and "__tb" in sub:
-        syn.update_batch(vals, ts=ts, tiebreak=sub["__tb"].to_numpy())
+def _update_arrays(syn: Synopsis, spec: SynopsisSpec, vals, ts=None,
+                   prio=None, tb=None) -> None:
+    """Array-level update hot path (no pandas objects — session builds call
+    this once per session, so per-call overhead matters)."""
+    if not syn.NEEDS_TIMESTAMPS:
+        ts = None
+    if spec.kind == "bottomk" and prio is not None:
+        syn.update_batch(vals, ts=ts, priorities=prio)
+    elif spec.kind == "fifo" and tb is not None:
+        syn.update_batch(vals, ts=ts, tiebreak=tb)
     elif ts is not None:
         syn.update_batch(vals, ts=ts)
     else:
         syn.update_batch(vals)
+
+
+def _update(syn: Synopsis, spec: SynopsisSpec, sub: pd.DataFrame) -> None:
+    _update_arrays(syn, spec, sub["__v"].to_numpy(),
+                   ts=sub["__ts"].to_numpy(),
+                   prio=sub["__prio"].to_numpy() if "__prio" in sub else None,
+                   tb=sub["__tb"].to_numpy() if "__tb" in sub else None)
 
 
 def _partial_builder(spec: SynopsisSpec):
@@ -299,17 +309,25 @@ def _build_session(df: DataFrame, spec: SynopsisSpec, win: Session) -> DataFrame
         pdf = pd.concat(parts, ignore_index=True)
         rows = []
         for st, sub in pdf.groupby("__st", sort=False, dropna=False):
+            # numpy views once per stratum; the per-session loop below then
+            # touches no pandas objects (sessions can number ~rows when the
+            # gap is small relative to per-stratum inter-arrival times)
             ts = sub["__ts"].to_numpy()
+            vals = sub["__v"].to_numpy()
+            prio = sub["__prio"].to_numpy() if "__prio" in sub else None
+            tb = sub["__tb"].to_numpy() if "__tb" in sub else None
             breaks = np.flatnonzero(np.diff(ts) > gap) + 1
             bounds = np.concatenate([[0], breaks, [ts.shape[0]]])
+            st_out = None if pd.isna(st) else st
             for i in range(bounds.size - 1):
                 lo, hi = int(bounds[i]), int(bounds[i + 1])
                 syn = spec.make_synopsis()
-                _update(syn, spec, sub.iloc[lo:hi])
+                _update_arrays(syn, spec, vals[lo:hi], ts=ts[lo:hi],
+                               prio=None if prio is None else prio[lo:hi],
+                               tb=None if tb is None else tb[lo:hi])
                 rows.append((pd.Timestamp(int(ts[lo]), unit="us"),
                              pd.Timestamp(int(ts[hi - 1]) + gap, unit="us"),
-                             None if pd.isna(st) else st,
-                             syn.to_bytes(), int(syn.n_processed)))
+                             st_out, syn.to_bytes(), int(syn.n_processed)))
         yield pd.DataFrame(rows, columns=["window_start", "window_end",
                                           "stratum", "state", "n"])
 

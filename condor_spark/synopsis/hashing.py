@@ -149,6 +149,12 @@ def strings_to_ints(values) -> np.ndarray:
     ``core/.../Sketches/CountMinSketch.java:58-64``); other types hash their
     UTF-8 bytes with FNV-1a 64 (public algorithm), vectorized per batch.
     """
+    # fast path: already-numeric ndarray — no pandas Series construction
+    # (session builds call this once per session; Series.__init__ alone was
+    # ~60% of the per-tiny-session cost)
+    if isinstance(values, np.ndarray) and values.dtype.kind in "iuf":
+        return values.astype(np.int64, copy=False)
+
     import pandas as pd
 
     arr = pd.Series(values)
