@@ -219,6 +219,35 @@ def q_wavelet_range_sums(spark, sf_dir):
     return res.select("lo_idx", F.round("range_sum", 3).alias("range_sum"))
 
 
+def q_sliding_inversion(spark, sf_dir):
+    """Invertible slide-eviction path (InvertibleSynopsisFunction.java:64-114
+    analogue): per-slice CountMin prefixes differenced into 1-day windows at
+    6-hour slide; exact-count oracle over the same slice-position semantics
+    (windows span the 4 newest *present* slices, leading windows partial)."""
+    df = _events(spark, sf_dir)
+    spec = SynopsisSpec(kind="countmin", params=dict(width=2048, height=5, seed=7),
+                        column="user_id", ts_column="ts", window=Tumbling("6 hours"))
+    slices = build_batch(df, spec)
+    inv = ev.sliding_via_inversion(slices, size_slices=4)
+    return inv.select(F.col("window_start").cast(NTZ).alias("window_start"),
+                      F.col("window_end").cast(NTZ).alias("window_end"),
+                      F.col("n"))
+
+
+def q_query_latest_stratified(spark, sf_dir):
+    """queryLatestStratified (ApproximateDataAnalytics.java:79-92): newest
+    window per stratum, histogram read per stratum."""
+    df = _events(spark, sf_dir)
+    spec = SynopsisSpec(kind="equiwidth",
+                        params=dict(lower=0.0, upper=500.0, num_buckets=10),
+                        column="value", ts_column="ts", window=Tumbling(DAY),
+                        stratify_by="event_type")
+    syn = build_batch(df, spec)
+    latest = ev.latest(syn, per_stratum=True)
+    return (ev.histogram_counts(latest)
+            .select("stratum", F.col("bucket").cast("long").alias("bucket"), "cnt"))
+
+
 def q_stratified_hist(spark, sf_dir):
     df = _events(spark, sf_dir)
     spec = SynopsisSpec(kind="equiwidth",
@@ -561,6 +590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concurrent_windows": q_concurrent_windows,
         "count_windows": q_count_windows,
         "wavelet_range_sums": q_wavelet_range_sums,
+        "sliding_inversion": q_sliding_inversion,
+        "query_latest_stratified": q_query_latest_stratified,
         "stratified_hist": q_stratified_hist,
         "tumbling_counts": q_tumbling_counts,
         "query_timestamped": q_query_timestamped,
@@ -731,6 +762,27 @@ def oracle_sql() -> dict[str, str]:
             FROM o
             UNION ALL
             SELECT 0, ROUND(COALESCE(sum(value), 0), 3) FROM o
+        """,
+        "sliding_inversion": """
+            WITH s AS (SELECT time_bucket(INTERVAL '6 hours', ts) sl, count(*) c
+                       FROM events GROUP BY 1)
+            SELECT min(sl) OVER w AS window_start,
+                   sl + INTERVAL '6 hours' AS window_end,
+                   CAST(sum(c) OVER w AS BIGINT) AS n
+            FROM s
+            WINDOW w AS (ORDER BY sl ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        "query_latest_stratified": """
+            WITH last AS (SELECT event_type, max(time_bucket(INTERVAL '1 day', ts)) ws
+                          FROM events GROUP BY 1),
+                 b AS (SELECT i AS bucket FROM range(0, 10) t(i)),
+                 c AS (SELECT event_type, time_bucket(INTERVAL '1 day', ts) ws,
+                              CAST(floor(value / 50.0) AS BIGINT) bucket, count(*) cnt
+                       FROM events WHERE value >= 0 AND value < 500 GROUP BY 1, 2, 3)
+            SELECT last.event_type AS stratum, b.bucket, COALESCE(c.cnt, 0) AS cnt
+            FROM last CROSS JOIN b
+            LEFT JOIN c ON c.event_type = last.event_type AND c.ws = last.ws
+                       AND c.bucket = b.bucket
         """,
         "stratified_hist": """
             WITH st AS (SELECT DISTINCT event_type FROM events),

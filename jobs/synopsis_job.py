@@ -65,8 +65,19 @@ def main(argv=None) -> None:
     from condor_spark.engine.streaming import StreamingSynopsisJob
     from condor_spark.engine.windows import Sliding, Tumbling
 
-    spark = SparkSession.builder.appName(
-        f"condor_spark_{args.kind}_{args.mode}").getOrCreate()
+    # Master / executor sizing come from spark-submit; the configs set here
+    # are semantic or byte-bounding. Audio rows are ~60 KB of binary, so
+    # row-count batch defaults (10k Arrow rows, 4096 parquet-reader rows)
+    # mean 250-600 MB per in-flight task batch — enough to OOM an executor
+    # heap at 32 tasks (measured 16x throughput loss locally). Bound batch
+    # BYTES via row caps sized to the payload.
+    spark = (SparkSession.builder.appName(
+        f"condor_spark_{args.kind}_{args.mode}")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "500")
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+        .config("spark.sql.files.maxPartitionBytes", "32m")
+        .getOrCreate())
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     window = (Sliding(args.window, args.slide) if args.slide
