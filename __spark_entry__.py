@@ -424,6 +424,18 @@ def q_bash_equidepth(spark, sf_dir):
                     F.round("depth", 4).alias("depth")))
 
 
+def q_equidepth_exact(spark, sf_dir):
+    """EquiDepthHistBuilder parity (exact boundaries from sorted input) —
+    the deterministic counterpart of bash_equidepth / equidepth_from_ddsketch."""
+    from condor_spark.engine.builder import build_equidepth_exact
+
+    df = _events(spark, sf_dir)
+    out = build_equidepth_exact(df, "value", 10, tiebreak_column="event_id")
+    return out.select(F.col("bucket").cast("long").alias("bucket"),
+                      F.round("lo", 4).alias("lo"), F.round("hi", 4).alias("hi"),
+                      F.col("depth").cast("long").alias("depth"))
+
+
 def q_minhash_pairs(spark, sf_dir):
     return text.minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.6)
 
@@ -616,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reservoir_sample": q_reservoir_sample,
         "biased_reservoir": q_biased_reservoir,
         "bash_equidepth": q_bash_equidepth,
+        "equidepth_exact": q_equidepth_exact,
         "hist4lt_ranges": q_hist4lt_ranges,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -762,6 +775,14 @@ def oracle_sql() -> dict[str, str]:
             FROM o
             UNION ALL
             SELECT 0, ROUND(COALESCE(sum(value), 0), 3) FROM o
+        """,
+        "equidepth_exact": """
+            WITH o AS (SELECT value,
+                              ntile(10) OVER (ORDER BY value, event_id) - 1 AS bucket
+                       FROM events)
+            SELECT bucket, ROUND(min(value), 4) AS lo, ROUND(max(value), 4) AS hi,
+                   count(*) AS depth
+            FROM o GROUP BY 1
         """,
         "sliding_inversion": """
             WITH s AS (SELECT time_bucket(INTERVAL '6 hours', ts) sl, count(*) c

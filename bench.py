@@ -149,6 +149,7 @@ def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--throughput":
         cpus = int(sys.argv[2])
         reps = int(sys.argv[3]) if len(sys.argv) >= 4 else 2
+        clips = int(sys.argv[4]) if len(sys.argv) >= 5 else 60_000
         spark = make_spark(cpus)
         spark.sparkContext.setLogLevel("ERROR")
         # large enough that parallel work dominates the ~5s of fixed
@@ -157,7 +158,7 @@ def main() -> None:
         # best-of-reps within the JVM: this host shows 15x swings between
         # IDENTICAL back-to-back reps (a kernel-time storm outside our
         # control — see BASELINE.md), so min-wall is the capability number
-        out = audio_throughput(spark, 120_000, cpus, reps=reps)
+        out = audio_throughput(spark, clips, cpus, reps=reps)
         spark.stop()
         print(json.dumps(out))
         return
@@ -183,16 +184,17 @@ def main() -> None:
     # local[8] — see BASELINE.md), so probe two sizes and report the best,
     # as a real deployment would tune executor count per node
     audio, audio_n = None, None
-    for n in (min(8, CPUS), CPUS):
-        p = subprocess.run(
-            [sys.executable, __file__, "--throughput", str(n), "2"],
-            capture_output=True, text=True, cwd=REPO)
-        got = json.loads([l for l in p.stdout.strip().splitlines()
-                          if l.startswith("{")][-1])
+    for n in dict.fromkeys((min(8, CPUS), CPUS)):  # dedup if CPUS <= 8
+        try:
+            p = subprocess.run(
+                [sys.executable, __file__, "--throughput", str(n), "2"],
+                capture_output=True, text=True, cwd=REPO, timeout=900)
+            got = json.loads([l for l in p.stdout.strip().splitlines()
+                              if l.startswith("{")][-1])
+        except (subprocess.TimeoutExpired, IndexError, ValueError):
+            continue  # a storm-stuck size is skipped, not fatal
         if audio is None or got["clips_per_sec"] > audio["clips_per_sec"]:
             audio, audio_n = got, n
-        if n == CPUS:
-            break
 
     scaling = {}
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
@@ -218,16 +220,21 @@ def main() -> None:
                 cmd = [sys.executable, __file__, "--throughput", str(n)]
                 if taskset:
                     cmd = [taskset, "-c", f"0-{n - 1}"] + cmd
-                p = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
-                line = [l for l in p.stdout.strip().splitlines()
-                        if l.startswith("{")][-1]
-                cps = json.loads(line)["clips_per_sec"]
+                try:
+                    p = subprocess.run(cmd, capture_output=True, text=True,
+                                       cwd=REPO, timeout=1200)
+                    line = [l for l in p.stdout.strip().splitlines()
+                            if l.startswith("{")][-1]
+                    cps = json.loads(line)["clips_per_sec"]
+                except (subprocess.TimeoutExpired, IndexError, ValueError):
+                    continue
                 best[n] = max(best.get(n, 0), cps)
-        eff = best[4 * base_n] / (4 * best[base_n])
-        scaling = {
-            f"cpus{base_n}_clips_per_sec": round(best[base_n]),
-            f"cpus{4 * base_n}_clips_per_sec": round(best[4 * base_n]),
-            "efficiency_n_to_4n": round(eff, 3)}
+        if base_n in best and 4 * base_n in best:
+            eff = best[4 * base_n] / (4 * best[base_n])
+            scaling = {
+                f"cpus{base_n}_clips_per_sec": round(best[base_n]),
+                f"cpus{4 * base_n}_clips_per_sec": round(best[4 * base_n]),
+                "efficiency_n_to_4n": round(eff, 3)}
 
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -237,7 +244,7 @@ def main() -> None:
         "sf": float(SF_DIR.rstrip("/").split("sf")[-1]),
         "throughput": {
             "events_updates_per_sec": round(tput["rows_per_sec"]),
-            "audio_clips_per_sec": round(audio["clips_per_sec"]),
+            "audio_clips_per_sec": round(audio["clips_per_sec"]) if audio else None,
             "audio_local_n": audio_n,
         },
         "scaling": scaling,

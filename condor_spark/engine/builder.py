@@ -496,3 +496,28 @@ def build_ordered_round_robin(df: DataFrame, spec: SynopsisSpec,
     out.count()  # materialize before unpersisting the ordered input
     work.unpersist()
     return out
+
+
+def build_equidepth_exact(df: DataFrame, column: str, num_buckets: int,
+                          tiebreak_column: str | None = None) -> DataFrame:
+    """Exact equi-depth histogram from fully sorted input — the
+    ``EquiDepthHistBuilder`` path (core/.../Histograms/
+    EquiDepthHistBuilder.java:19-49: boundaries at rank i·n/B over a sorted
+    array). Relational form: a global ``ntile(B)`` (deterministic under a
+    total order; pass ``tiebreak_column`` when ``column`` has ties), then
+    per-bucket (lo, hi, depth).
+
+    This is the exact/reference path and costs a global sort; the streaming
+    scale paths are BASH (``kind='bash'``) and DDSketch quantile boundaries
+    (``evaluate.equidepth_from_ddsketch``), which never sort.
+    """
+    from pyspark.sql import Window as W
+
+    order = [F.col(column).asc()]
+    if tiebreak_column:
+        order.append(F.col(tiebreak_column).asc())
+    b = df.withColumn("bucket", F.ntile(num_buckets).over(W.orderBy(*order)) - 1)
+    return (b.groupBy("bucket")
+             .agg(F.min(column).alias("lo"), F.max(column).alias("hi"),
+                  F.count("*").alias("depth"))
+             .orderBy("bucket"))

@@ -81,7 +81,9 @@ def ann_topk_lsh(emb_df: DataFrame, query_ids: list[int], k: int = 5,
     Recall < 1 by construction; the baseline/oracle is brute_force_topk.
     """
     sig = hyperplane_signatures(emb_df, num_planes, seed, id_col, vec_col)
-    with_bucket = emb_df.join(sig, emb_df[id_col] == sig["vec_id"]).drop(sig["vec_id"])
+    # persist: read twice (query side + candidate side) below
+    with_bucket = (emb_df.join(sig, emb_df[id_col] == sig["vec_id"])
+                   .drop(sig["vec_id"]).persist())
     q = (with_bucket.filter(F.col(id_col).isin(query_ids))
          .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
                  F.col("bucket")))
@@ -162,7 +164,9 @@ def cosine_near_dup_pairs_lsh(emb_df: DataFrame, threshold: float = 0.4,
             yield pd.DataFrame(out)
 
     sig_schema = "_sid long, " + ", ".join(f"b{i} long" for i in range(bands))
-    sig = emb_df.select(id_col, vec_col).mapInPandas(sig_fn, schema=sig_schema)
+    # persist: the band self-join reads the signature UDF output twice
+    sig = emb_df.select(id_col, vec_col).mapInPandas(
+        sig_fn, schema=sig_schema).persist()
     # long form: one row per (vector, band) → equi-join on (band, bucket)
     pairs_of = F.array(*[F.struct(F.lit(i).alias("band"), F.col(f"b{i}").alias("bucket"))
                          for i in range(bands)])
