@@ -68,16 +68,26 @@ def make_spark(cpus: int):
             .getOrCreate())
 
 
-def throughput_job(spark, sf_dir: str) -> dict:
+def throughput_job(spark, sf_dir: str, target_rows: int = 2_000_000) -> dict:
     """The scaling-proxy job: two-phase CM + HLL + DDSketch build over events
-    (3 synopsis kinds per window — one pass each). Returns rows/sec."""
+    (3 synopsis kinds per window — one pass each). Returns rows/sec.
+
+    The sf0.1 events table is only 100k rows — at that size the number is
+    ~fixed stage overhead, not engine throughput — so the input is
+    replicated (untimed, materialized once) to ~``target_rows``."""
     from pyspark.sql import functions as F
 
     from condor_spark.engine import evaluate as ev
     from condor_spark.engine.builder import SynopsisSpec, build_batch
     from condor_spark.engine.windows import Tumbling
 
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = max(1, target_rows // max(base.count(), 1))
+    path = f"/tmp/condor_spark_bench_events_{k}_{os.path.basename(sf_dir.rstrip('/'))}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (base.withColumn("__r", F.explode(F.array(*[F.lit(i) for i in range(k)])))
+             .drop("__r").repartition(64).write.mode("overwrite").parquet(path))
+    df = spark.read.parquet(path)
     n = df.count()
     t0 = time.perf_counter()
     for kind, params, col in (
@@ -188,7 +198,7 @@ def main() -> None:
         try:
             p = subprocess.run(
                 [sys.executable, __file__, "--throughput", str(n), "2"],
-                capture_output=True, text=True, cwd=REPO, timeout=900)
+                capture_output=True, text=True, cwd=REPO, timeout=600)
             got = json.loads([l for l in p.stdout.strip().splitlines()
                               if l.startswith("{")][-1])
         except (subprocess.TimeoutExpired, IndexError, ValueError):
@@ -211,18 +221,20 @@ def main() -> None:
         # means CPUs, as it would for executors: without pinning, local[n]'s
         # ~3 chained python workers per core borrow idle host cores, which
         # inflates the small-N denominator and understates true efficiency.
-        # Sizes alternate across fresh JVMs, best-of-2 per size (host CPU
-        # availability is bursty). See BASELINE.md "scaling methodology".
+        # Fresh pinned JVM per size, best-of-2 timed reps inside it; up to 2
+        # attempts per size with a hard per-child timeout, because the host's
+        # kernel-time storms (BASELINE.md) can stall any single child 10x.
         taskset = _shutil.which("taskset")
         best = {}
-        for _ in range(2):
-            for n in (base_n, 4 * base_n):
-                cmd = [sys.executable, __file__, "--throughput", str(n)]
+        for n in (base_n, 4 * base_n):
+            for _attempt in range(2):
+                cmd = [sys.executable, __file__, "--throughput", str(n),
+                       "2", "36000"]
                 if taskset:
                     cmd = [taskset, "-c", f"0-{n - 1}"] + cmd
                 try:
                     p = subprocess.run(cmd, capture_output=True, text=True,
-                                       cwd=REPO, timeout=1200)
+                                       cwd=REPO, timeout=600)
                     line = [l for l in p.stdout.strip().splitlines()
                             if l.startswith("{")][-1]
                     cps = json.loads(line)["clips_per_sec"]
