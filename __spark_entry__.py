@@ -295,6 +295,37 @@ def q_query_timestamped(spark, sf_dir):
     return res.select(F.col("q_ts").cast(NTZ).alias("q_ts"), "key", "est_count")
 
 
+def q_query_timestamped_stratified(spark, sf_dir):
+    """queryTimestampedStratified (ApproximateDataAnalytics.java:93-117):
+    (q_ts, stratum) queries answered by the stratum's window containing
+    q_ts; histogram read per hit. Exact oracle (counts are exact)."""
+    df = _events(spark, sf_dir)
+    strata = sorted(r[0] for r in df.select("event_type").distinct().collect())
+    spec = SynopsisSpec(kind="equiwidth",
+                        params=dict(lower=0.0, upper=500.0, num_buckets=10),
+                        column="value", ts_column="ts", window=Tumbling(DAY),
+                        stratify_by="event_type")
+    syn = build_batch(df, spec)
+    queries = spark.createDataFrame(
+        [(t, s) for t in Q_TS for s in strata], "q_ts_s string, stratum string"
+    ).select(F.col("q_ts_s").cast("timestamp").alias("q_ts"), "stratum")
+
+    def fn(synopsis, pdf):
+        counts = synopsis.frequency.astype("int64")
+        outs = []
+        for qts in pdf["q_ts"]:
+            outs.append(pd.DataFrame({
+                "q_ts": [qts] * synopsis.num_buckets,
+                "bucket": range(synopsis.num_buckets), "cnt": counts}))
+        return pd.concat(outs, ignore_index=True)
+
+    res = ev.query_timestamped(syn, queries, fn,
+                               "q_ts timestamp, stratum string, bucket long, "
+                               "cnt long", stratified=True)
+    return res.select(F.col("q_ts").cast(NTZ).alias("q_ts"), "stratum",
+                      "bucket", "cnt")
+
+
 def q_query_latest_hist(spark, sf_dir):
     df = _events(spark, sf_dir)
     spec = SynopsisSpec(kind="equiwidth",
@@ -434,6 +465,42 @@ def q_equidepth_exact(spark, sf_dir):
     return out.select(F.col("bucket").cast("long").alias("bucket"),
                       F.round("lo", 4).alias("lo"), F.round("hi", 4).alias("hi"),
                       F.col("depth").cast("long").alias("depth"))
+
+
+def q_equidepth_dd(spark, sf_dir):
+    """DDSketch-backed streaming equi-depth (SplitAndMergeWithDDSketch.java:15-37
+    analogue): bucket boundaries = quantiles at i/B read from the mergeable
+    sketch — fully partition-parallel, unlike the reference's parallelism-1
+    recommendation."""
+    df = _events(spark, sf_dir).filter(F.col("value") > 0)
+    spec = SynopsisSpec(kind="ddsketch",
+                        params=dict(relative_accuracy=0.01, max_num_bins=4096),
+                        column="value", window=GlobalWindow())
+    syn = build_batch(df, spec)
+    return (ev.equidepth_from_ddsketch(syn, 10)
+            .select(F.col("bucket").cast("long").alias("bucket"),
+                    F.round("lo", 4).alias("lo"), F.round("hi", 4).alias("hi")))
+
+
+def q_ann_topk_ivf(spark, sf_dir):
+    out = similarity.ann_topk_ivf(_emb(spark, sf_dir), list(range(10)), k=5,
+                                  num_centroids=16, nprobe=4)
+    return out.select("query_id", F.col("rank").cast("long").alias("rank"),
+                      "neighbor_id", "cosine")
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal pipeline: opaque binary media + typed metadata → Arrow-
+    batched decode (raw codecs real, compressed stubbed) → visual features."""
+    from condor_spark.engine import multimodal as mm
+
+    imgs = mm.synth_media_df(spark, 150, "image", num_partitions=8)
+    vids = mm.synth_media_df(spark, 50, "video", num_partitions=8)
+    out = mm.media_features(imgs.unionByName(vids))
+    return out.select("media_id", F.round("mean_lum", 4).alias("mean_lum"),
+                      F.round("std_lum", 4).alias("std_lum"),
+                      F.round("edge_energy", 4).alias("edge_energy"),
+                      F.col("n_frames").cast("long").alias("n_frames"))
 
 
 def q_minhash_pairs(spark, sf_dir):
@@ -607,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_hist": q_stratified_hist,
         "tumbling_counts": q_tumbling_counts,
         "query_timestamped": q_query_timestamped,
+        "query_timestamped_stratified": q_query_timestamped_stratified,
         "query_latest_hist": q_query_latest_hist,
         "cm_frequency_tree": q_cm_frequency_tree,
         "stream_stateful_frequency": q_stream_stateful_frequency,
@@ -629,11 +697,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "biased_reservoir": q_biased_reservoir,
         "bash_equidepth": q_bash_equidepth,
         "equidepth_exact": q_equidepth_exact,
+        "equidepth_dd": q_equidepth_dd,
         "hist4lt_ranges": q_hist4lt_ranges,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "dedup_cosine_lsh": q_dedup_cosine_lsh,
+        "media_features": q_media_features,
         "audio_rms_quantiles": q_audio_rms_quantiles,
         "stream_join": q_stream_join,
     }
@@ -830,6 +901,21 @@ def oracle_sql() -> dict[str, str]:
             FROM q CROSS JOIN k
             LEFT JOIN c ON c.ws = time_bucket(INTERVAL '1 day', q.q_ts)
                        AND c.user_id = k.user_id
+        """,
+        "query_timestamped_stratified": f"""
+            WITH q AS (SELECT unnest([{", ".join(f"TIMESTAMP '{t}'" for t in Q_TS)}]) q_ts),
+                 b AS (SELECT i AS bucket FROM range(0, 10) t(i)),
+                 p AS (SELECT DISTINCT event_type,
+                              time_bucket(INTERVAL '1 day', ts) ws FROM events),
+                 c AS (SELECT event_type, time_bucket(INTERVAL '1 day', ts) ws,
+                              CAST(floor(value / 50.0) AS BIGINT) bucket, count(*) cnt
+                       FROM events WHERE value >= 0 AND value < 500 GROUP BY 1, 2, 3)
+            SELECT q.q_ts, p.event_type AS stratum, b.bucket,
+                   COALESCE(c.cnt, 0) AS cnt
+            FROM q JOIN p ON p.ws = time_bucket(INTERVAL '1 day', q.q_ts)
+            CROSS JOIN b
+            LEFT JOIN c ON c.event_type = p.event_type AND c.ws = p.ws
+                       AND c.bucket = b.bucket
         """,
         "query_latest_hist": """
             WITH last AS (SELECT max(time_bucket(INTERVAL '1 day', ts)) ws FROM events),

@@ -99,6 +99,124 @@ def ann_topk_lsh(emb_df: DataFrame, query_ids: list[int], k: int = 5,
                 .select("query_id", "rank", "neighbor_id", "cosine"))
 
 
+def ivf_index(emb_df: DataFrame, num_centroids: int = 16, iters: int = 2,
+              seed: int = 7, id_col: str = "vec_id",
+              vec_col: str = "embedding"):
+    """Deterministic IVF index: spherical k-means centroids + per-vector
+    cluster assignments.
+
+    Lloyd iterations are fully distributed: each iteration is one
+    ``mapInPandas`` pass that emits per-partition partial sums — one tiny
+    (cluster, sum-vector, count) row per cluster per partition — so only
+    O(partitions x C x dim) crosses to the driver, never the vectors
+    themselves. Initial centroids are a deterministic hash-ordered sample
+    (no RNG state shared across workers).
+
+    Returns ``(centroids ndarray (C, dim) unit-norm, assignments DataFrame
+    [vec_id, cluster])``.
+    """
+    init = (emb_df.select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+            .limit(num_centroids).collect())
+    cents = np.stack([np.asarray(r[1], dtype=np.float64) for r in init])
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    def partials_fn(centroids):
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            c = centroids
+            sums = np.zeros_like(c)
+            counts = np.zeros(c.shape[0], dtype=np.int64)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                unit = mat / np.maximum(
+                    np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+                best = (unit @ c.T).argmax(axis=1)
+                np.add.at(sums, best, unit)
+                np.add.at(counts, best, 1)
+            nz = np.nonzero(counts)[0]
+            yield pd.DataFrame({"cluster": nz,
+                                "s": [sums[i].tolist() for i in nz],
+                                "n": counts[nz]})
+        return fn
+
+    for _ in range(iters):
+        rows = (emb_df.select(vec_col).mapInPandas(
+                    partials_fn(cents), schema="cluster int, s array<double>, n long")
+                .collect())
+        sums = np.zeros_like(cents)
+        counts = np.zeros(cents.shape[0], dtype=np.int64)
+        for r in rows:
+            sums[r["cluster"]] += np.asarray(r["s"])
+            counts[r["cluster"]] += r["n"]
+        moved = counts > 0
+        cents[moved] = sums[moved] / counts[moved, None]
+        cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    final = cents
+
+    def assign_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            unit = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame({"vec_id": pdf[id_col].to_numpy(),
+                                "cluster": (unit @ final.T).argmax(axis=1)})
+
+    assign = emb_df.select(id_col, vec_col).mapInPandas(
+        assign_fn, schema="vec_id long, cluster int")
+    return final, assign
+
+
+def ann_topk_ivf(emb_df: DataFrame, query_ids: list[int], k: int = 5,
+                 num_centroids: int = 16, nprobe: int = 4, iters: int = 2,
+                 seed: int = 7, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: rank only candidates in the ``nprobe`` clusters
+    nearest each query (classic inverted-file ANN; the other scale path next
+    to :func:`ann_topk_lsh`).
+
+    The shuffle carries (vector, cluster) assignments once; per query only
+    ~``nprobe/num_centroids`` of the table is scanned. Recall < 1 by
+    construction; brute_force_topk is the oracle.
+    """
+    cents, assign = ivf_index(emb_df, num_centroids, iters, seed, id_col, vec_col)
+    with_cluster = (emb_df.join(assign, emb_df[id_col] == assign["vec_id"])
+                    .drop(assign["vec_id"]).persist())
+
+    def probes_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            unit = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            order = np.argsort(-(unit @ cents.T), axis=1)[:, :nprobe]
+            yield pd.DataFrame({
+                "query_id": np.repeat(pdf[id_col].to_numpy(), nprobe),
+                "q_vec": [v for v in pdf[vec_col] for _ in range(nprobe)],
+                "cluster": order.reshape(-1)})
+
+    q = (emb_df.filter(F.col(id_col).isin(query_ids))
+         .select(id_col, vec_col)
+         .mapInPandas(probes_fn,
+                      schema="query_id long, q_vec array<float>, cluster int"))
+    cand = with_cluster.select(F.col(id_col).alias("neighbor_id"),
+                               F.col(vec_col).alias("c_vec"), F.col("cluster"))
+    sims = (F.broadcast(q).join(cand, "cluster")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id",
+                    F.round(_cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"))
+            .groupBy("query_id", "neighbor_id").agg(F.max("cosine").alias("cosine")))
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (sims.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "rank", "neighbor_id", "cosine"))
+
+
 def cosine_near_dup_pairs(emb_df: DataFrame, threshold: float = 0.4,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding") -> DataFrame:

@@ -198,6 +198,29 @@ def test_cosine_near_dup_exact_and_lsh(spark):
     assert len(lsh_pairs) >= 0.9 * len(exact_pairs)
 
 
+def test_ann_topk_ivf_recall(spark):
+    """IVF probes nprobe nearest clusters; the fixture embeddings are near-
+    uniform (worst case for cluster pruning: recall ~ fraction probed), so
+    the bound is recall@5 clearly above the probed fraction (8/16), plus:
+    every reported cosine must equal the exact cosine (IVF only prunes
+    candidates, never alters scores)."""
+    from condor_spark.engine import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    qids = list(range(10))
+    exact = similarity.brute_force_topk(emb, qids, k=5).collect()
+    ivf = similarity.ann_topk_ivf(emb, qids, k=5, num_centroids=16,
+                                  nprobe=8).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    ivf_set = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    assert len(ivf_set & exact_set) >= 0.6 * len(exact_set)
+    cos = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    for r in ivf:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in cos:
+            assert abs(r["cosine"] - cos[key]) < 1e-9
+
+
 def test_build_ordered_round_robin_wavelet(spark, events):
     """Round-robin division + DistributedWaveletsManager index math
     (OrderAndIndex.java:58-66, DistributedWaveletsManager.java:42-76):
