@@ -178,6 +178,10 @@ def main() -> None:
     spark = make_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     qmap = entry.queries()
+    # untimed warmup: spin up the python-worker pools / Arrow streams /
+    # codegen once, so the first headline query measures the query and not
+    # session startup (measured: 45s cold vs 1.4s warm for the same query)
+    qmap["hll_distinct"](spark, SF_DIR).count()
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()

@@ -173,6 +173,20 @@ def _final_merger(size_us: int, spec: SynopsisSpec | None = None):
     return fn
 
 
+def _rescale_degenerate(work: DataFrame) -> DataFrame:
+    """Round-robin rebalance a degenerate scan (Condor's ``rescale()`` after
+    the source, ``SynopsisBuilder.java:197``): a small parquet table scans as
+    1-4 partitions, which would serialize the partial-build phase. Only
+    fires when the scan is far narrower than the session's shuffle width AND
+    tiny in absolute terms — a real 100 TB scan has thousands of partitions
+    and must NOT pay a raw-row shuffle here."""
+    p_in = work.rdd.getNumPartitions()
+    width = int(work.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if p_in <= 8 and p_in * 4 <= width:
+        return work.repartition(width)
+    return work
+
+
 def build_batch(df: DataFrame, spec: SynopsisSpec) -> DataFrame:
     """Build windowed synopses over a batch DataFrame.
 
@@ -197,7 +211,7 @@ def build_batch(df: DataFrame, spec: SynopsisSpec) -> DataFrame:
     else:
         raise ValueError(f"unsupported window {win}")
 
-    work = _normalize(df, spec, slice_us)
+    work = _rescale_degenerate(_normalize(df, spec, slice_us))
     partials = work.mapInPandas(_partial_builder(spec), schema=_PARTIAL_SCHEMA)
 
     if isinstance(win, Sliding):
@@ -250,7 +264,7 @@ def build_batch_multi(df: DataFrame, spec: SynopsisSpec,
     for v in sizes + slides:
         slice_us = gcd(slice_us, v)
 
-    work = _normalize(df, spec, slice_us)
+    work = _rescale_degenerate(_normalize(df, spec, slice_us))
     partials = work.mapInPandas(_partial_builder(spec), schema=_PARTIAL_SCHEMA)
 
     per_spec = []
@@ -298,7 +312,11 @@ def _build_session(df: DataFrame, spec: SynopsisSpec, win: Session) -> DataFrame
     partition instead of one applyInPandas call per session."""
     gap = win.gap_us
     work = _normalize(df, spec, None)
-    p = df.rdd.getNumPartitions()
+    # never inherit a degenerate scan parallelism (a single parquet file
+    # scans as 1 partition): sessionization shuffles anyway, so spread the
+    # strata across the session's full shuffle width
+    p = max(df.rdd.getNumPartitions(),
+            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
     work = (work.repartition(p, "__st")
                 .sortWithinPartitions("__st", "__ts"))
 
@@ -343,7 +361,9 @@ def _global_order(df: DataFrame, spec: SynopsisSpec, num_partitions: int | None)
     work = _normalize(df, spec, None)
     if "__tb" not in work.columns:
         work = work.withColumn("__tb", F.lit(0).cast("long"))
-    p = num_partitions or work.rdd.getNumPartitions()
+    p = num_partitions or max(
+        work.rdd.getNumPartitions(),
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
     # persist pins the (sampled) range partitioning so the offsets job and
     # the build job see identical partitions
     work = (work.repartitionByRange(p, "__ts", "__tb")

@@ -32,6 +32,18 @@ LANG_STOPWORDS = {
 _NORM_WS = r"\s+"
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin rebalance a degenerate scan (one small parquet file scans
+    as 1 partition, serializing every downstream UDF). Fires only for tiny
+    scans far below the session's shuffle width — a real warehouse scan has
+    thousands of partitions and must not pay a raw-row shuffle."""
+    p_in = df.rdd.getNumPartitions()
+    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if p_in <= 8 and p_in * 4 <= width:
+        return df.repartition(width)
+    return df
+
+
 def tokens_col(text_col: str = "text"):
     """Whitespace tokens of the normalized text (JVM-side)."""
     return F.split(F.regexp_replace(F.trim(F.col(text_col)), _NORM_WS, " "), " ")
@@ -142,7 +154,7 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
             yield pd.DataFrame({"doc_id": pdf[id_col].to_numpy(),
                                 "signature": list(sig)})
 
-    return df.select(id_col, text_col).mapInPandas(
+    return _spread(df.select(id_col, text_col)).mapInPandas(
         fn, schema="doc_id long, signature array<long>")
 
 
@@ -187,7 +199,28 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle,
                               seed).persist()
     cand = lsh_candidate_pairs(sigs, bands=num_hashes // 8, rows_per_band=8)
-    sh = shingle_sets(df, id_col, text_col, shingle).persist()
+    # signature pre-filter: matching-lane fraction is an unbiased Jaccard
+    # estimate (stderr sqrt(t(1-t)/k) ~= 0.06 at k=64); candidates whose
+    # estimate is > ~2.5 sigma below threshold cannot plausibly verify, so
+    # they are dropped before the (heavier) shingle-set join. Survivors are
+    # still exactly verified — precision stays 1.0.
+    sa = sigs.select(F.col(id_col).alias("doc_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("doc_b"), F.col("signature").alias("sig_b"))
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b",
+                   lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0))),
+        F.lit(0), lambda acc, v: acc + v)
+    cand = (cand.join(sa, "doc_a").join(sb, "doc_b")
+                .filter(matches >= F.lit((threshold - 0.15) * num_hashes))
+                .select("doc_a", "doc_b"))
+    # verify on HASHED shingles: array_intersect over long arrays is ~18x
+    # faster than over the string arrays (measured 59s -> 3.3s on 550k
+    # candidates at sf0.1); xxhash64 collisions (~n_shingles^2 / 2^64 per
+    # doc pair) cannot realistically perturb a Jaccard at 6 decimals
+    sh = (shingle_sets(df, id_col, text_col, shingle)
+          .select(id_col, F.array_distinct(
+              F.transform("shingles", lambda s: F.xxhash64(s))).alias("shingles"))
+          .persist())
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
     joined = cand.join(a, "doc_a").join(b, "doc_b")
@@ -207,7 +240,7 @@ def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     (O(len^2) per doc — measured 22s -> ~2s on 5k docs at sf0.1).
     """
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    return (df.select(F.col(id_col), norm.alias("__norm"))
+    return (_spread(df.select(F.col(id_col), norm.alias("__norm")))
               .select(
                   F.col(id_col),
                   F.array_distinct(F.expr(
@@ -256,7 +289,7 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
                                << np.arange(64, dtype=np.uint64)).sum()))
             yield pd.DataFrame({"doc_id": pdf[id_col].to_numpy(), "simhash": out})
 
-    return df.select(id_col, text_col).mapInPandas(
+    return _spread(df.select(id_col, text_col)).mapInPandas(
         fn, schema="doc_id long, simhash long")
 
 
