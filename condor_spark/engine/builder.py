@@ -352,10 +352,17 @@ def _build_session(df: DataFrame, spec: SynopsisSpec, win: Session) -> DataFrame
     return work.mapInPandas(build, schema=_FINAL_SCHEMA)
 
 
-def _global_order(df: DataFrame, spec: SynopsisSpec, num_partitions: int | None):
+def _global_order(df: DataFrame, spec: SynopsisSpec, num_partitions: int | None,
+                  with_offsets: bool = True):
     """Deterministic global order by (ts, tiebreak): range partition + local
     sort + per-partition offsets (the OrderAndIndex analogue,
-    ``processor/divide/OrderAndIndex.java:41-67`` — but parallel, not par=1)."""
+    ``processor/divide/OrderAndIndex.java:41-67`` — but parallel, not par=1).
+
+    ``with_offsets=False`` skips the offsets pre-job AND the persist:
+    consumers that derive positions from slice order alone (the wavelet
+    slice-manager path) then run one single job, so there is no
+    cross-job partitioning-stability concern and nothing to pin.
+    """
     from pyspark import StorageLevel
 
     work = _normalize(df, spec, None)
@@ -364,11 +371,13 @@ def _global_order(df: DataFrame, spec: SynopsisSpec, num_partitions: int | None)
     p = num_partitions or max(
         work.rdd.getNumPartitions(),
         int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
+    work = (work.repartitionByRange(p, "__ts", "__tb")
+                .sortWithinPartitions("__ts", "__tb"))
+    if not with_offsets:
+        return work, None, None
     # persist pins the (sampled) range partitioning so the offsets job and
     # the build job see identical partitions
-    work = (work.repartitionByRange(p, "__ts", "__tb")
-                .sortWithinPartitions("__ts", "__tb")
-                .persist(StorageLevel.MEMORY_AND_DISK))
+    work = work.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = (work.withColumn("__pid", F.spark_partition_id())
                  .groupBy("__pid").count().collect())  # P rows only
     counts = {r["__pid"]: r["count"] for r in sizes}
@@ -442,7 +451,11 @@ def build_ordered(df: DataFrame, spec: SynopsisSpec,
     """
     from pyspark import TaskContext
 
-    work, _offsets, _total = _global_order(df, spec, num_partitions)
+    # offsets skipped: slice offsets are recomputed by the consumer from the
+    # returned lengths in slice_idx order, so this is one single job — no
+    # persist, no pre-count (saves a full pass over the sorted data)
+    work, _offsets, _total = _global_order(df, spec, num_partitions,
+                                           with_offsets=False)
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ctx = TaskContext.get()
