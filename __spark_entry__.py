@@ -611,6 +611,36 @@ def q_stream_sessions(spark, sf_dir):
                       F.col("n"))
 
 
+def q_stream_sliding(spark, sf_dir):
+    """Streaming sliding windows on the stateful path: slice partials are
+    expanded into their windows JVM-side, keyed state merges them, windows
+    fire on event-time timeout. Every closed window must match the batch
+    sliding build → shares the exact sliding_counts oracle."""
+    import tempfile
+
+    from condor_spark import fixtures
+    from condor_spark.engine.stateful import StatefulSynopsisStream
+
+    df = _events(spark, sf_dir)
+    max_ts = df.agg(F.max("ts")).collect()[0][0]
+    cutoff = pd.Timestamp(max_ts) + pd.Timedelta(days=2)
+    tmp = tempfile.mkdtemp(prefix="condor_sliding_")
+    fixtures.replay_in_order(
+        spark, df, f"{tmp}/src", n_chunks=5,
+        flush_ts=[cutoff + pd.Timedelta(days=40), cutoff + pd.Timedelta(days=80)])
+    spec = SynopsisSpec(kind="hll", params=dict(log_reg_num=4, seed=7),
+                        column="event_id", ts_column="ts",
+                        window=Sliding(DAY, "6 hours"))
+    job = StatefulSynopsisStream(spec, watermark_delay="1 hour")
+    q = job.start(spark, f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt",
+                  max_files_per_trigger=1)
+    q.awaitTermination(600)
+    syn = spark.read.parquet(f"{tmp}/out").filter(
+        F.col("window_start") < F.lit(cutoff))
+    return syn.select(F.col("window_start").cast(NTZ).alias("window_start"),
+                      F.col("n").alias("cnt"))
+
+
 def q_stream_count_windows(spark, sf_dir):
     """Streaming count windows (applyInPandasWithState counter); emitted
     full windows match the batch global-order routing exactly."""
@@ -679,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_frequency_tree": q_cm_frequency_tree,
         "stream_stateful_frequency": q_stream_stateful_frequency,
         "stream_sessions": q_stream_sessions,
+        "stream_sliding": q_stream_sliding,
         "stream_count_windows": q_stream_count_windows,
         # pipeline ops, oracle-backed
         "dedup_exact": q_dedup_exact,
@@ -1003,6 +1034,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["cm_frequency_tree"] = oracles["cm_user_frequency"]
     oracles["stream_stateful_frequency"] = oracles["cm_user_frequency"]
     oracles["stream_sessions"] = oracles["session_windows"]
+    oracles["stream_sliding"] = oracles["sliding_counts"]
     oracles["stream_count_windows"] = """
             WITH o AS (SELECT row_number() OVER (ORDER BY ts, event_id) - 1 AS idx
                        FROM events)
