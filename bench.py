@@ -177,6 +177,14 @@ def main() -> None:
 
     spark = make_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
+    # the byte-bounded Arrow/parquet batches in make_spark protect the WIDE
+    # BINARY audio rows (children run their own JVMs and keep them); the
+    # headline tables are narrow, where 500-row batches just multiply
+    # per-batch overhead — measured 3x on events throughput (237k -> 719k
+    # updates/s) and 5.8x on a ddsketch build. Runtime SQL confs, so they
+    # can differ per workload within one session.
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "4096")
     qmap = entry.queries()
     # untimed warmup: spin up the python-worker pools / Arrow streams /
     # codegen once, so the first headline query measures the query and not
