@@ -1,0 +1,27 @@
+"""Text dedup paths: the broadcast-LUT verify and the join verify must be
+two physical strategies for ONE logical operator — identical rows out."""
+
+from condor_spark.engine import text as T
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_verify_paths_identical(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    fast = (T.minhash_dedup_pairs(df, threshold=0.7)
+            .toPandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    slow = (T.minhash_dedup_pairs(df, threshold=0.7, broadcast_bytes=0)
+            .toPandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    assert fast.equals(slow)
+    assert len(fast) > 0  # fixture has near-dup pairs above 0.7
+
+
+def test_minhash_precision_vs_exact(spark):
+    """Every emitted pair must also appear in the exact all-pairs Jaccard at
+    the same threshold with the same value — precision 1.0 by construction
+    (LSH prunes candidates, never invents them)."""
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    got = T.minhash_dedup_pairs(df, threshold=0.7).toPandas()
+    exact = T.ngram_jaccard_pairs(df, threshold=0.7).toPandas()
+    key = lambda p: set(map(tuple, p[["doc_a", "doc_b", "jaccard"]].to_numpy()))
+    assert key(got) <= key(exact)
