@@ -786,6 +786,17 @@ def oracle_sql() -> dict[str, str]:
             FROM w CROSS JOIN k
             LEFT JOIN p ON p.ws = w.ws AND p.event_type = k.key
         """,
+        # cuckoo at this sizing (5 distinct keys in 1024x4 slots, 16-bit
+        # fingerprints) has no kicks and empirically zero false positives on
+        # the fixture, so membership is exact — same promotion as bloom
+        "cuckoo_membership": """
+            WITH k AS (SELECT unnest(list_sort(list_distinct(list(event_type)))
+                              || ['zzz_absent_a','zzz_absent_b']) AS key
+                       FROM events),
+                 p AS (SELECT DISTINCT event_type FROM events)
+            SELECT k.key, (p.event_type IS NOT NULL) AS member
+            FROM k LEFT JOIN p ON p.event_type = k.key
+        """,
         "equiwidth_hist": """
             WITH w AS (SELECT DISTINCT time_bucket(INTERVAL '1 day', ts) ws FROM events),
                  b AS (SELECT i AS bucket FROM range(0, 20) t(i)),
