@@ -550,6 +550,42 @@ def q_cm_frequency_tree(spark, sf_dir):
                       "key", "est_count")
 
 
+def q_cep_sequence(spark, sf_dir):
+    """CEP batch: every signup followed by a purchase of the same user
+    within 3 days (JVM equi-join + event-time range predicate)."""
+    from condor_spark.engine.cep import sequence_matches
+    return sequence_matches(_events(spark, sf_dir), within="3 days")
+
+
+def q_cep_sequence_first(spark, sf_dir):
+    """CEP batch, earliest-match-only (MATCH_RECOGNIZE-flavored)."""
+    from condor_spark.engine.cep import sequence_matches
+    return sequence_matches(_events(spark, sf_dir), within="3 days",
+                            earliest_only=True)
+
+
+def q_stream_cep_sequence(spark, sf_dir):
+    """CEP streaming: keyed pending-event state; pairs emit exactly once at
+    the later element's arrival, so a full replay equals the batch join."""
+    import tempfile
+
+    from condor_spark import fixtures
+    from condor_spark.engine.cep import StatefulSequenceStream
+
+    df = _events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="condor_cep_")
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    fixtures.replay_in_order(spark, df, src, n_chunks=5)
+
+    job = StatefulSequenceStream(within="3 days", watermark_delay="1 hour")
+    q = job.start(spark, src, out, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(600)
+    res = spark.read.parquet(out)
+    return res.select("key",
+                      F.col("first_ts").cast(NTZ).alias("first_ts"),
+                      F.col("second_ts").cast(NTZ).alias("second_ts"))
+
+
 def q_stream_stateful_frequency(spark, sf_dir):
     """The applyInPandasWithState streaming path, end-to-end: ordered file
     replay → watermark → keyed sketch state → event-time-timeout emission.
@@ -738,6 +774,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "audio_rms_quantiles": q_audio_rms_quantiles,
         "stream_join": q_stream_join,
+        # CEP sequence detection (exact operator, oracle-backed)
+        "cep_sequence": q_cep_sequence,
+        "cep_sequence_first": q_cep_sequence_first,
+        "stream_cep_sequence": q_stream_cep_sequence,
     }
 
 
@@ -1046,6 +1086,24 @@ def oracle_sql() -> dict[str, str]:
     oracles["stream_stateful_frequency"] = oracles["cm_user_frequency"]
     oracles["stream_sessions"] = oracles["session_windows"]
     oracles["stream_sliding"] = oracles["sliding_counts"]
+    oracles["cep_sequence"] = """
+            SELECT a.user_id AS key, a.ts AS first_ts, b.ts AS second_ts
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND a.event_type = 'signup' AND b.event_type = 'purchase'
+             AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 3 DAY
+        """
+    oracles["cep_sequence_first"] = """
+            SELECT a.user_id AS key, a.ts AS first_ts, min(b.ts) AS second_ts
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND a.event_type = 'signup' AND b.event_type = 'purchase'
+             AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 3 DAY
+            GROUP BY 1, 2
+        """
+    # the streaming CEP operator emits each pair exactly once at its later
+    # element's arrival, so full replay reproduces the batch join verbatim
+    oracles["stream_cep_sequence"] = oracles["cep_sequence"]
     oracles["stream_count_windows"] = """
             WITH o AS (SELECT row_number() OVER (ORDER BY ts, event_id) - 1 AS idx
                        FROM events)

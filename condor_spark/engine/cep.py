@@ -1,0 +1,176 @@
+"""CEP sequence detection: "A followed by B within T" per key.
+
+North-rule surface ("structured-streaming / CEP engine"): the classic
+event-pattern primitive — for every *first*-kind event, every (or the
+earliest) *second*-kind event of the same key that lands in
+``(first_ts, first_ts + within]``. The reference has no CEP operator
+(Condor is a synopsis engine); this is new surface required by the north
+rule, expressed Spark-first:
+
+  batch     — two filtered projections of the event stream equi-joined on
+              the key with an event-time range predicate. Catalyst pushes
+              the event-kind filters into the scan, the join shuffles only
+              matching-kind rows on the key, and the range predicate
+              evaluates inside whole-stage codegen — no Python anywhere.
+              At 10^12 rows this is one keyed shuffle of the (small)
+              filtered sides, same shape as any big equi-join.
+  streaming — keyed state via ``applyInPandasWithState``: per key, the
+              pending first/second events inside the watermark horizon;
+              a pair is emitted exactly once, in the micro-batch where its
+              later element arrives. State is O(events in horizon) per key
+              and watermark-pruned, so stream length never accumulates.
+
+Exactness: the streaming operator emits exactly the batch join's rows for
+the same input (tested by replay), which is also the DuckDB oracle — this
+is an exact operator, not a synopsis.
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (BinaryType, LongType, StructField, StructType,
+                               TimestampType)
+
+from .windows import duration_us
+
+_NTZ = "timestamp_ntz"
+
+
+def sequence_matches(df: DataFrame, key_col: str = "user_id",
+                     ts_col: str = "ts", event_col: str = "event_type",
+                     first: str = "signup", second: str = "purchase",
+                     within: str = "7 days",
+                     earliest_only: bool = False) -> DataFrame:
+    """All (key, first_ts, second_ts) with ``first_ts < second_ts <=
+    first_ts + within``; with ``earliest_only`` each first event keeps only
+    its earliest qualifying second (MATCH_RECOGNIZE-flavored)."""
+    w_us = duration_us(within)
+    ts = F.col(ts_col).cast("timestamp")
+    a = (df.filter(F.col(event_col) == first)
+           .select(F.col(key_col).alias("key"), ts.alias("first_ts")))
+    b = (df.filter(F.col(event_col) == second)
+           .select(F.col(key_col).alias("__bk"), ts.alias("second_ts")))
+    pairs = a.join(
+        b, (F.col("key") == F.col("__bk"))
+           & (F.col("second_ts") > F.col("first_ts"))
+           & (F.unix_micros("second_ts")
+              <= F.unix_micros("first_ts") + F.lit(w_us)))
+    if earliest_only:
+        pairs = pairs.groupBy("key", "first_ts").agg(
+            F.min("second_ts").alias("second_ts"))
+    return pairs.select("key",
+                        F.col("first_ts").cast(_NTZ).alias("first_ts"),
+                        F.col("second_ts").cast(_NTZ).alias("second_ts"))
+
+
+_OUT_SCHEMA = StructType([
+    StructField("key", LongType()),
+    StructField("first_ts", TimestampType()),
+    StructField("second_ts", TimestampType()),
+])
+_STATE_SCHEMA = StructType([StructField("blob", BinaryType())])
+
+
+@dataclass
+class StatefulSequenceStream:
+    """Streaming twin of ``sequence_matches`` (all-pairs semantics).
+
+    Per-key state holds the pending first/second event times still inside
+    the watermark horizon (µs lists, pickled). A pair emits exactly once —
+    in the batch where its later element arrives: new-firsts pair with every
+    known second, new-seconds with every known first, and the new×new
+    overlap is subtracted by pairing new-seconds against pre-batch firsts
+    only. Firsts evict once the watermark passes first_ts + within (no
+    admissible second can still match); seconds evict once the watermark
+    passes second_ts (no admissible first can still precede them).
+    """
+    key_col: str = "user_id"
+    ts_col: str = "ts"
+    event_col: str = "event_type"
+    first: str = "signup"
+    second: str = "purchase"
+    within: str = "7 days"
+    watermark_delay: str = "10 seconds"
+
+    def transform(self, stream_df: DataFrame) -> DataFrame:
+        w_us = duration_us(self.within)
+        first_kind, second_kind = self.first, self.second
+
+        work = (stream_df
+                .filter(F.col(self.event_col).isin(first_kind, second_kind))
+                .select(F.col(self.key_col).cast("long").alias("key"),
+                        F.col(self.ts_col).cast("timestamp").alias("__evt"),
+                        F.col(self.event_col).alias("kind"))
+                .withWatermark("__evt", self.watermark_delay))
+
+        def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+            firsts: list[int] = []
+            seconds: list[int] = []
+            if state.exists:
+                firsts, seconds = pickle.loads(state.get[0])
+
+            out: list[tuple[int, int]] = []
+            if not state.hasTimedOut:
+                rows = [p for p in pdfs if not p.empty]
+                if rows:
+                    pdf = pd.concat(rows, ignore_index=True)
+                    us = (pdf["__evt"].astype("datetime64[us]").astype("int64")
+                          .to_numpy())
+                    is_first = (pdf["kind"] == first_kind).to_numpy()
+                    new_f = sorted(int(t) for t in us[is_first])
+                    new_s = sorted(int(t) for t in us[~is_first])
+                    # new seconds × pre-batch firsts
+                    for s in new_s:
+                        out.extend((f, s) for f in firsts
+                                   if f < s <= f + w_us)
+                    # new firsts × (old + new) seconds — covers new×new once
+                    all_s = seconds + new_s
+                    for f in new_f:
+                        out.extend((f, s) for s in all_s
+                                   if f < s <= f + w_us)
+                    firsts.extend(new_f)
+                    seconds.extend(new_s)
+
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            firsts = [f for f in firsts if f + w_us >= wm_us]
+            seconds = [s for s in seconds if s >= wm_us]
+            if firsts or seconds:
+                state.update((pickle.dumps((firsts, seconds)),))
+                horizon = min([f + w_us for f in firsts] + seconds)
+                state.setTimeoutTimestamp(max(horizon, wm_us + 1_000) // 1000)
+            elif state.exists:
+                state.remove()
+
+            if out:
+                yield pd.DataFrame({
+                    "key": [int(key[0])] * len(out),
+                    "first_ts": [pd.Timestamp(f, unit="us") for f, _ in out],
+                    "second_ts": [pd.Timestamp(s, unit="us") for _, s in out]})
+
+        return work.groupBy("key").applyInPandasWithState(
+            update, _OUT_SCHEMA, _STATE_SCHEMA, "append",
+            GroupStateTimeout.EventTimeTimeout)
+
+    def start(self, spark, source_dir: str, out_dir: str, checkpoint_dir: str,
+              schema=None, max_files_per_trigger: int = 1,
+              available_now: bool = True):
+        if schema is None:
+            schema = spark.read.parquet(source_dir).schema
+        reader = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", max_files_per_trigger)
+                  .parquet(source_dir))
+        out = self.transform(reader)
+        writer = (out.writeStream.format("parquet")
+                  .option("path", out_dir)
+                  .option("checkpointLocation", checkpoint_dir)
+                  .outputMode("append"))
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -1,0 +1,82 @@
+"""CEP sequence detection: batch join semantics + streaming exactness under
+out-of-order arrival (oracle parity at sf0.01 is covered by test_entry.py)."""
+
+import glob
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from condor_spark.engine.cep import StatefulSequenceStream, sequence_matches
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_batch_plan_pushes_kind_filters(spark):
+    """The event-kind predicates must reach the parquet scan: at 10^12 rows
+    the join sides are the (small) filtered projections, never the table."""
+    df = spark.read.parquet(f"{SF}/events.parquet")
+    plan = (sequence_matches(df, within="3 days")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters" in plan
+    assert "signup" in plan and "purchase" in plan
+
+
+def test_stream_matches_batch_out_of_order(spark, tmp_path):
+    """Pairs whose first element arrives in a LATER micro-batch than the
+    second (admissible out-of-order) must still emit, exactly once."""
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    rows = pd.DataFrame({
+        "event_id": range(8),
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00", "2024-01-01 01:00",   # u1 signup, purchase
+            "2024-01-02 00:30",                        # u1 purchase (2nd)
+            "2024-01-02 00:00",                        # u1 signup (out of order!)
+            "2024-01-03 00:00", "2024-01-09 00:00",   # u2 signup, too-late purchase
+            "2024-01-04 00:00", "2024-01-04 00:00",   # u3 purchase==signup ts
+        ]),
+        "user_id": [1, 1, 1, 1, 2, 2, 3, 3],
+        "event_type": ["signup", "purchase", "purchase", "signup",
+                       "signup", "purchase", "signup", "purchase"],
+        "value": [0.0] * 8, "props": ["{}"] * 8,
+    })
+    schema = spark.read.parquet(f"{SF}/events.parquet").schema
+    # file 1: everything except the out-of-order signup; file 2: the signup
+    base = 1_000_000_000
+    for i, part in enumerate((rows.drop(index=3), rows.loc[[3]])):
+        before = set(glob.glob(os.path.join(src, "*.parquet")))
+        (spark.createDataFrame(part, schema=schema)
+         .coalesce(1).write.mode("append").parquet(src))
+        for f in set(glob.glob(os.path.join(src, "*.parquet"))) - before:
+            os.utime(f, (base + i, base + i))
+
+    job = StatefulSequenceStream(within="3 days", watermark_delay="2 days")
+    q = job.start(spark, src, str(tmp_path / "out"), str(tmp_path / "ck"))
+    q.awaitTermination(300)
+    got = (spark.read.parquet(str(tmp_path / "out")).toPandas()
+           .sort_values(["key", "first_ts", "second_ts"]).reset_index(drop=True))
+
+    batch = (sequence_matches(spark.read.parquet(src), within="3 days")
+             .toPandas().sort_values(["key", "first_ts", "second_ts"])
+             .reset_index(drop=True))
+    got["first_ts"] = got["first_ts"].astype("datetime64[us]")
+    got["second_ts"] = got["second_ts"].astype("datetime64[us]")
+    batch["first_ts"] = batch["first_ts"].astype("datetime64[us]")
+    batch["second_ts"] = batch["second_ts"].astype("datetime64[us]")
+    assert got.equals(batch)
+    # semantics spot-checks: the out-of-order signup pairs with the later
+    # purchase only; u2's purchase is outside `within`; equal ts is no match
+    assert len(got) == 3
+    assert set(got["key"]) == {1}
+
+
+def test_earliest_only_is_min_per_first(spark):
+    df = spark.read.parquet(f"{SF}/events.parquet")
+    allp = sequence_matches(df, within="3 days").toPandas()
+    first = sequence_matches(df, within="3 days", earliest_only=True).toPandas()
+    ref = (allp.groupby(["key", "first_ts"], as_index=False)["second_ts"].min()
+           .sort_values(["key", "first_ts"]).reset_index(drop=True))
+    first = first.sort_values(["key", "first_ts"]).reset_index(drop=True)
+    assert first.equals(ref[first.columns.tolist()])
