@@ -101,6 +101,107 @@ def throughput_job(spark, sf_dir: str, target_rows: int = 2_000_000) -> dict:
     return {"rows": n * 3, "sec": wall, "rows_per_sec": n * 3 / wall}
 
 
+def error_metrics(spark, sf_dir: str) -> dict:
+    """Per-synopsis estimate error vs the reference's own bounds — the other
+    half of the BASELINE metric. Each estimate flows through the real
+    distributed build (the driver-contract query), exact answers via DuckDB.
+
+    Bounds mirror the reference's unit tests: CM |est−true| ≤ residual
+    mass/width one-sided (CountMinSketchTest.java:97-122), HLL rel err
+    ~1.04/√m (HyperLogLogSketch.java:34-36), AMS F2 rel err F2/√w
+    (FastAGMS.java:196-211), DDSketch relative accuracy α
+    (core DDSketch contract).
+    """
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    q = entry.queries()
+    con = duckdb.connect()
+    ev_pq = f"{sf_dir}/events.parquet"
+    out: dict[str, dict] = {}
+
+    def _merge(spark_pdf, exact_pdf, keys):
+        for c in keys:
+            if "ts" in c or "window" in c:
+                spark_pdf[c] = spark_pdf[c].astype("datetime64[us]")
+                exact_pdf[c] = exact_pdf[c].astype("datetime64[us]")
+        m = spark_pdf.merge(exact_pdf, on=keys, how="inner")
+        assert len(m) == len(spark_pdf), "estimate/exact key mismatch"
+        return m
+
+    # Count-Min w=8192 d=5 — one-sided overestimate, per-key residual bound
+    cm = q["cm_user_frequency"](spark, sf_dir).toPandas()
+    cm["key"] = cm["key"].astype("int64")
+    ex = con.sql(f"""
+        SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+               user_id AS key, count(*) AS true_cnt
+        FROM read_parquet('{ev_pq}') GROUP BY 1, 2""").df()
+    totals = con.sql(f"""
+        SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+               count(*) AS n_w
+        FROM read_parquet('{ev_pq}') GROUP BY 1""").df()
+    # the query estimates every (window x user) pair; pairs with no events
+    # have true count 0 (the CM bound applies to them all the same)
+    for p in (cm, ex, totals):
+        p["window_start"] = p["window_start"].astype("datetime64[us]")
+    m = (cm.merge(ex, on=["window_start", "key"], how="left")
+           .merge(totals, on="window_start", how="left"))
+    m["true_cnt"] = m["true_cnt"].fillna(0).astype("int64")
+    err = m["est_count"] - m["true_cnt"]
+    bound = (m["n_w"] - m["true_cnt"]) / 8192
+    out["countmin"] = {
+        "max_abs_err": int(err.max()), "one_sided_ok": bool((err >= 0).all()),
+        "frac_within_bound": round(float((err <= bound).mean()), 4),
+        "bound": "residual_mass/width, per-key failure prob 2^-5"}
+
+    # HLL m=2^14 — relative error vs exact distinct per window
+    hll = q["hll_distinct"](spark, sf_dir).toPandas()
+    ex = con.sql(f"""
+        SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+               count(DISTINCT user_id) AS true_d
+        FROM read_parquet('{ev_pq}') GROUP BY 1""").df()
+    m = _merge(hll, ex, ["window_start"])
+    rel = (m["est_distinct"] - m["true_d"]).abs() / m["true_d"]
+    out["hll"] = {"max_rel_err": round(float(rel.max()), 5),
+                  "bound_1p04_over_sqrt_m": round(1.04 / (2 ** 14) ** 0.5, 5),
+                  "within_3x_bound": bool((rel <= 3 * 1.04 / 2 ** 7).all())}
+
+    # AMS w=1024 h=7 — F2 relative error
+    ams = q["ams_f2"](spark, sf_dir).toPandas()
+    ex = con.sql(f"""
+        SELECT window_start, sum(c * c) AS true_f2 FROM (
+          SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+                 user_id, count(*) AS c
+          FROM read_parquet('{ev_pq}') GROUP BY 1, 2) GROUP BY 1""").df()
+    m = _merge(ams, ex, ["window_start"])
+    rel = (m["est_f2"] - m["true_f2"]).abs() / m["true_f2"]
+    out["ams"] = {"max_rel_err": round(float(rel.max()), 5),
+                  "bound_1_over_sqrt_w": round(1 / 1024 ** 0.5, 5),
+                  "within_4x_bound": bool((rel <= 4 / 1024 ** 0.5).all())}
+
+    # DDSketch α=0.01 — relative error vs exact rank quantile
+    dd = q["ddsketch_quantiles"](spark, sf_dir).toPandas()
+    ex = con.sql(f"""
+        SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+               quantile_disc(value, 0.5) AS "0.5",
+               quantile_disc(value, 0.95) AS "0.95",
+               quantile_disc(value, 0.99) AS "0.99"
+        FROM read_parquet('{ev_pq}') WHERE value > 0 GROUP BY 1""").df()
+    ex = ex.melt(id_vars=["window_start"], var_name="q", value_name="true_v")
+    ex["q"] = ex["q"].astype(float)
+    dd["q"] = dd["q"].astype(float)
+    m = _merge(dd, ex, ["window_start", "q"])
+    rel = (m["est_value"] - m["true_v"]).abs() / m["true_v"].abs()
+    out["ddsketch"] = {"max_rel_err": round(float(rel.max()), 5),
+                       "alpha": 0.01,
+                       # rank-vs-value slack: exact quantile_disc picks one
+                       # item; the sketch guarantees a value within α of an
+                       # item whose rank differs by the bin rounding
+                       "within_2_alpha": bool((rel <= 0.02).all())}
+    return out
+
+
 def _clips_table(spark, n_clips: int) -> str:
     """Materialize the deterministic clips table once (untimed source,
     cached across bench children) — the engine's input is a table scan, so
@@ -207,6 +308,7 @@ def main() -> None:
         per_query[name] = round(best, 3)
 
     tput = throughput_job(spark, SF_DIR)
+    errors = error_metrics(spark, SF_DIR)
     spark.stop()
 
     # absolute audio throughput in FRESH child JVMs: (a) a long-lived session
@@ -282,6 +384,7 @@ def main() -> None:
             "audio_local_n": audio_n,
         },
         "scaling": scaling,
+        "errors": errors,
     }))
 
 
