@@ -564,6 +564,13 @@ def q_cep_sequence_first(spark, sf_dir):
                             earliest_only=True)
 
 
+def q_cep_chain3(spark, sf_dir):
+    """3-step CEP chain: signup -> view -> purchase within 1 day."""
+    from condor_spark.engine.cep import sequence_chain
+    return sequence_chain(_events(spark, sf_dir),
+                          steps=("signup", "view", "purchase"), within="1 day")
+
+
 def q_stream_cep_sequence(spark, sf_dir):
     """CEP streaming: keyed pending-event state; pairs emit exactly once at
     the later element's arrival, so a full replay equals the batch join."""
@@ -778,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_sequence": q_cep_sequence,
         "cep_sequence_first": q_cep_sequence_first,
         "stream_cep_sequence": q_stream_cep_sequence,
+        "cep_chain3": q_cep_chain3,
     }
 
 
@@ -1100,6 +1108,15 @@ def oracle_sql() -> dict[str, str]:
              AND a.event_type = 'signup' AND b.event_type = 'purchase'
              AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 3 DAY
             GROUP BY 1, 2
+        """
+    oracles["cep_chain3"] = """
+            SELECT a.user_id AS key, a.ts AS ts1, b.ts AS ts2, c.ts AS ts3
+            FROM events a
+            JOIN events b ON a.user_id = b.user_id AND b.ts > a.ts
+            JOIN events c ON a.user_id = c.user_id AND c.ts > b.ts
+                         AND c.ts <= a.ts + INTERVAL 1 DAY
+            WHERE a.event_type = 'signup' AND b.event_type = 'view'
+              AND c.event_type = 'purchase'
         """
     # the streaming CEP operator emits each pair exactly once at its later
     # element's arrival, so full replay reproduces the batch join verbatim

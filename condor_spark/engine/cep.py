@@ -69,6 +69,38 @@ def sequence_matches(df: DataFrame, key_col: str = "user_id",
                         F.col("second_ts").cast(_NTZ).alias("second_ts"))
 
 
+def sequence_chain(df: DataFrame, key_col: str = "user_id",
+                   ts_col: str = "ts", event_col: str = "event_type",
+                   steps: tuple = ("signup", "view", "purchase"),
+                   within: str = "1 day") -> DataFrame:
+    """n-step CEP chain: ts1 < ts2 < ... < tsn with tsn ≤ ts1 + within.
+
+    A cascade of keyed equi-joins, one per step — each join also applies
+    the WHOLE-chain bound (ts_{i+1} ≤ ts1 + within), so partial chains
+    that can no longer complete are pruned before the next shuffle. Every
+    step's event-kind filter pushes to the scan, like the 2-step form.
+    """
+    if len(steps) < 2:
+        raise ValueError("a chain needs at least 2 steps")
+    w_us = duration_us(within)
+    ts = F.col(ts_col).cast("timestamp")
+    out = None
+    for i, kind in enumerate(steps, start=1):
+        side = (df.filter(F.col(event_col) == kind)
+                  .select(F.col(key_col).alias("key" if i == 1 else "__k"),
+                          ts.alias(f"ts{i}")))
+        if out is None:
+            out = side
+        else:
+            cond = ((F.col("key") == F.col("__k"))
+                    & (F.col(f"ts{i}") > F.col(f"ts{i - 1}"))
+                    & (F.unix_micros(f"ts{i}")
+                       <= F.unix_micros("ts1") + F.lit(w_us)))
+            out = out.join(side, cond).drop("__k")
+    return out.select("key", *[F.col(f"ts{i}").cast(_NTZ).alias(f"ts{i}")
+                               for i in range(1, len(steps) + 1)])
+
+
 _OUT_SCHEMA = StructType([
     StructField("key", LongType()),
     StructField("first_ts", TimestampType()),

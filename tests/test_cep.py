@@ -80,3 +80,15 @@ def test_earliest_only_is_min_per_first(spark):
            .sort_values(["key", "first_ts"]).reset_index(drop=True))
     first = first.sort_values(["key", "first_ts"]).reset_index(drop=True)
     assert first.equals(ref[first.columns.tolist()])
+
+
+def test_chain_degenerates_to_pairs(spark):
+    from condor_spark.engine.cep import sequence_chain
+    df = spark.read.parquet(f"{SF}/events.parquet")
+    a = (sequence_chain(df, steps=("signup", "purchase"), within="3 days")
+         .toPandas().rename(columns={"ts1": "first_ts", "ts2": "second_ts"}))
+    b = sequence_matches(df, within="3 days").toPandas()
+    cols = ["key", "first_ts", "second_ts"]
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
