@@ -123,13 +123,14 @@ def q_hist4lt_ranges(spark, sf_dir):
         return pd.DataFrame({
             "lo": [a for a, _ in ranges],
             "hi": [b for _, b in ranges],
-            "est": [round(s.range_query_compressed(a, b), 4) for a, b in ranges],
+            "est": [s.range_query_compressed(a, b) for a, b in ranges],
         })
 
     out = ev.apply_per_window(syn, fn, "window_start timestamp, lo double, "
                                        "hi double, est double")
+    # round JVM-side: HALF_UP, bit-matching the DuckDB oracle's ROUND
     return out.select(F.col("window_start").cast(NTZ).alias("window_start"),
-                      "lo", "hi", "est")
+                      "lo", "hi", F.round("est", 4).alias("est"))
 
 
 def q_ddsketch_quantiles(spark, sf_dir):
@@ -944,6 +945,79 @@ def oracle_sql() -> dict[str, str]:
             SELECT bucket, ROUND(min(value), 4) AS lo, ROUND(max(value), 4) AS hi,
                    count(*) AS depth
             FROM o GROUP BY 1
+        """,
+        # DDSketch-boundary equi-depth is deterministic: boundaries are the
+        # sketch's quantile estimator at i/B, reproduced in SQL exactly as in
+        # ddsketch_quantiles (rank = max(1, ceil(q*n)); value = DD
+        # representative 2*gamma^ceil(ln(v)/ln(gamma))/(gamma+1))
+        "equidepth_dd": """
+            WITH r AS (SELECT value, row_number() OVER (ORDER BY value) rn,
+                              count(*) OVER () n
+                       FROM events WHERE value > 0),
+                 q AS (SELECT i FROM range(0, 11) t(i)),
+                 est AS (SELECT q.i,
+                            ROUND(2 * pow(1.01/0.99, ceil(ln(r.value) / ln(1.01/0.99)))
+                                  / (1.01/0.99 + 1), 4) v
+                         FROM q JOIN r
+                           ON r.rn = greatest(1, CAST(ceil(q.i / 10.0 * r.n) AS BIGINT)))
+            SELECT e1.i AS bucket, e1.v AS lo, e2.v AS hi
+            FROM est e1 JOIN est e2 ON e2.i = e1.i + 1
+            WHERE e1.i < 10
+        """,
+        # the 4LT compression is deterministic (integer quantized ratios with
+        # Java-round floor(x+0.5) parity): encode true hierarchical sums,
+        # quantize (6/5/5/2x4-bit ratios), decode top-down with sibling
+        # subtraction, then the fractional-overlap range walk — the full
+        # compress→decode→rangeQuery pipeline of EquiWidthHistogram4LT.java
+        # replayed in SQL (16 bins over [0,500) → width 31.25, 2 groups of 8)
+        "hist4lt_ranges": """
+            WITH w AS (SELECT DISTINCT time_bucket(INTERVAL '1 day', ts) ws FROM events),
+                 c AS (SELECT time_bucket(INTERVAL '1 day', ts) ws,
+                              CAST(floor(value / 31.25) AS BIGINT) bin, count(*) cnt
+                       FROM events WHERE value >= 0 AND value < 500 GROUP BY 1, 2),
+                 bins AS (SELECT i AS bin FROM range(0, 16) t(i)),
+                 f AS (SELECT w.ws, bins.bin, CAST(COALESCE(c.cnt, 0) AS DOUBLE) cnt
+                       FROM w CROSS JOIN bins
+                       LEFT JOIN c ON c.ws = w.ws AND c.bin = bins.bin),
+                 g AS (SELECT ws, bin // 8 AS grp, list(cnt ORDER BY bin) fs
+                       FROM f GROUP BY 1, 2),
+                 e AS (SELECT ws, grp, fs,
+                              fs[1]+fs[2] AS c31, fs[5]+fs[6] AS c33,
+                              fs[1]+fs[2]+fs[3]+fs[4] AS c21,
+                              fs[1]+fs[2]+fs[3]+fs[4]+fs[5]+fs[6]+fs[7]+fs[8] AS root
+                       FROM g),
+                 q AS (SELECT ws, grp, fs, root, c21, c31, c33,
+                          CASE WHEN root > 0 THEN floor(c21/root*63 + 0.5) ELSE 0 END q2,
+                          CASE WHEN c21 > 0 THEN floor(c31/c21*31 + 0.5) ELSE 0 END q3a,
+                          CASE WHEN root-c21 > 0 THEN floor(c33/(root-c21)*31 + 0.5) ELSE 0 END q3b,
+                          CASE WHEN c31 > 0 THEN floor(fs[1]/c31*15 + 0.5) ELSE 0 END q4a,
+                          CASE WHEN c21-c31 > 0 THEN floor(fs[3]/(c21-c31)*15 + 0.5) ELSE 0 END q4b,
+                          CASE WHEN c33 > 0 THEN floor(fs[5]/c33*15 + 0.5) ELSE 0 END q4c,
+                          CASE WHEN root-c21-c33 > 0 THEN floor(fs[7]/(root-c21-c33)*15 + 0.5) ELSE 0 END q4d
+                       FROM e),
+                 d2 AS (SELECT *, floor(q2/64.0*root + 0.5) l20 FROM q),
+                 d2b AS (SELECT *, root - l20 AS l21 FROM d2),
+                 d3 AS (SELECT *, floor(q3a/32.0*l20 + 0.5) l30,
+                               floor(q3b/32.0*l21 + 0.5) l32 FROM d2b),
+                 d3b AS (SELECT *, l20 - l30 AS l31, l21 - l32 AS l33 FROM d3),
+                 d4 AS (SELECT *, floor(q4a/16.0*l30 + 0.5) d0,
+                               floor(q4b/16.0*l31 + 0.5) d2_,
+                               floor(q4c/16.0*l32 + 0.5) d4_,
+                               floor(q4d/16.0*l33 + 0.5) d6 FROM d3b),
+                 dec AS (SELECT ws, grp,
+                                [d0, l30 - d0, d2_, l31 - d2_,
+                                 d4_, l32 - d4_, d6, l33 - d6] ds
+                         FROM d4),
+                 leaf AS (SELECT ws, grp * 8 + (j - 1) AS bin, ds[j] AS dcnt
+                          FROM dec, range(1, 9) t(j)),
+                 ranges AS (SELECT * FROM (VALUES (0.0, 125.0), (100.0, 300.0),
+                                                  (250.0, 500.0)) t(lo, hi)),
+                 est AS (SELECT l.ws, r.lo, r.hi,
+                                ROUND(SUM(l.dcnt * greatest(0.0,
+                                    least(r.hi, (l.bin + 1) * 31.25)
+                                    - greatest(r.lo, l.bin * 31.25)) / 31.25), 4) est
+                         FROM leaf l CROSS JOIN ranges r GROUP BY 1, 2, 3)
+            SELECT ws AS window_start, lo, hi, est FROM est
         """,
         "sliding_inversion": """
             WITH s AS (SELECT time_bucket(INTERVAL '6 hours', ts) sl, count(*) c

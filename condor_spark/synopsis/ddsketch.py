@@ -121,8 +121,11 @@ class DDSketch(Synopsis):
         SplitAndMergeWithDDSketch.java:15-37); fully mergeable and
         partition-parallel here, unlike the reference's parallelism-1
         recommendation."""
-        qs = np.linspace(0.0, 1.0, num_buckets + 1)
-        qs[0] = 1.0 / max(1, self.n_processed)  # rank >= 1
+        # i/B by correctly-rounded IEEE division — the exact doubles an
+        # oracle's `i / B.0` reproduces (linspace's `i*step` rounds
+        # differently at e.g. 3/10 and can shift ceil(q*n) by one rank);
+        # rank is clamped >= 1 inside quantile(), covering q=0
+        qs = np.arange(num_buckets + 1, dtype=np.float64) / num_buckets
         return self.quantiles(qs)
 
     def merge(self, other: "DDSketch") -> "DDSketch":
