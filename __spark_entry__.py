@@ -235,6 +235,22 @@ def q_sliding_inversion(spark, sf_dir):
                       F.col("n"))
 
 
+def q_sliding_inversion_stratified(spark, sf_dir):
+    """Multi-stratum invertible slide-eviction: per-stratum slice prefixes
+    differenced executor-side in parallel (one applyInPandas group per
+    stratum, no driver collect)."""
+    df = _events(spark, sf_dir)
+    spec = SynopsisSpec(kind="countmin", params=dict(width=2048, height=5, seed=7),
+                        column="user_id", ts_column="ts", window=Tumbling("6 hours"),
+                        stratify_by="event_type")
+    slices = build_batch(df, spec)
+    inv = ev.sliding_via_inversion(slices, size_slices=4)
+    return inv.select("stratum",
+                      F.col("window_start").cast(NTZ).alias("window_start"),
+                      F.col("window_end").cast(NTZ).alias("window_end"),
+                      F.col("n"))
+
+
 def q_query_latest_stratified(spark, sf_dir):
     """queryLatestStratified (ApproximateDataAnalytics.java:79-92): newest
     window per stratum, histogram read per stratum."""
@@ -744,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_windows": q_count_windows,
         "wavelet_range_sums": q_wavelet_range_sums,
         "sliding_inversion": q_sliding_inversion,
+        "sliding_inversion_stratified": q_sliding_inversion_stratified,
         "query_latest_stratified": q_query_latest_stratified,
         "stratified_hist": q_stratified_hist,
         "tumbling_counts": q_tumbling_counts,
@@ -1027,6 +1044,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(c) OVER w AS BIGINT) AS n
             FROM s
             WINDOW w AS (ORDER BY sl ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        "sliding_inversion_stratified": """
+            WITH s AS (SELECT event_type st, time_bucket(INTERVAL '6 hours', ts) sl,
+                              count(*) c
+                       FROM events GROUP BY 1, 2)
+            SELECT st AS stratum, min(sl) OVER w AS window_start,
+                   sl + INTERVAL '6 hours' AS window_end,
+                   CAST(sum(c) OVER w AS BIGINT) AS n
+            FROM s
+            WINDOW w AS (PARTITION BY st ORDER BY sl
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         """,
         "query_latest_stratified": """
             WITH last AS (SELECT event_type, max(time_bucket(INTERVAL '1 day', ts)) ws

@@ -173,6 +173,16 @@ def _final_merger(size_us: int, spec: SynopsisSpec | None = None):
     return fn
 
 
+def _shuffle_width(spark) -> int:
+    """The session's shuffle width as an int, tolerating platforms where
+    ``spark.sql.shuffle.partitions`` is non-numeric (e.g. "auto" under
+    auto-optimized shuffle) — falls back to the cluster default parallelism."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def _rescale_degenerate(work: DataFrame) -> DataFrame:
     """Round-robin rebalance a degenerate scan (Condor's ``rescale()`` after
     the source, ``SynopsisBuilder.java:197``): a small parquet table scans as
@@ -181,7 +191,7 @@ def _rescale_degenerate(work: DataFrame) -> DataFrame:
     tiny in absolute terms — a real 100 TB scan has thousands of partitions
     and must NOT pay a raw-row shuffle here."""
     p_in = work.rdd.getNumPartitions()
-    width = int(work.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    width = _shuffle_width(work.sparkSession)
     if p_in <= 8 and p_in * 4 <= width:
         return work.repartition(width)
     return work
@@ -304,32 +314,44 @@ def build_batch_multi(df: DataFrame, spec: SynopsisSpec,
 
 
 def _build_session(df: DataFrame, spec: SynopsisSpec, win: Session) -> DataFrame:
-    """Session windows via gaps-and-islands, computed partition-locally:
-    strata are hash-co-located (one shuffle of raw rows — unavoidable for
-    sessionization, same as Spark's own ``session_window``), sorted within
-    partition, then sessions are derived vectorized (np.diff > gap) and each
-    session's synopsis is built in-process. One Arrow exchange per
-    partition instead of one applyInPandas call per session."""
+    """Session windows via a two-phase gaps-and-islands build that never
+    funnels raw rows of one stratum (or, unstratified, the whole table)
+    through a single task:
+
+      phase 1 — ``repartitionByRange(__st, __ts)`` + per-partition sort:
+        every partition holds a contiguous (stratum, time) range, so
+        partition-local sessions (vectorized ``np.diff > gap`` splits) are
+        exact EXCEPT possibly at the two partition edges. A hot stratum
+        spreads over many range partitions instead of hash-landing on one;
+        with no strata the time range alone balances the table.
+      phase 2 — only each partition's FIRST and LAST mini-session can
+        straddle an edge. Their metadata (O(partitions) rows, no blobs) is
+        collected, cross-edge chains (same stratum, gap ≤ threshold) are
+        identified, and just the chained sessions are re-merged in an
+        ``applyInPandas`` group per chain; everything else passes through
+        untouched. Merge order inside a chain is (first_us, pid) —
+        deterministic, so N-vs-4N parallelism yields identical rows.
+
+    Matches the streaming path's mini-session + gap-merge semantics
+    (stateful.py) and Spark's ``session_window``: window =
+    [first_ts, last_ts + gap)."""
+    from pyspark import StorageLevel, TaskContext
+
     gap = win.gap_us
     work = _normalize(df, spec, None)
-    # never inherit a degenerate scan parallelism (a single parquet file
-    # scans as 1 partition): sessionization shuffles anyway, so spread the
-    # strata across the session's full shuffle width
-    p = max(df.rdd.getNumPartitions(),
-            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
-    work = (work.repartition(p, "__st")
+    p = max(df.rdd.getNumPartitions(), _shuffle_width(df.sparkSession))
+    work = (work.repartitionByRange(p, "__st", "__ts")
                 .sortWithinPartitions("__st", "__ts"))
 
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def minis(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
         parts = [pdf for pdf in batches if not pdf.empty]
         if not parts:
             return
         pdf = pd.concat(parts, ignore_index=True)
         rows = []
         for st, sub in pdf.groupby("__st", sort=False, dropna=False):
-            # numpy views once per stratum; the per-session loop below then
-            # touches no pandas objects (sessions can number ~rows when the
-            # gap is small relative to per-stratum inter-arrival times)
             ts = sub["__ts"].to_numpy()
             vals = sub["__v"].to_numpy()
             prio = sub["__prio"].to_numpy() if "__prio" in sub else None
@@ -343,13 +365,103 @@ def _build_session(df: DataFrame, spec: SynopsisSpec, win: Session) -> DataFrame
                 _update_arrays(syn, spec, vals[lo:hi], ts=ts[lo:hi],
                                prio=None if prio is None else prio[lo:hi],
                                tb=None if tb is None else tb[lo:hi])
-                rows.append((pd.Timestamp(int(ts[lo]), unit="us"),
-                             pd.Timestamp(int(ts[hi - 1]) + gap, unit="us"),
-                             st_out, syn.to_bytes(), int(syn.n_processed)))
-        yield pd.DataFrame(rows, columns=["window_start", "window_end",
-                                          "stratum", "state", "n"])
+                rows.append((pid, len(rows), st_out, int(ts[lo]),
+                             int(ts[hi - 1]), syn.to_bytes(),
+                             int(syn.n_processed)))
+        n_sess = len(rows)
+        yield pd.DataFrame(
+            [(r[0], r[1], r[1] == 0 or r[1] == n_sess - 1, *r[2:])
+             for r in rows],
+            columns=["__pid", "__sidx", "__edge", "__st", "first_us",
+                     "last_us", "state", "n"])
 
-    return work.mapInPandas(build, schema=_FINAL_SCHEMA)
+    mini_schema = ("__pid long, __sidx long, __edge boolean, __st string, "
+                   "first_us long, last_us long, state binary, n long")
+    mini_df = (work.mapInPandas(minis, schema=mini_schema)
+               .persist(StorageLevel.MEMORY_AND_DISK))
+
+    # driver sees only edge-session metadata: ≤ 2 rows per partition
+    edges = (mini_df.filter("__edge")
+             .select("__pid", "__sidx", "__st", "first_us", "last_us")
+             .collect())
+    by_pid: dict[int, list] = {}
+    for r in edges:
+        by_pid.setdefault(r["__pid"], []).append(r)
+    chain_of: dict[tuple, int] = {}
+    n_chains = 0
+    cur = None          # open chain id carried across single-session partitions
+    prev = None         # last edge-session Row of the previous non-empty pid
+    for pid in sorted(by_pid):
+        rows = sorted(by_pid[pid], key=lambda r: r["__sidx"])
+        first, last = rows[0], rows[-1]
+        if (prev is not None and prev["__st"] == first["__st"]
+                and first["first_us"] - prev["last_us"] <= gap):
+            if cur is None:
+                cur = n_chains
+                n_chains += 1
+                chain_of[(prev["__pid"], prev["__sidx"])] = cur
+            chain_of[(pid, first["__sidx"])] = cur
+            if first["__sidx"] != last["__sidx"]:
+                cur = None  # chain ends inside this partition
+        else:
+            cur = None
+        prev = last
+
+    def finalize_row(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "window_start": pd.to_datetime(pdf["first_us"], unit="us"),
+            "window_end": pd.to_datetime(pdf["last_us"] + gap, unit="us"),
+            "stratum": pdf["__st"],
+            "state": pdf["state"],
+            "n": pdf["n"].astype("int64"),
+        })
+
+    if not chain_of:
+        out = mini_df.mapInPandas(
+            lambda it: (finalize_row(pdf) for pdf in it if not pdf.empty),
+            schema=_FINAL_SCHEMA)
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        mini_df.unpersist()
+        return out
+
+    def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf.copy()
+            pdf["__chain"] = [
+                chain_of.get((int(p_), int(s_)), -1)
+                for p_, s_ in zip(pdf["__pid"], pdf["__sidx"])]
+            yield pdf
+
+    tagged = (mini_df.mapInPandas(tag, schema=mini_schema + ", __chain long")
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    plain = tagged.filter("__chain < 0").mapInPandas(
+        lambda it: (finalize_row(pdf) for pdf in it if not pdf.empty),
+        schema=_FINAL_SCHEMA)
+
+    def merge_chain(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        spec.ensure_registered()
+        pdf = pdf.sort_values(["first_us", "__pid"], kind="stable")
+        syn = Synopsis.from_bytes(pdf["state"].iloc[0])
+        for b in pdf["state"].iloc[1:]:
+            syn = syn.merge(Synopsis.from_bytes(b))
+        return pd.DataFrame({
+            "window_start": [pd.Timestamp(int(pdf["first_us"].min()), unit="us")],
+            "window_end": [pd.Timestamp(int(pdf["last_us"].max()) + gap, unit="us")],
+            "stratum": [pdf["__st"].iloc[0]],
+            "state": [syn.to_bytes()],
+            "n": [int(syn.n_processed)],
+        })
+
+    merged = (tagged.filter("__chain >= 0")
+              .groupBy("__chain").applyInPandas(merge_chain, schema=_FINAL_SCHEMA))
+    out = plain.unionByName(merged).persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()  # materialize before dropping the upstream caches
+    tagged.unpersist()
+    mini_df.unpersist()
+    return out
 
 
 def _global_order(df: DataFrame, spec: SynopsisSpec, num_partitions: int | None,
@@ -368,9 +480,8 @@ def _global_order(df: DataFrame, spec: SynopsisSpec, num_partitions: int | None,
     work = _normalize(df, spec, None)
     if "__tb" not in work.columns:
         work = work.withColumn("__tb", F.lit(0).cast("long"))
-    p = num_partitions or max(
-        work.rdd.getNumPartitions(),
-        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
+    p = num_partitions or max(work.rdd.getNumPartitions(),
+                              _shuffle_width(df.sparkSession))
     work = (work.repartitionByRange(p, "__ts", "__tb")
                 .sortWithinPartitions("__ts", "__tb"))
     if not with_offsets:
@@ -536,21 +647,68 @@ def build_equidepth_exact(df: DataFrame, column: str, num_buckets: int,
     """Exact equi-depth histogram from fully sorted input — the
     ``EquiDepthHistBuilder`` path (core/.../Histograms/
     EquiDepthHistBuilder.java:19-49: boundaries at rank i·n/B over a sorted
-    array). Relational form: a global ``ntile(B)`` (deterministic under a
-    total order; pass ``tiebreak_column`` when ``column`` has ties), then
-    per-bucket (lo, hi, depth).
+    array).
 
-    This is the exact/reference path and costs a global sort; the streaming
+    Distributed total order, never a single-task sort: range partition +
+    per-partition sort, global ranks from per-partition row-count offsets
+    (the ``_global_order`` machinery), ntile-compatible bucket assignment
+    from the rank (first n%B buckets hold ⌈n/B⌉ rows, the rest ⌊n/B⌋ —
+    byte-identical to SQL ``ntile`` under the same total order, so the
+    DuckDB oracle stays valid), then per-partition partial (bucket, lo, hi,
+    count) and a B-row final merge. Only the offsets pre-count and the tiny
+    final aggregate shuffle; pass ``tiebreak_column`` when ``column`` has
+    ties so the order (hence bucket mins/maxes at boundaries) is total.
+
+    This is the exact/reference path and costs a full sort; the streaming
     scale paths are BASH (``kind='bash'``) and DDSketch quantile boundaries
     (``evaluate.equidepth_from_ddsketch``), which never sort.
     """
-    from pyspark.sql import Window as W
+    from pyspark import StorageLevel, TaskContext
 
-    order = [F.col(column).asc()]
-    if tiebreak_column:
-        order.append(F.col(tiebreak_column).asc())
-    b = df.withColumn("bucket", F.ntile(num_buckets).over(W.orderBy(*order)) - 1)
-    return (b.groupBy("bucket")
-             .agg(F.min(column).alias("lo"), F.max(column).alias("hi"),
-                  F.count("*").alias("depth"))
-             .orderBy("bucket"))
+    spark = df.sparkSession
+    tb = (F.col(tiebreak_column).cast("long") if tiebreak_column
+          else F.lit(0).cast("long"))
+    work = df.select(F.col(column).cast("double").alias("__v"), tb.alias("__tb"))
+    p = max(work.rdd.getNumPartitions(), _shuffle_width(spark))
+    work = (work.repartitionByRange(p, "__v", "__tb")
+                .sortWithinPartitions("__v", "__tb")
+                .persist(StorageLevel.MEMORY_AND_DISK))  # pin sampled ranges
+    sizes = (work.withColumn("__pid", F.spark_partition_id())
+                 .groupBy("__pid").count().collect())    # P rows only
+    counts = {r["__pid"]: r["count"] for r in sizes}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    n, B = acc, int(num_buckets)
+    q, r = divmod(n, B)
+    cut = r * (q + 1)  # ranks below cut → big buckets of q+1 rows
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        idx = offsets.get(pid, 0)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            g = idx + np.arange(len(pdf), dtype=np.int64)
+            idx += len(pdf)
+            bucket = np.where(g < cut, g // max(q + 1, 1),
+                              r + (g - cut) // max(q, 1))
+            sub = pd.DataFrame({"bucket": bucket, "v": pdf["__v"].to_numpy()})
+            agg = (sub.groupby("bucket")["v"]
+                   .agg(["min", "max", "count"]).reset_index())
+            yield pd.DataFrame({"bucket": agg["bucket"].astype("int64"),
+                                "lo": agg["min"], "hi": agg["max"],
+                                "cnt": agg["count"].astype("int64")})
+
+    partials = work.mapInPandas(
+        partial, schema="bucket long, lo double, hi double, cnt long")
+    out = (partials.groupBy("bucket")
+           .agg(F.min("lo").alias("lo"), F.max("hi").alias("hi"),
+                F.sum("cnt").alias("depth"))
+           .orderBy("bucket"))
+    out = out.cache()
+    out.count()  # materialize the B-row result before dropping the sort
+    work.unpersist()
+    return out

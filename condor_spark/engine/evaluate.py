@@ -210,32 +210,40 @@ def sliding_via_inversion(syn_slices: DataFrame, size_slices: int) -> DataFrame:
     each slice is merged into the running prefix exactly once, and expired
     slices leave via ``invert`` instead of a rebuild.
 
-    ``syn_slices``: per-slice synopses (window_start == slice start; one
-    stratum) sorted ascending. Prefix accumulation is sequential over the
-    slice list — slices are few and sketch-sized, so this runs driver-side,
-    like the reference's parallelism-1 final stage.
+    ``syn_slices``: per-slice synopses (window_start == slice start), any
+    number of strata. Prefix accumulation is inherently sequential *within*
+    a stratum but independent *across* strata, so each stratum's slice list
+    is differenced executor-side in one ``applyInPandas`` group — strata run
+    in parallel and nothing is collected to the driver (the reference is
+    parallelism-1 here; at a year of 6-hour slices × strata that serial
+    driver merge is exactly the plan that dies at 100×).
     """
-    rows = sorted(syn_slices.collect(), key=lambda r: r["window_start"])
-    if not rows:
-        return syn_slices.sparkSession.createDataFrame([], syn_slices.schema)
-    prefixes = []
-    acc = None
-    for r in rows:
-        s = Synopsis.from_bytes(r["state"])
-        acc = s if acc is None else acc.merge(s)
-        prefixes.append(Synopsis.from_bytes(acc.to_bytes()))  # snapshot
-    out = []
-    for k, r in enumerate(rows):
-        win = Synopsis.from_bytes(prefixes[k].to_bytes())
-        if k - size_slices >= 0:
-            win = win.invert(prefixes[k - size_slices])
-        start = rows[max(0, k - size_slices + 1)]["window_start"]
-        out.append((start, r["window_end"], r["stratum"], win.to_bytes(),
-                    int(win.n_processed)))
-    spark = syn_slices.sparkSession
-    return spark.createDataFrame(
-        out, "window_start timestamp, window_end timestamp, stratum string, "
-             "state binary, n long")
+    size = int(size_slices)
+
+    def grouped(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("window_start", kind="stable")
+        prefixes: list[bytes] = []          # snapshot per step, as bytes
+        acc = None
+        for b in pdf["state"]:
+            s = Synopsis.from_bytes(b)
+            acc = s if acc is None else acc.merge(s)
+            prefixes.append(acc.to_bytes())
+        starts = pdf["window_start"].tolist()
+        ends = pdf["window_end"].tolist()
+        rows = []
+        for k in range(len(prefixes)):
+            win = Synopsis.from_bytes(prefixes[k])
+            if k - size >= 0:
+                win = win.invert(Synopsis.from_bytes(prefixes[k - size]))
+            rows.append((starts[max(0, k - size + 1)], ends[k], key[0],
+                         win.to_bytes(), int(win.n_processed)))
+        return pd.DataFrame(rows, columns=["window_start", "window_end",
+                                           "stratum", "state", "n"])
+
+    return syn_slices.groupBy("stratum").applyInPandas(
+        grouped,
+        schema="window_start timestamp, window_end timestamp, stratum string, "
+               "state binary, n long")
 
 
 def wavelet_range_sums(slices_df: DataFrame, ranges: list[tuple[int, int]]) -> DataFrame:

@@ -37,8 +37,10 @@ def _spread(df: DataFrame) -> DataFrame:
     as 1 partition, serializing every downstream UDF). Fires only for tiny
     scans far below the session's shuffle width — a real warehouse scan has
     thousands of partitions and must not pay a raw-row shuffle."""
+    from .builder import _shuffle_width
+
     p_in = df.rdd.getNumPartitions()
-    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    width = _shuffle_width(df.sparkSession)
     if p_in <= 8 and p_in * 4 <= width:
         return df.repartition(width)
     return df

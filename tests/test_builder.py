@@ -73,6 +73,46 @@ def test_session_windows(spark, events):
         assert r["window_end"] >= r["window_start"]
 
 
+def test_session_unstratified_exact(spark, events):
+    """Un-stratified sessionization (whole table = one stratum) must NOT
+    collapse to a single task, and cross-partition boundary sessions must
+    gap-merge exactly: session (start, end, n) match a pandas oracle."""
+    spec = SynopsisSpec(kind="hll", params=dict(log_reg_num=4, seed=7),
+                        column="event_id", ts_column="ts",
+                        window=Session("30 minutes"))
+    got = sorted((r["window_start"], r["window_end"], r["n"])
+                 for r in build_batch(events, spec).collect())
+
+    pdf = events.select("ts").toPandas().sort_values("ts")
+    ts = pdf["ts"].astype("datetime64[us]")
+    gap = np.timedelta64(30 * 60 * 1_000_000, "us")
+    brk = (ts.diff() > gap).cumsum()
+    want = sorted(
+        (g.iloc[0].to_pydatetime(), (g.iloc[-1] + gap).to_pydatetime(), len(g))
+        for _, g in ts.groupby(brk))
+    assert [(s, e) for s, e, _ in got] == [(s, e) for s, e, _ in want]
+    assert [n for *_, n in got] == [n for *_, n in want]
+
+
+def test_session_chain_spans_partitions(spark):
+    """A single long session spanning every range partition must come back
+    as ONE window (the boundary-merge chain walk), alongside isolated ones."""
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01")
+    # 900 points 1 min apart = one 900-min session; plus two far-away singles
+    rows = [(base + pd.Timedelta(minutes=i), i) for i in range(900)]
+    rows += [(base + pd.Timedelta(days=5), 9001), (base + pd.Timedelta(days=9), 9002)]
+    df = spark.createDataFrame(
+        [(t.to_pydatetime(), float(v)) for t, v in rows],
+        "ts timestamp, value double")
+    spec = SynopsisSpec(kind="hll", params=dict(log_reg_num=4, seed=7),
+                        column="value", ts_column="ts", window=Session("30 minutes"))
+    got = sorted((r["window_start"], r["n"]) for r in build_batch(df, spec).collect())
+    assert [n for _, n in got] == [900, 1, 1]
+    assert got[0][0] == base.to_pydatetime()
+
+
 def test_count_windows_exact_sizes(spark, events):
     n = events.count()
     spec = SynopsisSpec(kind="ddsketch", params=dict(relative_accuracy=0.01),
