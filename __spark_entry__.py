@@ -220,6 +220,51 @@ def q_wavelet_range_sums(spark, sf_dir):
     return res.select("lo_idx", F.round("range_sum", 3).alias("range_sum"))
 
 
+def q_wavelet_stratified(spark, sf_dir):
+    """Stratified order-based build (StratifiedNonMergeableSynopsisFunction
+    .java:50-66 analogue): each stratum ordered independently, per-stratum
+    slice managers answer range sums in parallel; exact under budget."""
+    df = _events(spark, sf_dir)
+    spec = SynopsisSpec(kind="wavelet", params=dict(size=1 << 15), column="value",
+                        ts_column="ts", tiebreak_column="event_id",
+                        stratify_by="event_type")
+    slices = build_ordered(df, spec, num_partitions=8)
+    res = ev.wavelet_range_sums_stratified(
+        slices, [(0, 1000), (1000, 5000), (0, 1 << 40)])
+    return res.select("stratum", "lo_idx", "hi_idx",
+                      F.round("range_sum", 3).alias("range_sum"))
+
+
+def q_stream_wavelet(spark, sf_dir):
+    """Streaming order-based (wavelet) build — NonMergeableSynopsisFunction
+    analogue: per-key ordered state slices the live stream every 1000
+    elements; emitted slices unify by concatenation, so a full replay
+    answers range sums identically to the batch build (shares the
+    wavelet_range_sums oracle)."""
+    import tempfile
+
+    from condor_spark import fixtures
+    from condor_spark.engine.stateful import StatefulOrderedStream
+
+    df = _events(spark, sf_dir)
+    max_ts = df.agg(F.max("ts")).collect()[0][0]
+    cutoff = pd.Timestamp(max_ts) + pd.Timedelta(days=1)
+    tmp = tempfile.mkdtemp(prefix="condor_ow_")
+    fixtures.replay_in_order(spark, df, f"{tmp}/src", n_chunks=5,
+                             flush_ts=[cutoff + pd.Timedelta(days=1),
+                                       cutoff + pd.Timedelta(days=2)])
+    spec = SynopsisSpec(kind="wavelet", params=dict(size=1 << 15), column="value",
+                        ts_column="ts", tiebreak_column="event_id")
+    job = StatefulOrderedStream(spec, slice_count=1000,
+                                flush_cutoff_us=int(cutoff.value // 1000))
+    q = job.start(spark, f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt",
+                  max_files_per_trigger=1)
+    q.awaitTermination(600)
+    slices = spark.read.parquet(f"{tmp}/out")
+    res = ev.wavelet_range_sums(slices, [(0, 1000), (1000, 5000), (0, 1 << 40)])
+    return res.select("lo_idx", F.round("range_sum", 3).alias("range_sum"))
+
+
 def q_sliding_inversion(spark, sf_dir):
     """Invertible slide-eviction path (InvertibleSynopsisFunction.java:64-114
     analogue): per-slice CountMin prefixes differenced into 1-day windows at
@@ -759,6 +804,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concurrent_windows": q_concurrent_windows,
         "count_windows": q_count_windows,
         "wavelet_range_sums": q_wavelet_range_sums,
+        "wavelet_stratified": q_wavelet_stratified,
+        "stream_wavelet": q_stream_wavelet,
         "sliding_inversion": q_sliding_inversion,
         "sliding_inversion_stratified": q_sliding_inversion_stratified,
         "query_latest_stratified": q_query_latest_stratified,
@@ -954,6 +1001,22 @@ def oracle_sql() -> dict[str, str]:
             FROM o
             UNION ALL
             SELECT 0, ROUND(COALESCE(sum(value), 0), 3) FROM o
+        """,
+        "wavelet_stratified": """
+            WITH o AS (SELECT event_type st, value,
+                              row_number() OVER (PARTITION BY event_type
+                                                 ORDER BY ts, event_id) - 1 AS idx
+                       FROM events),
+                 r AS (SELECT * FROM (VALUES (0, 1000), (1000, 5000),
+                                             (0, 1099511627776)) t(lo, hi)),
+                 s AS (SELECT DISTINCT st FROM o)
+            SELECT s.st AS stratum, r.lo AS lo_idx, r.hi AS hi_idx,
+                   ROUND(COALESCE(sum(o.value) FILTER (o.idx >= r.lo
+                                                       AND o.idx < r.hi), 0), 3)
+                       AS range_sum
+            FROM s CROSS JOIN r
+            LEFT JOIN o ON o.st = s.st
+            GROUP BY 1, 2, 3
         """,
         "equidepth_exact": """
             WITH o AS (SELECT value,
@@ -1196,6 +1259,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["stream_stateful_frequency"] = oracles["cm_user_frequency"]
     oracles["stream_sessions"] = oracles["session_windows"]
     oracles["stream_sliding"] = oracles["sliding_counts"]
+    oracles["stream_wavelet"] = oracles["wavelet_range_sums"]
     oracles["cep_sequence"] = """
             SELECT a.user_id AS key, a.ts AS first_ts, b.ts AS second_ts
             FROM events a JOIN events b

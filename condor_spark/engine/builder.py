@@ -465,10 +465,16 @@ def _build_session(df: DataFrame, spec: SynopsisSpec, win: Session) -> DataFrame
 
 
 def _global_order(df: DataFrame, spec: SynopsisSpec, num_partitions: int | None,
-                  with_offsets: bool = True):
+                  with_offsets: bool = True, by_stratum: bool = False):
     """Deterministic global order by (ts, tiebreak): range partition + local
     sort + per-partition offsets (the OrderAndIndex analogue,
     ``processor/divide/OrderAndIndex.java:41-67`` — but parallel, not par=1).
+
+    ``by_stratum=True`` prepends the stratum to the order keys: each
+    stratum's rows become a contiguous, internally (ts, tiebreak)-ordered
+    run across the range partitions — the order-based analogue of
+    ``StratifiedNonMergeableSynopsisFunction.java:50-66``, but partitioned
+    by range instead of keyBy-hash so one hot stratum spans many tasks.
 
     ``with_offsets=False`` skips the offsets pre-job AND the persist:
     consumers that derive positions from slice order alone (the wavelet
@@ -482,8 +488,9 @@ def _global_order(df: DataFrame, spec: SynopsisSpec, num_partitions: int | None,
         work = work.withColumn("__tb", F.lit(0).cast("long"))
     p = num_partitions or max(work.rdd.getNumPartitions(),
                               _shuffle_width(df.sparkSession))
-    work = (work.repartitionByRange(p, "__ts", "__tb")
-                .sortWithinPartitions("__ts", "__tb"))
+    keys = ["__st", "__ts", "__tb"] if by_stratum else ["__ts", "__tb"]
+    work = (work.repartitionByRange(p, *keys)
+                .sortWithinPartitions(*keys))
     if not with_offsets:
         return work, None, None
     # persist pins the (sampled) range partitioning so the offsets job and
@@ -555,10 +562,15 @@ def build_ordered(df: DataFrame, spec: SynopsisSpec,
     (``core/.../synopsis/NonMergeableSynopsisManager.java:5-35``,
     ``Wavelets/SliceWaveletsManager.java:40-49``).
 
-    Returns DataFrame(slice_idx long, length long, state binary); element
-    offsets are the running sum of lengths in slice_idx order (computed by
-    the consumer from this single job's output, so they are consistent with
-    the build by construction).
+    Returns DataFrame(stratum string, slice_idx long, length long,
+    state binary); element offsets are the running sum of lengths in
+    slice_idx order *within a stratum* (computed by the consumer from this
+    single job's output, so they are consistent with the build by
+    construction). With ``spec.stratify_by`` set, each stratum is ordered
+    independently (``StratifiedNonMergeableSynopsisFunction.java:50-66``
+    semantics) — the range partitioning keeps strata contiguous, so a
+    (partition, stratum) pair is one contiguous ordered slice and
+    ``slice_idx = partition id`` is monotone within every stratum.
     """
     from pyspark import TaskContext
 
@@ -566,26 +578,36 @@ def build_ordered(df: DataFrame, spec: SynopsisSpec,
     # returned lengths in slice_idx order, so this is one single job — no
     # persist, no pre-count (saves a full pass over the sorted data)
     work, _offsets, _total = _global_order(df, spec, num_partitions,
-                                           with_offsets=False)
+                                           with_offsets=False,
+                                           by_stratum=bool(spec.stratify_by))
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx else 0
-        syn = spec.make_synopsis()
-        n = 0
+        acc: dict = {}  # stratum -> (synopsis, n); insertion = (st, ts) order
         for pdf in batches:
             if pdf.empty:
                 continue
-            syn.update_batch(pdf["__v"].to_numpy())
-            n += len(pdf)
-        if n == 0:
+            for st, sub in pdf.groupby("__st", sort=False, dropna=False):
+                st = None if pd.isna(st) else st
+                pair = acc.get(st)
+                if pair is None:
+                    pair = acc[st] = [spec.make_synopsis(), 0]
+                pair[0].update_batch(sub["__v"].to_numpy())
+                pair[1] += len(sub)
+        if not acc:
             return
-        if hasattr(syn, "finalize"):
-            syn.finalize()
-        yield pd.DataFrame({"slice_idx": [pid], "length": [n],
-                            "state": [syn.to_bytes()]})
+        for syn, _n in acc.values():
+            if hasattr(syn, "finalize"):
+                syn.finalize()
+        yield pd.DataFrame({
+            "stratum": list(acc.keys()),
+            "slice_idx": [pid] * len(acc),
+            "length": [n for _, n in acc.values()],
+            "state": [syn.to_bytes() for syn, _ in acc.values()]})
 
-    out = work.mapInPandas(build, schema="slice_idx long, length long, state binary")
+    out = work.mapInPandas(
+        build, schema="stratum string, slice_idx long, length long, state binary")
     work.unpersist()
     return out
 

@@ -265,3 +265,32 @@ def wavelet_range_sums(slices_df: DataFrame, ranges: list[tuple[int, int]]) -> D
     spark = slices_df.sparkSession
     data = [(int(lo), int(hi), float(mgr.range_sum_query(lo, hi))) for lo, hi in ranges]
     return spark.createDataFrame(data, "lo_idx long, hi_idx long, range_sum double")
+
+
+def wavelet_range_sums_stratified(slices_df: DataFrame,
+                                  ranges: list[tuple[int, int]]) -> DataFrame:
+    """Per-stratum range sums over stratified ordered slices (the
+    StratifiedNonMergeableSynopsisFunction query surface): one
+    SliceWaveletsManager per stratum, unified executor-side in one
+    ``applyInPandas`` group per stratum — strata evaluate in parallel and
+    only sketch blobs move (cf. ``NonMergeableSynopsisUnifier`` /
+    ``UnifyToManager``, which the reference runs at parallelism 1)."""
+    from ..synopsis.wavelet import SliceWaveletsManager
+
+    def grouped(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("slice_idx", kind="stable")
+        triples, off = [], 0
+        for ln, blob in zip(pdf["length"], pdf["state"]):
+            triples.append((off, int(ln), Synopsis.from_bytes(blob)))
+            off += int(ln)
+        mgr = SliceWaveletsManager(triples)
+        return pd.DataFrame({
+            "stratum": [key[0]] * len(ranges),
+            "lo_idx": [int(lo) for lo, _ in ranges],
+            "hi_idx": [int(hi) for _, hi in ranges],
+            "range_sum": [float(mgr.range_sum_query(lo, hi))
+                          for lo, hi in ranges]})
+
+    return slices_df.groupBy("stratum").applyInPandas(
+        grouped, schema="stratum string, lo_idx long, hi_idx long, "
+                        "range_sum double")

@@ -394,6 +394,146 @@ class StatefulCountWindowStream:
         return writer.start()
 
 
+_ORDERED_OUT_SCHEMA = StructType([
+    StructField("stratum", StringType()),
+    StructField("slice_idx", LongType()),
+    StructField("length", LongType()),
+    StructField("state", BinaryType()),
+])
+
+
+@dataclass
+class StatefulOrderedStream:
+    """Streaming build for ORDER-BASED (non-mergeable) synopses — the
+    ``NonMergeableSynopsisFunction`` /
+    ``StratifiedNonMergeableSynopsisFunction`` analogue
+    (``flinkScottyConnector/.../compute/scotty/NonMergeableSynopsisFunction
+    .java``, ``StratifiedNonMergeableSynopsisFunction.java:50-66``): per
+    stratum, values accumulate IN ORDER into the open slice; every
+    ``slice_count`` elements the slice is finalized and emitted as
+    (stratum, slice_idx, length, state). Emitted slices unify by
+    concatenation (``SliceWaveletsManager`` /
+    ``evaluate.wavelet_range_sums[_stratified]``), never merge — matching
+    the batch ``build_ordered`` contract, so a full replay answers range
+    queries identically to the batch build.
+
+    Order within a micro-batch is (ts, tiebreak); across batches it is the
+    replay order (ordered file replay = event-time order) — the analogue of
+    the reference's priority-queue miniBatch reordering
+    (``NonMergeableSynopsisAggregator.java:114-128``).
+
+    ``flush_cutoff_us``: a finite replay declares its logical end of
+    stream; rows at/after the cutoff are watermark-pushing sentinels
+    (``fixtures.replay_in_order`` ``flush_ts`` rows), excluded from the
+    data. Every key registers an event-time timer at the cutoff — when the
+    sentinels drive the watermark past it, EVERY stratum's open partial
+    slice flushes (a per-key sentinel row could only ever flush its own
+    stratum). Without a cutoff the stream is treated as endless and the
+    trailing partial slice stays open in state.
+    """
+    spec: SynopsisSpec
+    slice_count: int
+    flush_cutoff_us: int | None = None
+    watermark_delay: str = "1 hour"
+
+    def transform(self, stream_df: DataFrame) -> DataFrame:
+        spec, count = self.spec, int(self.slice_count)
+        cutoff = self.flush_cutoff_us
+
+        work = _normalize(stream_df, spec, None)
+        if "__tb" not in work.columns:
+            work = work.withColumn("__tb", F.lit(0).cast("long"))
+        if cutoff is not None:
+            # sentinels must REACH the watermark operator (a pre-group filter
+            # would be pushed below it and the watermark would never pass the
+            # cutoff); they are dropped per-key inside update() instead
+            work = (work
+                    .withColumn("__evt", (F.col("__ts") / 1e6).cast("timestamp"))
+                    .withWatermark("__evt", self.watermark_delay))
+
+        def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+            spec.ensure_registered()
+            stratum = key[0]
+            if state.exists:
+                blob, open_n, next_slice = state.get
+                syn = Synopsis.from_bytes(blob) if blob is not None else None
+            else:
+                syn, open_n, next_slice = None, 0, 0
+
+            out = []
+            if state.hasTimedOut:
+                # watermark passed the cutoff: flush the trailing partial
+                if syn is not None and open_n > 0:
+                    if hasattr(syn, "finalize"):
+                        syn.finalize()
+                    out.append((stratum, next_slice, open_n, syn.to_bytes()))
+                state.remove()
+                if out:
+                    yield pd.DataFrame(out, columns=["stratum", "slice_idx",
+                                                     "length", "state"])
+                return
+
+            for pdf in pdfs:
+                if pdf.empty:
+                    continue
+                if cutoff is not None:
+                    pdf = pdf[pdf["__ts"].to_numpy() < cutoff]  # drop sentinels
+                    if pdf.empty:
+                        continue
+                pdf = pdf.sort_values(["__ts", "__tb"], kind="stable")
+                pos = 0
+                while pos < len(pdf):
+                    take = min(count - open_n, len(pdf) - pos)
+                    chunk = pdf.iloc[pos:pos + take]
+                    if syn is None:
+                        syn = spec.make_synopsis()
+                    _update(syn, spec, chunk)
+                    open_n += take
+                    pos += take
+                    if open_n == count:
+                        if hasattr(syn, "finalize"):
+                            syn.finalize()
+                        out.append((stratum, next_slice, count, syn.to_bytes()))
+                        next_slice += 1
+                        syn, open_n = None, 0
+
+            state.update((syn.to_bytes() if syn is not None else None,
+                          int(open_n), int(next_slice)))
+            if cutoff is not None:
+                wm_us = state.getCurrentWatermarkMs() * 1000
+                state.setTimeoutTimestamp(max(cutoff, wm_us + 1_000) // 1000)
+            if out:
+                yield pd.DataFrame(out, columns=["stratum", "slice_idx",
+                                                 "length", "state"])
+
+        return work.groupBy("__st").applyInPandasWithState(
+            update, _ORDERED_OUT_SCHEMA,
+            StructType([StructField("blob", BinaryType()),
+                        StructField("open_n", LongType()),
+                        StructField("next_slice", LongType())]),
+            "append",
+            GroupStateTimeout.EventTimeTimeout if cutoff is not None
+            else GroupStateTimeout.NoTimeout)
+
+    def start(self, spark, source_dir: str, out_dir: str, checkpoint_dir: str,
+              schema=None, max_files_per_trigger: int = 1,
+              available_now: bool = True):
+        if schema is None:
+            schema = spark.read.parquet(source_dir).schema
+        reader = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", max_files_per_trigger)
+                  .parquet(source_dir))
+        out = self.transform(reader)
+        writer = (out.writeStream.format("parquet")
+                  .option("path", out_dir)
+                  .option("checkpointLocation", checkpoint_dir)
+                  .outputMode("append"))
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
 def _gap_merge(sessions: list, gap_us: int) -> list:
     """Interval-merge sessions whose ts-span gap ≤ gap_us; synopsis blobs
     merge pairwise (associative/commutative per the trait contract, so any

@@ -183,6 +183,49 @@ def test_stateful_count_windows_match_batch(spark, tmp_path):
     assert s == b  # byte-identical synopsis content (same row→window routing)
 
 
+def test_stateful_ordered_wavelet_matches_exact(spark, tmp_path):
+    """Streaming order-based wavelet build: slices emitted every N elements
+    (trailing partial flushed by the cutoff sentinel) answer range sums
+    exactly like the batch order; stratified keys slice independently."""
+    from condor_spark.engine.stateful import StatefulOrderedStream
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    cutoff = pd.Timestamp(max_ts) + pd.Timedelta(days=1)
+
+    src = str(tmp_path / "src")
+    fixtures.replay_in_order(spark, events, src, 5,
+                             flush_ts=[cutoff + pd.Timedelta(days=1),
+                                       cutoff + pd.Timedelta(days=2)])
+    # 700 does NOT divide any stratum's row count → every stratum's final
+    # partial slice must be timer-flushed or totals come back short
+    spec = SynopsisSpec(kind="wavelet", params=dict(size=1 << 14),
+                        column="value", ts_column="ts",
+                        tiebreak_column="event_id", stratify_by="event_type")
+    job = StatefulOrderedStream(spec, slice_count=700,
+                                flush_cutoff_us=int(cutoff.value // 1000))
+    q = job.start(spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+                  max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    slices = spark.read.parquet(str(tmp_path / "out"))
+    n_total = events.count()
+    assert slices.groupBy().sum("length").collect()[0][0] == n_total
+
+    ranges = [(0, 137), (100, 450), (0, 1 << 40)]
+    got = {(r["stratum"], r["lo_idx"], r["hi_idx"]): r["range_sum"]
+           for r in ev.wavelet_range_sums_stratified(slices, ranges).collect()}
+    exact = (events.select(
+        "event_type", "value",
+        F.row_number().over(
+            __import__("pyspark").sql.Window.partitionBy("event_type")
+            .orderBy("ts", "event_id")).alias("rn")).toPandas())
+    for (st, lo, hi), v in got.items():
+        sub = exact[(exact["event_type"] == st)
+                    & (exact["rn"] - 1 >= lo) & (exact["rn"] - 1 < hi)]
+        assert abs(v - sub["value"].sum()) < 1e-6, (st, lo, hi)
+
+
 N_CLIPS = 300
 
 
