@@ -176,9 +176,21 @@ def error_metrics(spark, sf_dir: str) -> dict:
           FROM read_parquet('{ev_pq}') GROUP BY 1, 2) GROUP BY 1""").df()
     m = _merge(ams, ex, ["window_start"])
     rel = (m["est_f2"] - m["true_f2"]).abs() / m["true_f2"]
+    # Fast-AGMS per-row variance is ≤ 2·F2²/w (4-wise EH3 signs, pairwise
+    # H3 buckets), so one per-row std dev is sqrt(2/w); the reference's
+    # errorBound() = F2/sqrt(w) is only 0.71σ — a target, not a
+    # high-probability bound (max over ~30 windows exceeds 0.71σ with
+    # sizeable probability even for a perfect kernel). The honest check:
+    # every window within 1σ_row, and the mean well inside the
+    # median-of-rows concentration.
+    sigma = (2 / 1024) ** 0.5
     out["ams"] = {"max_rel_err": round(float(rel.max()), 5),
-                  "bound_1_over_sqrt_w": round(1 / 1024 ** 0.5, 5),
-                  "within_4x_bound": bool((rel <= 4 / 1024 ** 0.5).all())}
+                  "mean_rel_err": round(float(rel.mean()), 5),
+                  "ref_bound_0p71_sigma": round(1 / 1024 ** 0.5, 5),
+                  "sigma_row_sqrt_2_over_w": round(sigma, 5),
+                  "within_1_sigma_row": bool((rel <= sigma).all()),
+                  "frac_within_ref_bound":
+                      round(float((rel <= 1 / 1024 ** 0.5).mean()), 4)}
 
     # DDSketch α=0.01 — relative error vs exact rank quantile
     dd = q["ddsketch_quantiles"](spark, sf_dir).toPandas()

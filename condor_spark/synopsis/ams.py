@@ -54,6 +54,14 @@ class FastAGMS(Synopsis):
         return float(np.median(per_row))
 
     def error_bound(self) -> float:
+        """The reference's errorBound (FastAGMS.java:200-202) = F2/√w.
+
+        NOTE: per-row Var(F2_hat) ≤ 2·F2²/w under 4-wise independent signs,
+        so one per-row std dev is √2·F2/√w — this "bound" is 0.71σ, a
+        design target, not a high-probability guarantee (the max over many
+        windows exceeds it with sizeable probability even for a perfect
+        kernel; EH3's XOR-zero quadruples add a further small variance
+        term, see hashing.EH3Family). bench.py checks max ≤ 1σ_row."""
         return self.estimate_f2() / np.sqrt(self.width)
 
     def error_probability(self) -> float:

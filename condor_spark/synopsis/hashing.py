@@ -84,11 +84,22 @@ class H3Family:
 
 
 class EH3Family:
-    """k EH3 sign functions over 32-bit inputs → ±1 (4-wise independent).
+    """k EH3 sign functions over 32-bit inputs → ±1.
 
     Textbook EH3 (also used by the reference's AMS sketch): for a 33-bit seed
     ``(s0, S)``, ``h(i) = s0 XOR parity(S & i) XOR f(i)`` with the nonlinear
     term ``f(i) = (i0&i1) ^ (i2&i3) ^ ... ^ (i30&i31)``.
+
+    Exact independence structure (enumerated over the full seed space in
+    ``tests/test_kernels.py::test_eh3_independence_structure``): E[∏h] = 0
+    for any 1–3 distinct inputs (3-wise independent), and for 4 distinct
+    inputs E[∏h] = 0 UNLESS ``a⊕b⊕c⊕d = 0``, where the linear parts cancel
+    and the product is the deterministic sign ``(-1)^(f(a)⊕f(b)⊕f(c)⊕f(d))``
+    (Rusu & Dobra, "Pseudo-random number generation for sketch-based
+    estimations", TODS 2007). This is a property of the EH3 *scheme* — the
+    reference's ``EH3_HashFunction.java:22-60`` has the identical algebra —
+    so the AMS variance carries the same small XOR-quadruple term beyond
+    the ideal 2·F2²/w; see ``ams.FastAGMS.error_bound``.
     """
 
     def __init__(self, num_functions: int, seed: int):

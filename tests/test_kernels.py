@@ -425,3 +425,42 @@ class TestEquiWidth4LT:
         # ~root/2^6 per level-2 delta, well under 2% of n here
         assert abs(h.range_query_compressed(2, 7) - h.range_query(2, 7)) \
             <= 0.02 * h.n_processed
+
+
+def test_eh3_independence_structure():
+    """EH3's exact independence structure, enumerated over the full
+    effective seed space of an 8-bit input domain (512 seeds): E[∏h] = 0
+    for 1-3 distinct inputs; for 4 distinct inputs E[∏h] = 0 unless
+    a⊕b⊕c⊕d = 0, where the product is deterministically ±1 (the linear
+    parts cancel). Clears the kernel: the AMS bench residual vs F2/√w is
+    the scheme's variance math, not an implementation defect."""
+    from condor_spark.synopsis.hashing import EH3Family
+
+    fam = EH3Family(512, seed=0)
+    S = np.arange(256, dtype=np.uint64)
+    fam.S = np.concatenate([S, S])
+    fam.s0 = np.concatenate([np.zeros(256, np.uint64),
+                             np.ones(256, np.uint64)])
+    signs = fam.signs(np.arange(256))  # (512 seeds, 256 inputs)
+
+    rng = np.random.default_rng(1)
+    for _ in range(1500):
+        q = rng.choice(256, size=4, replace=False)
+        for k in (1, 2, 3):
+            assert abs(np.prod(signs[:, q[:k]], axis=1).mean()) < 1e-12
+        e4 = np.prod(signs[:, q], axis=1).mean()
+        if q[0] ^ q[1] ^ q[2] ^ q[3] != 0:
+            assert abs(e4) < 1e-12
+        else:
+            assert abs(abs(e4) - 1.0) < 1e-12
+    # force-construct XOR-zero quadruples (rare under random sampling)
+    hits = 0
+    for _ in range(300):
+        a, b, c = (int(v) for v in rng.choice(256, size=3, replace=False))
+        d = a ^ b ^ c
+        if d in (a, b, c) or d > 255:
+            continue
+        e4 = np.prod(signs[:, [a, b, c, d]], axis=1).mean()
+        assert abs(abs(e4) - 1.0) < 1e-12
+        hits += 1
+    assert hits > 100
