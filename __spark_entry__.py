@@ -766,6 +766,41 @@ def q_stream_count_windows(spark, sf_dir):
     return spark.read.parquet(f"{tmp}/out").select("window_id", "n")
 
 
+def q_stream_query_latest(spark, sf_dir):
+    """Continuous query-stream evaluation (QueryLatest.java:60-65 +
+    IPQuerySource analogue): the synopsis snapshot is maintained by the
+    exactly-once streaming sink, then a 3-batch query stream is answered
+    per micro-batch against the newest committed window (broadcast blob,
+    vectorized answers, no shuffle). CM at this width is exact, so every
+    answer matches the newest window's true counts."""
+    import tempfile
+
+    from condor_spark import fixtures
+    from condor_spark.engine.streaming import (QueryLatestStream,
+                                               StreamingSynopsisJob)
+
+    df = _events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="condor_qls_")
+    fixtures.replay_in_order(spark, df, f"{tmp}/src", n_chunks=5)
+    spec = SynopsisSpec(kind="countmin", params=dict(width=8192, height=5, seed=7),
+                        column="user_id", ts_column="ts", window=Tumbling(DAY))
+    job = StreamingSynopsisJob(spec, sink_dir=f"{tmp}/sink",
+                               watermark_delay="1 hour")
+    job.start(spark, f"{tmp}/src", f"{tmp}/ckpt").awaitTermination(600)
+
+    keys = _user_keys(df)
+    qdf = spark.createDataFrame([(b, k) for b in range(3) for k in keys],
+                                "q_batch long, key long")
+    fixtures.replay_in_order(spark, qdf, f"{tmp}/qsrc", n_chunks=3,
+                             ts_col="q_batch")
+    ql = QueryLatestStream(job, out_dir=f"{tmp}/answers", key_column="key")
+    ql.start(spark, f"{tmp}/qsrc", f"{tmp}/qckpt").awaitTermination(600)
+
+    res = spark.read.parquet(f"{tmp}/answers")
+    return res.select(F.col("batch").cast("long").alias("q_batch"),
+                      "key", "est_count")
+
+
 def q_stream_join(spark, sf_dir):
     """Stateful stream-stream clip⋈transcript join (watermarks + lag-bounded
     state), availableNow over ordered file replay; rows-only check (the
@@ -846,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "audio_rms_quantiles": q_audio_rms_quantiles,
         "stream_join": q_stream_join,
+        "stream_query_latest": q_stream_query_latest,
         # CEP sequence detection (exact operator, oracle-backed)
         "cep_sequence": q_cep_sequence,
         "cep_sequence_first": q_cep_sequence_first,
@@ -1260,6 +1296,21 @@ def oracle_sql() -> dict[str, str]:
     oracles["stream_sessions"] = oracles["session_windows"]
     oracles["stream_sliding"] = oracles["sliding_counts"]
     oracles["stream_wavelet"] = oracles["wavelet_range_sums"]
+    # query-stream evaluation: the snapshot is final before the query stream
+    # replays, so every batch answers against the newest window; CM at
+    # width 8192 over this key set is exact
+    oracles["stream_query_latest"] = """
+            WITH last AS (SELECT max(time_bucket(INTERVAL '1 day', ts)) ws
+                          FROM events),
+                 u AS (SELECT DISTINCT user_id FROM events),
+                 c AS (SELECT user_id, count(*) cnt FROM events, last
+                       WHERE time_bucket(INTERVAL '1 day', ts) = last.ws
+                       GROUP BY 1),
+                 b AS (SELECT i AS q_batch FROM range(0, 3) t(i))
+            SELECT b.q_batch, CAST(u.user_id AS VARCHAR) AS key,
+                   COALESCE(c.cnt, 0) AS est_count
+            FROM b CROSS JOIN u LEFT JOIN c USING (user_id)
+        """
     oracles["cep_sequence"] = """
             SELECT a.user_id AS key, a.ts AS first_ts, b.ts AS second_ts
             FROM events a JOIN events b

@@ -230,3 +230,78 @@ class StreamingSynopsisJob:
 
 def out_n_rows(lineage) -> int:
     return int(sum(r["n_rows"] for r in lineage))
+
+
+@dataclass
+class QueryLatestStream:
+    """Continuous query-STREAM evaluation against the latest synopsis — the
+    reference's scalability query path (``benchmark/.../scalability/
+    evaluation/QueryLatest.java:60-65`` fed by ``sources/queries/
+    IPQuerySource.java``): point queries arrive as their own stream and each
+    micro-batch is answered against the newest committed window of the
+    continuously-upserted snapshot (``StreamingSynopsisJob`` ledger).
+
+    Execution shape: per micro-batch, the snapshot's newest (window,
+    stratum) rows — O(strata) sketch blobs — are read through the ledger
+    and BROADCAST; the query batch never shuffles, each input partition
+    decodes the blob once and answers its whole Arrow batch vectorized
+    (stream-static join where the static side is re-resolved every batch,
+    so answers always reflect the latest commit, version-stamped).
+
+    Exactly-once: results land in ``out_dir/batch=<id>`` via idempotent
+    overwrite — a replayed batch rewrites the same directory.
+    """
+    job: StreamingSynopsisJob
+    out_dir: str
+    key_column: str = "key"
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ledger = self.job._read_ledger()
+        version = int(ledger["version"])
+        state = self.job.read_state_df(spark)
+        # newest window overall (per_stratum latest would broadcast the same
+        # way: O(strata) rows either way)
+        latest = state.orderBy(F.col("window_end").desc()).limit(1).collect()
+        os.makedirs(self.out_dir, exist_ok=True)
+        target = os.path.join(self.out_dir, f"batch={int(batch_id)}")
+        if not latest:
+            batch_df.limit(0).select(
+                F.col(self.key_column).cast("string").alias("key"),
+                F.lit(0).cast("long").alias("est_count"),
+                F.lit(version).alias("snapshot_version"),
+            ).write.mode("overwrite").parquet(target)
+            return
+        blob = bytes(latest[0]["state"])
+        ws, we = latest[0]["window_start"], latest[0]["window_end"]
+        key_col = self.key_column
+
+        def answer(batches):
+            syn = Synopsis.from_bytes(blob)  # decode once per partition
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                est = syn.query(pdf[key_col])
+                yield pd.DataFrame({
+                    "key": pdf[key_col].astype(str),
+                    "est_count": pd.Series(est).astype("int64"),
+                    "snapshot_version": version})
+
+        (batch_df.mapInPandas(
+            answer, schema="key string, est_count long, snapshot_version int")
+         .write.mode("overwrite").parquet(target))
+
+    def start(self, spark: SparkSession, source_dir: str, checkpoint_dir: str,
+              schema=None, max_files_per_trigger: int = 1,
+              available_now: bool = True):
+        if schema is None:
+            schema = spark.read.parquet(source_dir).schema
+        reader = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", max_files_per_trigger)
+                  .parquet(source_dir))
+        writer = (reader.writeStream
+                  .foreachBatch(self.process_batch)
+                  .option("checkpointLocation", checkpoint_dir))
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
