@@ -116,15 +116,20 @@ _QS = np.array([0.25, 0.5, 0.75, 0.95])
 
 
 def _quantiles_sorted(e: np.ndarray) -> np.ndarray:
-    """np.quantile(e, _QS) without its ~80µs dispatch overhead — same
-    linear-interpolation formula (lo + gamma*(hi-lo)), bit-identical."""
+    """np.quantile(e, _QS) without its ~80µs dispatch overhead —
+    bit-identical because it mirrors numpy's TWO-SIDED _lerp: for
+    gamma < 0.5 the result is a + gamma*(b-a), but for gamma >= 0.5 numpy
+    computes b - (b-a)*(1-gamma), which can differ in the last ulp."""
     e = np.sort(e)
     vi = _QS * (e.size - 1)
     lo = vi.astype(np.int64)
     hi = np.minimum(lo + 1, e.size - 1)
     gamma = vi - lo
-    a = e[lo]
-    return a + gamma * (e[hi] - a)
+    a, b = e[lo], e[hi]
+    out = a + gamma * (b - a)
+    m = gamma >= 0.5
+    out[m] = b[m] - (b[m] - a[m]) * (1.0 - gamma[m])
+    return out
 
 
 def clip_features(wave: np.ndarray, n_frames: int = 20) -> dict:

@@ -94,9 +94,12 @@ def ann_topk_lsh(emb_df: DataFrame, query_ids: list[int], k: int = 5,
             .select("query_id", "neighbor_id",
                     F.round(_cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine")))
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (sims.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
-                .select("query_id", "rank", "neighbor_id", "cosine"))
+    from .util import pin_result
+
+    out = (sims.withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= k)
+               .select("query_id", "rank", "neighbor_id", "cosine"))
+    return pin_result(out, with_bucket)
 
 
 def ivf_index(emb_df: DataFrame, num_centroids: int = 16, iters: int = 2,
@@ -212,9 +215,12 @@ def ann_topk_ivf(emb_df: DataFrame, query_ids: list[int], k: int = 5,
                     F.round(_cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"))
             .groupBy("query_id", "neighbor_id").agg(F.max("cosine").alias("cosine")))
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (sims.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
-                .select("query_id", "rank", "neighbor_id", "cosine"))
+    from .util import pin_result
+
+    out = (sims.withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= k)
+               .select("query_id", "rank", "neighbor_id", "cosine"))
+    return pin_result(out, with_cluster)
 
 
 def cosine_near_dup_pairs(emb_df: DataFrame, threshold: float = 0.4,
@@ -305,9 +311,12 @@ def cosine_near_dup_pairs_lsh(emb_df: DataFrame, threshold: float = 0.4,
                     ).alias("_unit"))
     dot = F.aggregate(F.zip_with(F.col("_ua"), F.col("_ub"), lambda x, y: x * y),
                       F.lit(0.0), lambda acc, v: acc + v)
-    return (cand
-            .join(unit.select(F.col("_id").alias("id_a"), F.col("_unit").alias("_ua")), "id_a")
-            .join(unit.select(F.col("_id").alias("id_b"), F.col("_unit").alias("_ub")), "id_b")
-            .withColumn("cosine", F.round(dot, 6))
-            .filter(F.col("cosine") >= threshold)
-            .select("id_a", "id_b", "cosine"))
+    from .util import pin_result
+
+    out = (cand
+           .join(unit.select(F.col("_id").alias("id_a"), F.col("_unit").alias("_ua")), "id_a")
+           .join(unit.select(F.col("_id").alias("id_b"), F.col("_unit").alias("_ub")), "id_b")
+           .withColumn("cosine", F.round(dot, 6))
+           .filter(F.col("cosine") >= threshold)
+           .select("id_a", "id_b", "cosine"))
+    return pin_result(out, sig)

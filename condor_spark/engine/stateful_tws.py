@@ -193,10 +193,20 @@ class TransformWithStateSynopsisStream:
                 "transformWithStateInPandas needs the google.protobuf "
                 "package (ships with full Spark distros); use "
                 "stateful.StatefulSynopsisStream in this environment")
+        # transformWithState requires the RocksDB provider, but the provider
+        # class is SESSION-global and frozen into every streaming query's
+        # checkpoint at start — silently flipping it here would break any
+        # other query in this session restoring an HDFSBackedStateStore
+        # checkpoint (e.g. the applyInPandasWithState paths). Require the
+        # caller to choose it at session build time instead.
         if spark.conf.get("spark.sql.streaming.stateStore.providerClass",
                           "") != ROCKSDB_PROVIDER:
-            spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-                           ROCKSDB_PROVIDER)
+            raise RuntimeError(
+                "transformWithStateInPandas requires the RocksDB state "
+                "store; set spark.sql.streaming.stateStore.providerClass="
+                f"{ROCKSDB_PROVIDER} when BUILDING the session (it is "
+                "session-global and frozen into streaming checkpoints, so "
+                "this engine will not mutate it mid-session)")
         if schema is None:
             schema = spark.read.parquet(source_dir).schema
         reader = (spark.readStream.schema(schema)

@@ -203,7 +203,13 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
     join at sf0.1. Above the cap (warehouse scale: the corpus can't sit on
     one executor) pairs co-locate both arrays through two equi-joins and
     verify JVM-side, pre-filtered by the signature lane-match estimate.
-    Both paths verify exactly — precision is 1.0 either way, same rows out.
+    Both paths have precision 1.0 (every emitted pair is exactly verified).
+    Recall differs by a bounded amount: the shuffle path's pre-filter drops
+    candidates whose lane-match estimate sits ≥ 4σ below the threshold
+    (σ = sqrt(t(1−t)/k), the binomial stderr of the estimate) — a TRUE
+    pair exactly at the threshold is lost with probability ≤ ~3e-5
+    (binomial tail at z = −4), vanishing for pairs above it. The broadcast
+    path verifies every LSH candidate and has no such loss.
     """
     # persist the self-joined intermediate: without it Spark recomputes the
     # Python minhash UDF once per join side (4x the text work per query); at
@@ -227,9 +233,12 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
         raw = _verify_pairs_broadcast(cand, sh, id_col)
     else:
         # signature pre-filter: matching-lane fraction is an unbiased
-        # Jaccard estimate (stderr sqrt(t(1-t)/k) ~= 0.06 at k=64);
-        # candidates whose estimate is > ~2.5 sigma below threshold cannot
-        # plausibly verify, so they skip the (heavier) shingle-set join.
+        # Jaccard estimate; candidates whose estimate sits >= 4 binomial
+        # stderrs below the threshold cannot plausibly verify, so they skip
+        # the (heavier) shingle-set join. The 4-sigma margin bounds the
+        # recall loss for a true at-threshold pair to ~3e-5 (see docstring).
+        sigma = (threshold * (1.0 - threshold) / num_hashes) ** 0.5
+        cutoff = (threshold - 4.0 * sigma) * num_hashes
         sa = sigs.select(F.col(id_col).alias("doc_a"),
                          F.col("signature").alias("sig_a"))
         sb = sigs.select(F.col(id_col).alias("doc_b"),
@@ -239,7 +248,7 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
                        lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0))),
             F.lit(0), lambda acc, v: acc + v)
         cand = (cand.join(sa, "doc_a").join(sb, "doc_b")
-                    .filter(matches >= F.lit((threshold - 0.15) * num_hashes))
+                    .filter(matches >= F.lit(cutoff))
                     .select("doc_a", "doc_b"))
         a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
         b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
@@ -251,9 +260,12 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
             (inter / F.greatest(union, F.lit(1)).cast("double")).alias("jaccard"))
     # round/filter in the JVM for BOTH paths so results are bit-identical
     # (numpy rounds half-to-even, Spark half-up)
-    return (raw.select("doc_a", "doc_b",
-                       F.round(F.col("jaccard"), 6).alias("jaccard"))
-               .filter(F.col("jaccard") >= threshold))
+    from .util import pin_result
+
+    out = (raw.select("doc_a", "doc_b",
+                      F.round(F.col("jaccard"), 6).alias("jaccard"))
+              .filter(F.col("jaccard") >= threshold))
+    return pin_result(out, sigs, sh)
 
 
 def _verify_pairs_broadcast(cand: DataFrame, sh: DataFrame,
@@ -329,8 +341,11 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter / F.greatest(union, F.lit(1)).cast("double")
-    return (pairs.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-                 .filter(F.col("jaccard") >= threshold))
+    from .util import pin_result
+
+    out = (pairs.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+                .filter(F.col("jaccard") >= threshold))
+    return pin_result(out, sh)
 
 
 # --------------------------------------------------------------- SimHash
@@ -383,5 +398,8 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     cand = (a.join(b, ["chunk", "val"]).filter(F.col("doc_a") < F.col("doc_b"))
              .select("doc_a", "doc_b", "sig_a", "sig_b").distinct())
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (cand.select("doc_a", "doc_b", ham.alias("hamming"))
-                .filter(F.col("hamming") <= max_hamming))
+    from .util import pin_result
+
+    out = (cand.select("doc_a", "doc_b", ham.alias("hamming"))
+               .filter(F.col("hamming") <= max_hamming))
+    return pin_result(out, sig)

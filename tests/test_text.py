@@ -1,5 +1,10 @@
-"""Text dedup paths: the broadcast-LUT verify and the join verify must be
-two physical strategies for ONE logical operator — identical rows out."""
+"""Text dedup paths: the broadcast-LUT verify and the join verify are two
+physical strategies for ONE logical operator. Precision is 1.0 on both; the
+join path additionally pre-filters candidates whose signature estimate sits
+>= 4 binomial stderrs below the threshold, so its recall can differ by a
+bounded ~3e-5 ONLY for true pairs exactly at the threshold (see
+minhash_dedup_pairs docstring). This fixture has no such knife-edge pair,
+so rows compare equal here."""
 
 from condor_spark.engine import text as T
 
