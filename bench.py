@@ -68,17 +68,28 @@ def make_spark(cpus: int):
             .getOrCreate())
 
 
-def throughput_job(spark, sf_dir: str, target_rows: int = 2_000_000) -> dict:
-    """The scaling-proxy job: two-phase CM + HLL + DDSketch build over events
-    (3 synopsis kinds per window — one pass each). Returns rows/sec.
+def throughput_job(spark, sf_dir: str, target_rows: int = 2_000_000,
+                   reps: int = 2) -> dict:
+    """The scaling-proxy job: CM + HLL + DDSketch over events (3 synopsis
+    updates per row). Two execution shapes, both measured best-of-``reps``
+    (this host's kernel-time storms swing identical reps multiples —
+    BASELINE.md; rep walls are reported so round-over-round deltas are
+    legible):
+
+      * shared-scan: ``build_batch_many`` — one pass, 3 sketches (the
+        engine's multi-synopsis operator; analogue of several
+        SynopsisBuilder.build() pipelines sharing one Flink source). This
+        is the headline events_updates_per_sec.
+      * sequential: 3 independent ``build_batch`` passes (the r1 shape),
+        kept for comparability.
 
     The sf0.1 events table is only 100k rows — at that size the number is
     ~fixed stage overhead, not engine throughput — so the input is
     replicated (untimed, materialized once) to ~``target_rows``."""
     from pyspark.sql import functions as F
 
-    from condor_spark.engine import evaluate as ev
-    from condor_spark.engine.builder import SynopsisSpec, build_batch
+    from condor_spark.engine.builder import (SynopsisSpec, build_batch,
+                                             build_batch_many)
     from condor_spark.engine.windows import Tumbling
 
     base = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -89,16 +100,31 @@ def throughput_job(spark, sf_dir: str, target_rows: int = 2_000_000) -> dict:
              .drop("__r").repartition(64).write.mode("overwrite").parquet(path))
     df = spark.read.parquet(path)
     n = df.count()
-    t0 = time.perf_counter()
-    for kind, params, col in (
-            ("countmin", dict(width=65536, height=5, seed=7), "user_id"),
-            ("hll", dict(log_reg_num=14, seed=7), "user_id"),
-            ("ddsketch", dict(relative_accuracy=0.01, max_num_bins=4096), "value")):
-        spec = SynopsisSpec(kind=kind, params=params, column=col,
-                            ts_column="ts", window=Tumbling("1 day"))
-        build_batch(df, spec).count()
-    wall = time.perf_counter() - t0
-    return {"rows": n * 3, "sec": wall, "rows_per_sec": n * 3 / wall}
+    specs = [
+        SynopsisSpec(kind="countmin", params=dict(width=65536, height=5, seed=7),
+                     column="user_id", ts_column="ts", window=Tumbling("1 day")),
+        SynopsisSpec(kind="hll", params=dict(log_reg_num=14, seed=7),
+                     column="user_id", ts_column="ts", window=Tumbling("1 day")),
+        SynopsisSpec(kind="ddsketch",
+                     params=dict(relative_accuracy=0.01, max_num_bins=4096),
+                     column="value", ts_column="ts", window=Tumbling("1 day")),
+    ]
+    shared_walls, seq_walls = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        build_batch_many(df, specs).count()
+        shared_walls.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        for spec in specs:
+            build_batch(df, spec).count()
+        seq_walls.append(time.perf_counter() - t0)
+    best, best_seq = min(shared_walls), min(seq_walls)
+    return {"rows": n * 3, "sec": best, "rows_per_sec": n * 3 / best,
+            "rows_per_sec_sequential": n * 3 / best_seq,
+            "rep_secs_shared": [round(w, 2) for w in shared_walls],
+            "rep_secs_sequential": [round(w, 2) for w in seq_walls],
+            "storm_detected": bool(max(shared_walls + seq_walls)
+                                   > 3 * min(shared_walls + seq_walls))}
 
 
 def error_metrics(spark, sf_dir: str) -> dict:
@@ -249,14 +275,15 @@ def audio_throughput(spark, n_clips: int, cpus: int, reps: int = 2) -> dict:
 
     src = _clips_table(spark, n_clips)
     run(_clips_table(spark, min(20_000, n_clips)))  # warmup, untimed
-    best = None
+    walls = []
     for _ in range(reps):
         t0 = time.perf_counter()
         run(src)
-        wall = time.perf_counter() - t0
-        if best is None or wall < best:
-            best = wall
-    return {"clips": n_clips, "sec": best, "clips_per_sec": n_clips / best}
+        walls.append(time.perf_counter() - t0)
+    best = min(walls)
+    return {"clips": n_clips, "sec": best, "clips_per_sec": n_clips / best,
+            "rep_secs": [round(w, 2) for w in walls],
+            "storm_detected": bool(max(walls) > 3 * min(walls))}
 
 
 HEADLINE = [
@@ -360,9 +387,14 @@ def main() -> None:
         # Fresh pinned JVM per size, best-of-2 timed reps inside it; up to 2
         # attempts per size with a hard per-child timeout, because the host's
         # kernel-time storms (BASELINE.md) can stall any single child 10x.
+        # The sweep covers 4 sizes (n, 2n, 4n, 8n); the headline efficiency
+        # stays the n → 4n pair of the north rule.
         taskset = _shutil.which("taskset")
-        best = {}
-        for n in (base_n, 4 * base_n):
+        best: dict[int, float] = {}
+        reps_by_n: dict[int, list] = {}
+        for n in (base_n, 2 * base_n, 4 * base_n, 8 * base_n):
+            if n > os.cpu_count():
+                continue
             for _attempt in range(2):
                 cmd = [sys.executable, __file__, "--throughput", str(n),
                        "2", "36000"]
@@ -373,16 +405,25 @@ def main() -> None:
                                        cwd=REPO, timeout=600)
                     line = [l for l in p.stdout.strip().splitlines()
                             if l.startswith("{")][-1]
-                    cps = json.loads(line)["clips_per_sec"]
+                    got = json.loads(line)
+                    cps = got["clips_per_sec"]
                 except (subprocess.TimeoutExpired, IndexError, ValueError):
                     continue
-                best[n] = max(best.get(n, 0), cps)
+                if cps > best.get(n, 0):
+                    best[n] = cps
+                    reps_by_n[n] = got.get("rep_secs", [])
         if base_n in best and 4 * base_n in best:
             eff = best[4 * base_n] / (4 * best[base_n])
             scaling = {
                 f"cpus{base_n}_clips_per_sec": round(best[base_n]),
                 f"cpus{4 * base_n}_clips_per_sec": round(best[4 * base_n]),
-                "efficiency_n_to_4n": round(eff, 3)}
+                "efficiency_n_to_4n": round(eff, 3),
+                "sweep_clips_per_sec": {str(n): round(v)
+                                        for n, v in sorted(best.items())},
+                "rep_secs_by_size": {str(n): reps_by_n.get(n, [])
+                                     for n in sorted(best)},
+                "storm_detected": bool(any(
+                    r and max(r) > 3 * min(r) for r in reps_by_n.values()))}
 
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -392,6 +433,11 @@ def main() -> None:
         "sf": float(SF_DIR.rstrip("/").split("sf")[-1]),
         "throughput": {
             "events_updates_per_sec": round(tput["rows_per_sec"]),
+            "events_updates_per_sec_sequential":
+                round(tput["rows_per_sec_sequential"]),
+            "events_rep_secs": {"shared": tput["rep_secs_shared"],
+                                "sequential": tput["rep_secs_sequential"]},
+            "events_storm_detected": tput["storm_detected"],
             "audio_clips_per_sec": round(audio["clips_per_sec"]) if audio else None,
             "audio_local_n": audio_n,
         },

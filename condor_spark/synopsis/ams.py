@@ -48,6 +48,18 @@ class FastAGMS(Synopsis):
             np.add.at(self.counts[r], cols[r], signs[r])
         self.n_processed += x.shape[0]
 
+    # ---- whole-batch fast path (builder._partial_builder) -----------------
+    def precompute(self, values):
+        x = strings_to_ints(values)
+        return (self._h3.hash(x) % self.width,
+                self._eh3.signs(x).astype(np.int64))
+
+    def update_precomputed(self, pre, lo: int, hi: int) -> None:
+        cols, signs = pre
+        for r in range(self.height):
+            np.add.at(self.counts[r], cols[r, lo:hi], signs[r, lo:hi])
+        self.n_processed += hi - lo
+
     def estimate_f2(self) -> float:
         """Median over rows of the sum of squared counters."""
         per_row = (self.counts.astype(np.float64) ** 2).sum(axis=1)

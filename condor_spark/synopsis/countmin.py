@@ -75,6 +75,19 @@ class CountMinSketch(Synopsis):
             np.add.at(self.counts[r], cols[r], w)
         self.n_processed += int(w.sum())
 
+    # ---- whole-batch fast path (builder._partial_builder) -----------------
+    # hash once for an entire Arrow batch; each (slice, stratum) group then
+    # scatters its contiguous [lo, hi) view — the per-group cost drops from
+    # "hash a tiny array" (fixed numpy dispatch × 32 bit-steps) to one
+    # np.add.at per sketch row.
+    def precompute(self, values):
+        return self._cols(values)  # (height, n)
+
+    def update_precomputed(self, pre, lo: int, hi: int) -> None:
+        for r in range(self.height):
+            np.add.at(self.counts[r], pre[r, lo:hi], 1)
+        self.n_processed += hi - lo
+
     def decrement_batch(self, values) -> None:
         cols = self._cols(values)
         for r in range(self.height):

@@ -98,6 +98,25 @@ class DDSketch(Synopsis):
             self._add_bins(uniq, cnt.astype(np.int64))
         self.n_processed += int(x.size)
 
+    # ---- whole-batch fast path (builder._partial_builder) -----------------
+    def precompute(self, values):
+        x = np.asarray(values, dtype=np.float64)
+        nan = np.isnan(x)
+        pos = x > 0  # False for NaN
+        idx = np.zeros(x.shape[0], dtype=np.int64)
+        if pos.any():
+            idx[pos] = self.bucket_index(x[pos])
+        return idx, pos, nan
+
+    def update_precomputed(self, pre, lo: int, hi: int) -> None:
+        idx, pos, nan = pre
+        p = pos[lo:hi]
+        if p.any():
+            uniq, cnt = np.unique(idx[lo:hi][p], return_counts=True)
+            self._add_bins(uniq, cnt.astype(np.int64))
+        self.zero_count += int((~p & ~nan[lo:hi]).sum())
+        self.n_processed += int((hi - lo) - nan[lo:hi].sum())
+
     def quantile(self, q: float) -> float:
         """Value at quantile q using rank = ceil(q*n) (see module docstring)."""
         n = self.n_processed

@@ -55,6 +55,24 @@ class HyperLogLog(Synopsis):
         np.maximum.at(self.registers, idx, rank)
         self.n_processed += x.shape[0]
 
+    # ---- whole-batch fast path (builder._partial_builder) -----------------
+    def precompute(self, values):
+        x = strings_to_ints(values)
+        h = hash64(x, self.seed)
+        idx = (h >> np.uint64(64 - self.log_reg_num)).astype(np.int64)
+        low = h & np.uint64((1 << (64 - self.log_reg_num)) - 1)
+        tz = np.where(
+            low == 0,
+            np.uint64(64 - self.log_reg_num),
+            np.log2((low & (~low + np.uint64(1))).astype(np.float64)).astype(np.uint64),
+        )
+        return idx, (tz + np.uint64(1)).astype(np.uint8)
+
+    def update_precomputed(self, pre, lo: int, hi: int) -> None:
+        idx, rank = pre
+        np.maximum.at(self.registers, idx[lo:hi], rank[lo:hi])
+        self.n_processed += hi - lo
+
     def estimate(self) -> int:
         m = self.m
         if self.log_reg_num == 4:

@@ -289,3 +289,27 @@ def test_build_ordered_round_robin_wavelet(spark, events):
                    (len(ordered) - 50, len(ordered))]:
         assert abs(mgr.range_sum_query(lo, hi) - ordered[lo:hi].sum()) \
             <= 1e-6 * max(1.0, abs(ordered[lo:hi].sum()))
+
+
+def test_build_batch_many_matches_single(spark, events):
+    """Shared-scan multi-synopsis build: each spec's output must be
+    byte-identical to its standalone build_batch result."""
+    from condor_spark.engine.builder import build_batch_many
+
+    specs = [
+        SynopsisSpec(kind="countmin", params=dict(width=8192, height=5, seed=7),
+                     column="user_id", ts_column="ts", window=Tumbling("1 day")),
+        SynopsisSpec(kind="hll", params=dict(log_reg_num=12, seed=7),
+                     column="user_id", ts_column="ts", window=Tumbling("1 day")),
+        SynopsisSpec(kind="ddsketch", params=dict(relative_accuracy=0.01),
+                     column="value", ts_column="ts", window=Tumbling("1 day")),
+    ]
+    many = build_batch_many(events, specs).collect()
+    for i, spec in enumerate(specs):
+        single = sorted(
+            ((r["window_start"], r["stratum"], bytes(r["state"]), r["n"])
+             for r in build_batch(events, spec).collect()))
+        got = sorted(
+            ((r["window_start"], r["stratum"], bytes(r["state"]), r["n"])
+             for r in many if r["spec_id"] == i))
+        assert got == single, f"spec {i} ({spec.kind}) differs"
