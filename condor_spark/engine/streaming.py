@@ -6,25 +6,32 @@ per-micro-batch two-phase build (same partial/merge engine as batch), and a
 ``foreachBatch`` exactly-once idempotent sink:
 
   sink_dir/
-    state/version=K/*.parquet   windowed-synopsis snapshot
-                                (window_start, window_end, stratum, state, n)
+    state/w<window_us>_v<K>.parquet   one file per WINDOW BUCKET
+                                      (window_start, window_end, stratum,
+                                      state, n — all strata of the window)
     ledger.json                 {"version": K, "committed": {batch_id: version},
-                                 "max_event_us": ...}
+                                 "max_event_us": ..., "manifest":
+                                 {window_us: state-file path}}
     metrics.jsonl               per-batch metrics + per-partition lineage
+
+The ledger's MANIFEST is the snapshot (the Iceberg idea re-expressed):
+readers assemble the table from the file list, so a batch only rewrites
+the window buckets it actually TOUCHED and carries every other manifest
+entry forward — per-batch sink cost is O(touched windows × strata), not
+O(total state). A month of 1-minute windows with cold history costs the
+same per batch as an hour of them.
 
 Exactly-once: a replayed batch id short-circuits to its recorded version
 (reference sink analogue: idempotent upsert keyed (window, partition,
-batch_id) — SURVEY.md §2.4). A crash between snapshot write and ledger
-commit leaves an orphan version dir that the retried batch rewrites in
-place; readers only ever follow the ledger pointer, and the ledger is
-updated by atomic rename.
+batch_id) — SURVEY.md §2.4). State file names are deterministic in
+(bucket, version), so a crash between file write and ledger commit leaves
+orphans the retried batch rewrites in place; readers only ever follow the
+manifest, and the ledger is updated by atomic rename.
 
 Watermark semantics (Flink-style, applied explicitly because foreachBatch
 receives raw micro-batch rows): a row is late iff its event time <
 max_event_time_seen_so_far - delay; late rows are dropped and counted.
-Windows merge incrementally across batches via the kernels' merge() — the
-synopsis state is O(windows × strata × sketch), independent of row count,
-so snapshot rewriting per batch stays cheap at any input scale.
+Windows merge incrementally across batches via the kernels' merge().
 
 Iceberg: no iceberg-spark-runtime jar ships in this sandbox, so the sink is
 parquet-snapshot based behind this module's API; the upsert keying and
@@ -35,7 +42,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 from dataclasses import dataclass
 
@@ -66,7 +72,8 @@ class StreamingSynopsisJob:
         if os.path.exists(self._ledger_path):
             with open(self._ledger_path) as f:
                 return json.load(f)
-        return {"version": 0, "committed": {}, "max_event_us": None}
+        return {"version": 0, "committed": {}, "max_event_us": None,
+                "manifest": {}}
 
     def _write_ledger(self, ledger: dict) -> None:
         tmp = self._ledger_path + ".tmp"
@@ -74,17 +81,17 @@ class StreamingSynopsisJob:
             json.dump(ledger, f)
         os.replace(tmp, self._ledger_path)  # atomic commit point
 
-    def _state_dir(self, version: int) -> str:
-        return os.path.join(self.sink_dir, "state", f"version={version}")
+    def _state_file(self, window_us: int, version: int) -> str:
+        return os.path.join(self.sink_dir, "state",
+                            f"w{int(window_us)}_v{version}.parquet")
 
     # ---------------- state access ------------------------------------------
     def read_state(self, spark: SparkSession) -> DataFrame:
-        """Current committed windowed-synopsis table."""
-        ledger = self._read_ledger()
-        v = ledger["version"]
-        if v == 0:
+        """Current committed windowed-synopsis table (manifest assembly)."""
+        paths = sorted(self._read_ledger().get("manifest", {}).values())
+        if not paths:
             return spark.createDataFrame([], _STATE_SCHEMA)
-        return spark.read.parquet(self._state_dir(v))
+        return spark.read.parquet(*paths)
 
     def read_state_df(self, spark: SparkSession) -> DataFrame:
         """State with timestamp columns — feeds the evaluate layer."""
@@ -151,11 +158,16 @@ class StreamingSynopsisJob:
         delta = (partials.groupBy("__w", "__st")
                  .applyInPandas(merger, schema=_STATE_SCHEMA)).toPandas()
 
-        # merge delta into current snapshot (driver-side pandas: the synopsis
-        # table is O(windows × strata), small by construction)
-        cur = (pd.DataFrame(columns=["window_start", "window_end", "stratum",
-                                     "state", "n"])
-               if ledger["version"] == 0 else self.read_state(spark).toPandas())
+        # merge delta into the TOUCHED window buckets only (driver-side
+        # pandas over O(touched windows × strata) rows; untouched manifest
+        # entries carry forward without being read or rewritten)
+        manifest = dict(ledger.get("manifest", {}))
+        touched = (sorted({int(w) for w in delta["window_start"]})
+                   if len(delta) else [])
+        old_paths = [manifest[str(w)] for w in touched if str(w) in manifest]
+        cur = (spark.read.parquet(*old_paths).toPandas() if old_paths else
+               pd.DataFrame(columns=["window_start", "window_end", "stratum",
+                                     "state", "n"]))
         merged_rows = []
         cur_idx = {(r.window_start, r.stratum): i for i, r in cur.iterrows()}
         used = set()
@@ -179,11 +191,14 @@ class StreamingSynopsisJob:
         out = out.sort_values(["window_start", "stratum"]).reset_index(drop=True)
 
         new_version = ledger["version"] + 1
-        vdir = self._state_dir(new_version)
-        if os.path.exists(vdir):  # orphan from a crashed attempt — rewrite
-            shutil.rmtree(vdir)
-        (spark.createDataFrame(out, schema=_STATE_SCHEMA)
-         .coalesce(1).write.mode("overwrite").parquet(vdir))
+        for w, grp in out.groupby("window_start", sort=True):
+            path = self._state_file(int(w), new_version)
+            # deterministic name per (bucket, version): a crashed attempt's
+            # orphan is simply rewritten by the retry
+            (spark.createDataFrame(grp, schema=_STATE_SCHEMA)
+             .coalesce(1).write.mode("overwrite").parquet(path))
+            manifest[str(int(w))] = path
+        ledger["manifest"] = manifest
 
         # per-partition lineage: which partitions contributed to this batch
         lineage = (partials.groupBy("__pid")

@@ -10,9 +10,15 @@ Fingerprints are 1..255 (one byte, 0 = reserved empty, mirroring the
 reference's low-byte-of-hash fingerprint :60-62). Bucket choice uses the
 standard partial-key cuckoo scheme: ``b2 = b1 XOR hash(fp)``.
 
-Inserts are inherently sequential (kick chains), so ``update_batch`` runs a
-tight per-element loop over pre-hashed numpy arrays — this synopsis is not
-on the engine's throughput-critical path.
+``update_batch`` places a whole pre-hashed batch vectorized: a first-fit
+pass over primary buckets, a second over alternate buckets (stable batch
+order within each bucket), then ONLY the leftovers — elements whose both
+buckets were contended full — walk the sequential kick chains. Kick chains
+are inherently sequential; everything before them is not. Batch placement
+is deterministic (a pure function of batch order) but may fill contended
+buckets in a different element order than a strict per-element walk —
+membership semantics are identical, only the residual table layout under
+contention can differ.
 """
 
 from __future__ import annotations
@@ -84,11 +90,42 @@ class CuckooFilter(Synopsis):
         self.full = True  # reference sets a flag and drops (CuckooFilter.java:96-112)
         return False
 
+    def _place_first_fit(self, idx: np.ndarray, buckets: np.ndarray,
+                         fp: np.ndarray) -> np.ndarray:
+        """Vectorized first-fit of elements ``idx`` into ``buckets[idx]``;
+        returns the indices that did NOT fit. Stable batch order within a
+        bucket: earlier elements take earlier empty slots."""
+        bs = buckets[idx]
+        order = np.argsort(bs, kind="stable")
+        bs_s, idx_s = bs[order], idx[order]
+        uniq, start, counts = np.unique(bs_s, return_index=True,
+                                        return_counts=True)
+        pos = np.arange(bs_s.size) - np.repeat(start, counts)
+        empt = self.table[uniq] == 0                  # (u, bucket_size)
+        cap = np.repeat(empt.sum(axis=1), counts)
+        placed = pos < cap
+        if placed.any():
+            rank = empt.cumsum(axis=1) - 1            # rank among empties
+            slot_for_pos = np.full((uniq.size, self.bucket_size), -1,
+                                   dtype=np.int64)
+            uu, ss = np.nonzero(empt)
+            slot_for_pos[uu, rank[uu, ss]] = ss
+            urow = np.repeat(np.arange(uniq.size), counts)
+            self.table[bs_s[placed],
+                       slot_for_pos[urow[placed], pos[placed]]] = fp[idx_s[placed]]
+        return idx_s[~placed]
+
     def update_batch(self, values, ts=None) -> None:
         fp, b1, b2 = self._fp_and_buckets(values)
-        for i in range(fp.shape[0]):
+        n = fp.shape[0]
+        leftover = np.arange(n)
+        for buckets in (b1, b2):
+            if leftover.size == 0:
+                break
+            leftover = self._place_first_fit(leftover, buckets, fp)
+        for i in leftover:  # contended buckets: sequential kick chains
             self._insert_one(int(fp[i]), int(b1[i]), int(b2[i]))
-        self.n_processed += fp.shape[0]
+        self.n_processed += n
 
     def query(self, values) -> np.ndarray:
         fp, b1, b2 = self._fp_and_buckets(values)
