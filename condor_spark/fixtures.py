@@ -102,3 +102,63 @@ def replay_in_order(spark, df, src_dir: str, n_chunks: int,
          .coalesce(1).write.mode("append").parquet(src_dir))
         for f in set(_glob.glob(_os.path.join(src_dir, "*.parquet"))) - before:
             _os.utime(f, (base + i, base + i))
+
+
+def _write_chunks(spark, schema, chunks, src_dir: str) -> None:
+    import glob as _glob
+    import os as _os
+
+    _os.makedirs(src_dir, exist_ok=True)
+    base = 1_000_000_000
+    for i, chunk in enumerate(chunks):
+        before = set(_glob.glob(_os.path.join(src_dir, "*.parquet")))
+        (spark.createDataFrame(chunk, schema=schema)
+         .coalesce(1).write.mode("append").parquet(src_dir))
+        for f in set(_glob.glob(_os.path.join(src_dir, "*.parquet"))) - before:
+            _os.utime(f, (base + i, base + i))
+
+
+def replay_proportional(spark, df, src_dir: str, n_chunks: int,
+                        ts_col: str = "ts") -> None:
+    """Event-time-PROPORTIONAL replay (``NYCTaxiRideSource.java:36-55``):
+    each file covers an equal SPAN of event time, not an equal row count —
+    bursts land together in one micro-batch and quiet spans produce sparse
+    (possibly empty → skipped) files, reproducing the reference's
+    serving-speed gaps. Watermarks therefore advance by wall-clock-like
+    strides instead of row-count strides."""
+    pdf = df.toPandas().sort_values(ts_col).reset_index(drop=True)
+    ts = pd.to_datetime(pdf[ts_col])
+    lo, hi = ts.min(), ts.max()
+    span = (hi - lo) / n_chunks
+    chunks = []
+    for i in range(n_chunks):
+        a = lo + i * span
+        b = hi if i == n_chunks - 1 else lo + (i + 1) * span
+        m = (ts >= a) & ((ts < b) | (i == n_chunks - 1))
+        if m.any():
+            chunks.append(pdf[m])
+    _write_chunks(spark, df.schema, chunks, src_dir)
+
+
+def replay_unordered(spark, df, src_dir: str, n_chunks: int,
+                     max_delay, ts_col: str = "ts", seed: int = 42,
+                     flush_ts: list | None = None) -> None:
+    """Bounded-disorder replay (the ``UnorderedSource.java`` analogue): each
+    row's POSITION in the replay is its event-time order perturbed by a
+    deterministic pseudo-random displacement of at most ``max_delay`` of
+    event time — rows can arrive up to ``max_delay`` late relative to the
+    watermark front, never more. A watermark delay ≥ ``max_delay`` must
+    therefore reproduce the in-order replay's results exactly; a smaller
+    delay drops late rows (the watermark-stress contract)."""
+    pdf = df.toPandas().sort_values(ts_col).reset_index(drop=True)
+    delay_us = int(pd.Timedelta(max_delay).total_seconds() * 1e6)
+    rng = np.random.default_rng(seed)
+    virt = (pd.to_datetime(pdf[ts_col]).astype("int64") // 1000
+            + rng.integers(0, max(delay_us, 1), len(pdf)))
+    pdf = pdf.iloc[np.argsort(virt.to_numpy(), kind="stable")].reset_index(drop=True)
+    chunks = [c for c in np.array_split(pdf, n_chunks) if len(c)]
+    for t in (flush_ts or []):
+        row = pdf.iloc[[0]].copy()
+        row[ts_col] = pd.Timestamp(t)
+        chunks.append(row)
+    _write_chunks(spark, df.schema, chunks, src_dir)

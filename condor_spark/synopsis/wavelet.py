@@ -165,6 +165,42 @@ class SliceWaveletsManager:
         return total
 
 
+class DistributedSliceWaveletsManager:
+    """Combined manager (``Wavelets/DistributedSliceWaveletsManager.java``):
+    the stream is cut into consecutive SLICES, and each slice is itself a
+    round-robin :class:`DistributedWaveletsManager` over P wavelets — the
+    layout a parallel build over an ordered stream produces when slices roll
+    over time while every slice's elements interleave across P builders.
+
+    Routing composes the two managers' arithmetic: global index i → the
+    slice whose [offset, offset+length) contains i, then i − offset
+    round-robins inside that slice. 'Unify' remains concatenation at the
+    slice level and side-by-side placement within a slice — wavelets are
+    never merged.
+    """
+
+    def __init__(self, slices: list[tuple[int, int, "DistributedWaveletsManager"]]):
+        self.slices = sorted(slices, key=lambda t: t[0])
+        self.offsets = np.array([s[0] for s in self.slices], dtype=np.int64)
+
+    @property
+    def n(self) -> int:
+        return int(sum(s[1] for s in self.slices))
+
+    def point_query(self, i: int) -> float:
+        j = int(np.searchsorted(self.offsets, i, side="right")) - 1
+        off, _ln, mgr = self.slices[j]
+        return mgr.point_query(i - off)
+
+    def range_sum_query(self, lo: int, hi: int) -> float:
+        total = 0.0
+        for off, ln, mgr in self.slices:
+            s_lo, s_hi = max(lo, off), min(hi, off + ln)
+            if s_hi > s_lo:
+                total += mgr.range_sum_query(s_lo - off, s_hi - off)
+        return total
+
+
 class DistributedWaveletsManager:
     """Round-robin-interleave manager (DistributedWaveletsManager.java:21-29,
     42-76): element with global order-index i lives in wavelet i % P at local

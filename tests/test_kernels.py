@@ -464,3 +464,34 @@ def test_eh3_independence_structure():
         assert abs(abs(e4) - 1.0) < 1e-12
         hits += 1
     assert hits > 100
+
+
+def test_distributed_slice_wavelets_manager():
+    """Combined slices x round-robin manager: global routing through slice
+    offsets then residue arithmetic must reproduce exact point and range
+    queries when every wavelet is under budget (lossless)."""
+    from condor_spark.synopsis.wavelet import (DistributedSliceWaveletsManager,
+                                               DistributedWaveletsManager,
+                                               WaveletSynopsis)
+
+    rng = np.random.default_rng(5)
+    data = rng.uniform(0, 100, 700)
+    # two slices (400 + 300), each interleaved round-robin over P=2
+    slices = []
+    off = 0
+    for ln in (400, 300):
+        chunk = data[off:off + ln]
+        ws = []
+        for p in range(2):
+            w = WaveletSynopsis(size=1 << 10)
+            w.update_batch(chunk[p::2])
+            w.finalize()
+            ws.append(w)
+        slices.append((off, ln, DistributedWaveletsManager(2, ws)))
+        off += ln
+    mgr = DistributedSliceWaveletsManager(slices)
+    assert mgr.n == 700
+    for i in (0, 1, 399, 400, 401, 699):
+        assert abs(mgr.point_query(i) - data[i]) < 1e-9
+    for lo, hi in ((0, 700), (10, 390), (395, 405), (500, 700)):
+        assert abs(mgr.range_sum_query(lo, hi) - data[lo:hi].sum()) < 1e-6

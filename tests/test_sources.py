@@ -65,3 +65,80 @@ def test_stream_wiring(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT sum(count) FROM zipf_counts").first()[0]
     assert got == 5_000
+
+
+def test_replay_proportional_equal_time_spans(spark, tmp_path):
+    """Proportional replay: files cover equal EVENT-TIME spans, so row
+    counts per file track the data's temporal density, not a fixed size."""
+    import glob
+    import os
+
+    import pandas as pd
+    from condor_spark import fixtures
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "prop")
+    fixtures.replay_proportional(spark, events, src, n_chunks=6)
+    files = sorted(glob.glob(os.path.join(src, "*.parquet")),
+                   key=os.path.getmtime)
+    assert 2 <= len(files) <= 6  # empty spans are skipped
+    spans = []
+    total = 0
+    for f in files:
+        pdf = pd.read_parquet(f)
+        total += len(pdf)
+        spans.append((pdf["ts"].min(), pdf["ts"].max()))
+    assert total == events.count()
+    # files replay in event-time order: span starts are non-decreasing
+    assert all(spans[i][0] <= spans[i + 1][0] for i in range(len(spans) - 1))
+    # equal-span cut: every file's width is <= the global span / chunks + slack
+    lo = min(s[0] for s in spans)
+    hi = max(s[1] for s in spans)
+    width = (hi - lo) / 6
+    assert all((s[1] - s[0]) <= width * 1.05 for s in spans[:-1])
+
+
+def test_replay_unordered_bounded_disorder(spark, tmp_path):
+    """Unordered replay: arrival position lags event time by at most
+    max_delay — and a stateful stream with watermark >= max_delay still
+    reproduces the exact batch windows."""
+    import pandas as pd
+    from condor_spark import fixtures
+    from condor_spark.engine.builder import SynopsisSpec, build_batch
+    from condor_spark.engine.stateful import StatefulSynopsisStream
+    from condor_spark.engine.windows import Tumbling
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    cutoff = pd.Timestamp(max_ts) + pd.Timedelta(days=1)
+    src = str(tmp_path / "unord")
+    fixtures.replay_unordered(
+        spark, events, src, n_chunks=5, max_delay="2 hours",
+        flush_ts=[cutoff + pd.Timedelta(days=40),
+                  cutoff + pd.Timedelta(days=80)])
+
+    # disorder bound: within the written arrival order, event time never
+    # runs more than max_delay behind the running max
+    import glob
+    import os
+    files = sorted(glob.glob(os.path.join(src, "*.parquet")),
+                   key=os.path.getmtime)[:5]
+    arr = pd.concat([pd.read_parquet(f) for f in files])
+    ts = arr["ts"].to_numpy()
+    lag = (np.maximum.accumulate(ts) - ts).astype("timedelta64[us]")
+    assert lag.max() <= np.timedelta64(2 * 3600 * 1_000_000, "us")
+    assert lag.max() > np.timedelta64(0, "us")  # it IS out of order
+
+    spec = SynopsisSpec(kind="hll", params=dict(log_reg_num=8, seed=7),
+                        column="event_id", ts_column="ts",
+                        window=Tumbling("1 day"))
+    job = StatefulSynopsisStream(spec, watermark_delay="2 hours")
+    q = job.start(spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+                  max_files_per_trigger=1)
+    q.awaitTermination(300)
+    got = {r["window_start"]: r["n"]
+           for r in spark.read.parquet(str(tmp_path / "out"))
+           .filter(F.col("window_end") <= F.lit(cutoff)).collect()}
+    want = {r["window_start"]: r["n"]
+            for r in build_batch(events, spec).collect()}
+    assert got == want
