@@ -127,6 +127,52 @@ def throughput_job(spark, sf_dir: str, target_rows: int = 2_000_000,
                                    > 3 * min(shared_walls + seq_walls))}
 
 
+def query_throughput_job(spark, sf_dir: str, n_queries: int = 2_000_000,
+                         reps: int = 2) -> dict:
+    """Point-query evaluation rate against the latest windowed synopsis —
+    the reference's query-stream metric (``benchmark/.../scalability/
+    evaluation/QueryLatest.java:60-65`` sustains ~1M q/s from an
+    IPQuerySource). Execution shape = QueryLatestStream's micro-batch body:
+    the newest window's CM blob is broadcast, each partition decodes it
+    once and answers its whole Arrow batch vectorized."""
+    from pyspark.sql import functions as F
+
+    from condor_spark.engine.builder import SynopsisSpec, build_batch
+    from condor_spark.engine.windows import Tumbling
+    from condor_spark.synopsis.base import Synopsis
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    spec = SynopsisSpec(kind="countmin", params=dict(width=65536, height=5, seed=7),
+                        column="user_id", ts_column="ts", window=Tumbling("1 day"))
+    syn = build_batch(df, spec)
+    latest = syn.orderBy(F.col("window_end").desc()).limit(1).collect()
+    blob = bytes(latest[0]["state"])
+
+    queries = (spark.range(0, n_queries, 1, CPUS * 4)
+               .select((F.col("id") % 2000).alias("key")))
+
+    def answer(batches):
+        import pandas as pd
+        s = Synopsis.from_bytes(blob)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            est = s.query(pdf["key"])
+            yield pd.DataFrame({"est": pd.Series(est).astype("int64")})
+
+    out = queries.mapInPandas(answer, schema="est long")
+    out.count()  # warm
+    walls = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out.count()
+        walls.append(time.perf_counter() - t0)
+    best = min(walls)
+    return {"queries": n_queries, "sec": best,
+            "queries_per_sec": n_queries / best,
+            "rep_secs": [round(w, 2) for w in walls]}
+
+
 def error_metrics(spark, sf_dir: str) -> dict:
     """Per-synopsis estimate error vs the reference's own bounds — the other
     half of the BASELINE metric. Each estimate flows through the real
@@ -347,6 +393,7 @@ def main() -> None:
         per_query[name] = round(best, 3)
 
     tput = throughput_job(spark, SF_DIR)
+    qtput = query_throughput_job(spark, SF_DIR)
     errors = error_metrics(spark, SF_DIR)
     spark.stop()
 
@@ -438,6 +485,7 @@ def main() -> None:
             "events_rep_secs": {"shared": tput["rep_secs_shared"],
                                 "sequential": tput["rep_secs_sequential"]},
             "events_storm_detected": tput["storm_detected"],
+            "queries_per_sec": round(qtput["queries_per_sec"]),
             "audio_clips_per_sec": round(audio["clips_per_sec"]) if audio else None,
             "audio_local_n": audio_n,
         },
