@@ -455,10 +455,12 @@ def main() -> None:
                     got = json.loads(line)
                     cps = got["clips_per_sec"]
                 except (subprocess.TimeoutExpired, IndexError, ValueError):
-                    continue
+                    continue  # failed child: retry once
                 if cps > best.get(n, 0):
                     best[n] = cps
                     reps_by_n[n] = got.get("rep_secs", [])
+                if not got.get("storm_detected"):
+                    break  # clean run: no need to burn a second child
         if base_n in best and 4 * base_n in best:
             eff = best[4 * base_n] / (4 * best[base_n])
             scaling = {
