@@ -905,6 +905,125 @@ _LANG_LISTS = {
 }
 
 
+def _ams_oracle_sql(width: int = 1024, height: int = 7, seed: int = 7) -> str:
+    """Exact SQL replay of the Fast-AGMS estimate: the H3 q-matrix and EH3
+    seeds are EMBEDDED as constants, bucket = bit_xor over selected q-words
+    (masked to 31 bits) mod width, sign = s0 ⊕ parity(S&x) ⊕ f(x) via
+    bit_count, then per-window cell sums, row F2s, and the median of rows —
+    the full sketch simulated relationally, so the 'approximate' estimate
+    is value-hash-checkable."""
+    from condor_spark.synopsis.hashing import EH3Family, H3Family
+
+    h3, e3 = H3Family(height, seed), EH3Family(height, seed)
+    qvals = ", ".join(f"({r}, {j}, {int(h3.q[r, j])})"
+                      for r in range(height) for j in range(32))
+    evals = ", ".join(f"({r}, {int(e3.s0[r])}, {int(e3.S[r])})"
+                      for r in range(height))
+    return f"""
+        WITH q(r, j, qv) AS (VALUES {qvals}),
+             e3(r, s0, S) AS (VALUES {evals}),
+             keys AS (SELECT DISTINCT user_id FROM events),
+             h3 AS (SELECT k.user_id, q.r,
+                           bit_xor(CASE WHEN (k.user_id >> q.j) & 1 = 1
+                                        THEN q.qv ELSE 0 END) AS acc
+                    FROM keys k CROSS JOIN q GROUP BY 1, 2),
+             colsgn AS (SELECT h.user_id, h.r,
+                               (h.acc & 2147483647) % {width} AS col,
+                               CASE WHEN xor(xor(e3.s0,
+                                          bit_count(e3.S & k.user_id) % 2),
+                                          bit_count((k.user_id & 1431655765)
+                                                    & ((k.user_id >> 1) & 1431655765)) % 2
+                                         ) = 1 THEN 1 ELSE -1 END AS sgn
+                        FROM h3 h JOIN e3 ON e3.r = h.r
+                        JOIN keys k ON k.user_id = h.user_id),
+             cells AS (SELECT time_bucket(INTERVAL '1 day', ev.ts) AS ws,
+                              cs.r, cs.col, SUM(cs.sgn) AS cell
+                       FROM events ev JOIN colsgn cs USING (user_id)
+                       GROUP BY 1, 2, 3),
+             rowsum AS (SELECT ws, r, SUM(cell * cell) AS f2
+                        FROM cells GROUP BY 1, 2)
+        SELECT ws AS window_start, ROUND(median(f2), 2) AS est_f2
+        FROM rowsum GROUP BY 1
+    """
+
+
+def _hll_oracle_sql(log_reg_num: int = 14, seed: int = 7) -> str:
+    """Exact SQL replay of the HLL estimate: the splitmix64 finalizer runs
+    over (hi, lo) 32-bit halves in CTE stages (wrapping 64-bit multiply via
+    HUGEINT hi/lo cross products — SQL BIGINT ops error on overflow), then
+    register index / trailing-zero rank / register-max / harmonic estimator
+    with the linear-counting branch — the sketch simulated relationally."""
+    m = 1 << log_reg_num
+    c_add, c1, c2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    hilo = lambda c: ((c >> 32) & 0xFFFFFFFF, c & 0xFFFFFFFF)
+    a_hi, a_lo = hilo(c_add)
+    c1_hi, c1_lo = hilo(c1)
+    c2_hi, c2_lo = hilo(c2)
+    s_hi, s_lo = hilo(seed)
+    return f"""
+        WITH keys AS (SELECT DISTINCT user_id AS x FROM events),
+          s0 AS (SELECT x, CAST({s_hi} AS BIGINT) AS hi,
+                        xor(x, {s_lo}) AS lo FROM keys),
+          s1 AS (SELECT x, (hi + {a_hi} + ((lo + {a_lo}) >> 32)) & 4294967295 AS hi,
+                        (lo + {a_lo}) & 4294967295 AS lo FROM s0),
+          s2 AS (SELECT x, hi, xor(lo, ((lo >> 30) | ((hi & 1073741823) << 2))
+                                   & 4294967295) AS lo2,
+                        xor(hi, hi >> 30) AS hi2 FROM s1),
+          s2b AS (SELECT x, hi2 AS hi, lo2 AS lo FROM s2),
+          s3 AS (SELECT x,
+                    CAST(CAST(lo AS HUGEINT) * {c1_lo} AS HUGEINT) AS p0,
+                    CAST((CAST(lo AS HUGEINT) * {c1_hi}
+                          + CAST(hi AS HUGEINT) * {c1_lo})
+                         % 4294967296 AS HUGEINT) AS crs
+                 FROM s2b),
+          s3b AS (SELECT x,
+                    CAST(((p0 // 4294967296) + crs) % 4294967296 AS BIGINT) AS hi,
+                    CAST(p0 % 4294967296 AS BIGINT) AS lo FROM s3),
+          s4 AS (SELECT x, xor(hi, hi >> 27) AS hi,
+                    xor(lo, ((lo >> 27) | ((hi & 134217727) << 5))
+                        & 4294967295) AS lo
+                 FROM s3b),
+          s5 AS (SELECT x,
+                    CAST(CAST(lo AS HUGEINT) * {c2_lo} AS HUGEINT) AS p0,
+                    CAST((CAST(lo AS HUGEINT) * {c2_hi}
+                          + CAST(hi AS HUGEINT) * {c2_lo})
+                         % 4294967296 AS HUGEINT) AS crs
+                 FROM s4),
+          s5b AS (SELECT x,
+                    CAST(((p0 // 4294967296) + crs) % 4294967296 AS BIGINT) AS hi,
+                    CAST(p0 % 4294967296 AS BIGINT) AS lo FROM s5),
+          s6 AS (SELECT x, xor(hi, hi >> 31) AS hi,
+                    xor(lo, ((lo >> 31) | ((hi & 2147483647) << 1))
+                        & 4294967295) AS lo
+                 FROM s5b),
+          hreg AS (SELECT x, hi >> {32 - log_reg_num} AS idx,
+                      hi & {(1 << (32 - log_reg_num)) - 1} AS low_hi,
+                      lo AS low_lo FROM s6),
+          rnk AS (SELECT x, idx,
+                     CASE WHEN low_lo != 0
+                          THEN bit_count((low_lo & -low_lo) - 1) + 1
+                          WHEN low_hi != 0
+                          THEN 32 + bit_count((low_hi & -low_hi) - 1) + 1
+                          ELSE {64 - log_reg_num} + 1 END AS rnk_v
+                  FROM hreg),
+          regs AS (SELECT time_bucket(INTERVAL '1 day', e.ts) AS ws, r.idx,
+                          MAX(r.rnk_v) AS reg
+                   FROM events e JOIN rnk r ON r.x = e.user_id GROUP BY 1, 2),
+          agg AS (SELECT ws, SUM(power(2.0, -reg)) AS s_hit, COUNT(*) AS n_hit
+                  FROM regs GROUP BY 1),
+          est AS (SELECT ws,
+                     0.7213 / (1 + 1.079 / {m}) * {m} * {m}
+                       / (s_hit + ({m} - n_hit) * 1.0) AS raw,
+                     {m} - n_hit AS zero_regs
+                  FROM agg)
+        SELECT ws AS window_start,
+               CAST(CASE WHEN zero_regs > 0 AND raw < 2.5 * {m}
+                         THEN ROUND({m} * ln({m} / CAST(zero_regs AS DOUBLE)))
+                         ELSE ROUND(raw) END AS BIGINT) AS est_distinct
+        FROM est
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     lang_hits = ", ".join(
         f"len(list_filter(toks, x -> list_contains({lst}, x))) AS h_{lang}"
@@ -1296,6 +1415,11 @@ def oracle_sql() -> dict[str, str]:
     oracles["stream_sessions"] = oracles["session_windows"]
     oracles["stream_sliding"] = oracles["sliding_counts"]
     oracles["stream_wavelet"] = oracles["wavelet_range_sums"]
+    # hash-sketch estimates replayed exactly in SQL (embedded hash-family
+    # constants; see the helper docstrings) — the "approximate" estimators
+    # are deterministic, so they value-hash like any exact query
+    oracles["ams_f2"] = _ams_oracle_sql(width=1024, height=7, seed=7)
+    oracles["hll_distinct"] = _hll_oracle_sql(log_reg_num=14, seed=7)
     # query-stream evaluation: the snapshot is final before the query stream
     # replays, so every batch answers against the newest window; CM at
     # width 8192 over this key set is exact
