@@ -439,9 +439,15 @@ def main() -> None:
         taskset = _shutil.which("taskset")
         best: dict[int, float] = {}
         reps_by_n: dict[int, list] = {}
+        # the north-rule pair (base_n, 4·base_n) always gets BOTH attempts:
+        # storms can slow a child's two internal reps EQUALLY (measured
+        # back-to-back 28 s / 28 s where an idle host gives 23 s), which a
+        # within-child variance flag cannot see — only an independent child
+        # can. The extra sweep sizes retry just on failure/storm.
         for n in (base_n, 2 * base_n, 4 * base_n, 8 * base_n):
             if n > os.cpu_count():
                 continue
+            critical = n in (base_n, 4 * base_n)
             for _attempt in range(2):
                 cmd = [sys.executable, __file__, "--throughput", str(n),
                        "2", "36000"]
@@ -459,14 +465,17 @@ def main() -> None:
                 if cps > best.get(n, 0):
                     best[n] = cps
                     reps_by_n[n] = got.get("rep_secs", [])
-                if not got.get("storm_detected"):
-                    break  # clean run: no need to burn a second child
+                if not critical and not got.get("storm_detected"):
+                    break
         if base_n in best and 4 * base_n in best:
             eff = best[4 * base_n] / (4 * best[base_n])
+            pairs = {f"{n}->{4 * n}": round(best[4 * n] / (4 * best[n]), 3)
+                     for n in sorted(best) if 4 * n in best}
             scaling = {
                 f"cpus{base_n}_clips_per_sec": round(best[base_n]),
                 f"cpus{4 * base_n}_clips_per_sec": round(best[4 * base_n]),
                 "efficiency_n_to_4n": round(eff, 3),
+                "efficiency_pairs": pairs,
                 "sweep_clips_per_sec": {str(n): round(v)
                                         for n, v in sorted(best.items())},
                 "rep_secs_by_size": {str(n): reps_by_n.get(n, [])
