@@ -313,3 +313,27 @@ def test_build_batch_many_matches_single(spark, events):
             ((r["window_start"], r["stratum"], bytes(r["state"]), r["n"])
              for r in many if r["spec_id"] == i))
         assert got == single, f"spec {i} ({spec.kind}) differs"
+
+
+def test_build_batch_many_sliding(spark, events):
+    """Shared-scan multi-build with a SLIDING window: slice expansion and
+    merge must match the standalone sliding build byte-for-byte."""
+    from condor_spark.engine.builder import build_batch_many
+
+    specs = [
+        SynopsisSpec(kind="hll", params=dict(log_reg_num=10, seed=7),
+                     column="user_id", ts_column="ts",
+                     window=Sliding("1 day", "6 hours")),
+        SynopsisSpec(kind="countmin", params=dict(width=1024, height=5, seed=7),
+                     column="user_id", ts_column="ts",
+                     window=Sliding("1 day", "6 hours")),
+    ]
+    many = build_batch_many(events, specs).collect()
+    for i, spec in enumerate(specs):
+        single = sorted(
+            ((r["window_start"], r["stratum"], bytes(r["state"]), r["n"])
+             for r in build_batch(events, spec).collect()))
+        got = sorted(
+            ((r["window_start"], r["stratum"], bytes(r["state"]), r["n"])
+             for r in many if r["spec_id"] == i))
+        assert got == single, f"spec {i} ({spec.kind}) differs"
