@@ -796,7 +796,7 @@ def q_stream_query_latest(spark, sf_dir):
     ql = QueryLatestStream(job, out_dir=f"{tmp}/answers", key_column="key")
     ql.start(spark, f"{tmp}/qsrc", f"{tmp}/qckpt").awaitTermination(600)
 
-    res = spark.read.parquet(f"{tmp}/answers")
+    res = ql.read_answers(spark)
     return res.select(F.col("batch").cast("long").alias("q_batch"),
                       "key", "est_count")
 

@@ -263,12 +263,43 @@ class QueryLatestStream:
     (stream-static join where the static side is re-resolved every batch,
     so answers always reflect the latest commit, version-stamped).
 
-    Exactly-once: results land in ``out_dir/batch=<id>`` via idempotent
-    overwrite — a replayed batch rewrites the same directory.
+    Early queries BUFFER, matching ``QueryLatestFunction.java:42-60``: a
+    batch arriving before the first committed synopsis is parked under
+    ``out_dir/pending/`` and answered by the first batch that finds a
+    snapshot. Exactly-once both ways: results land in
+    ``out_dir/batch=<id>`` via idempotent overwrite, and pending batches
+    are ASSIGNED to their answering batch id in an atomic ledger before
+    being considered consumed — a replayed batch re-answers exactly the
+    pending set it answered the first time, never a different one.
     """
     job: StreamingSynopsisJob
     out_dir: str
     key_column: str = "key"
+
+    @property
+    def _qledger_path(self) -> str:
+        return os.path.join(self.out_dir, "query_ledger.json")
+
+    def _read_qledger(self) -> dict:
+        if os.path.exists(self._qledger_path):
+            with open(self._qledger_path) as f:
+                return json.load(f)
+        return {"answered_pending": {}}
+
+    def _write_qledger(self, led: dict) -> None:
+        tmp = self._qledger_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(led, f)
+        os.replace(tmp, self._qledger_path)
+
+    def read_answers(self, spark: SparkSession) -> DataFrame:
+        """All committed answers with their ``batch`` partition column
+        (out_dir also holds pending parks + the query ledger, so readers
+        must glob the batch directories, not the root)."""
+        import glob as _glob
+
+        dirs = sorted(_glob.glob(os.path.join(self.out_dir, "batch=*")))
+        return (spark.read.option("basePath", self.out_dir).parquet(*dirs))
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -279,17 +310,37 @@ class QueryLatestStream:
         # way: O(strata) rows either way)
         latest = state.orderBy(F.col("window_end").desc()).limit(1).collect()
         os.makedirs(self.out_dir, exist_ok=True)
+        pend_dir = os.path.join(self.out_dir, "pending")
         target = os.path.join(self.out_dir, f"batch={int(batch_id)}")
+        key_col = self.key_column
+
         if not latest:
+            # no synopsis yet: park this batch (idempotent per batch id)
+            os.makedirs(pend_dir, exist_ok=True)
+            (batch_df.select(F.col(key_col))
+             .write.mode("overwrite")
+             .parquet(os.path.join(pend_dir, f"p{int(batch_id)}")))
             batch_df.limit(0).select(
-                F.col(self.key_column).cast("string").alias("key"),
+                F.col(key_col).cast("string").alias("key"),
                 F.lit(0).cast("long").alias("est_count"),
                 F.lit(version).alias("snapshot_version"),
             ).write.mode("overwrite").parquet(target)
             return
+
+        qled = self._read_qledger()
+        mine = [p for p, b in qled["answered_pending"].items()
+                if b == int(batch_id)]
+        if not mine:  # first (non-replay) pass: adopt every unassigned park
+            mine = sorted(p for p in os.listdir(pend_dir)
+                          if p not in qled["answered_pending"]) \
+                if os.path.isdir(pend_dir) else []
+        work = batch_df.select(F.col(key_col))
+        for p in mine:
+            work = work.unionByName(
+                spark.read.parquet(os.path.join(pend_dir, p))
+                .select(F.col(key_col)))
+
         blob = bytes(latest[0]["state"])
-        ws, we = latest[0]["window_start"], latest[0]["window_end"]
-        key_col = self.key_column
 
         def answer(batches):
             syn = Synopsis.from_bytes(blob)  # decode once per partition
@@ -302,9 +353,13 @@ class QueryLatestStream:
                     "est_count": pd.Series(est).astype("int64"),
                     "snapshot_version": version})
 
-        (batch_df.mapInPandas(
+        (work.mapInPandas(
             answer, schema="key string, est_count long, snapshot_version int")
          .write.mode("overwrite").parquet(target))
+        if mine:  # commit the assignment AFTER the answers are durable
+            for p in mine:
+                qled["answered_pending"][p] = int(batch_id)
+            self._write_qledger(qled)
 
     def start(self, spark: SparkSession, source_dir: str, checkpoint_dir: str,
               schema=None, max_files_per_trigger: int = 1,

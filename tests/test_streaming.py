@@ -129,3 +129,50 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     total_rows = sum(r["n"] for r in job.read_state(spark).collect())
     assert total_rows == 500  # late file fully dropped
     assert any(m["n_late_dropped"] > 0 for m in metrics)
+
+
+def test_query_stream_buffers_early_queries(spark, source_dir, tmp_path):
+    """Queries arriving before the FIRST committed synopsis park in the
+    pending buffer and are answered by the first batch that finds a
+    snapshot (QueryLatestFunction.java:42-60 semantics), exactly once."""
+    import pandas as pd
+    from condor_spark import fixtures
+    from condor_spark.engine.streaming import QueryLatestStream
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    spec = SynopsisSpec(kind="countmin", params=dict(width=8192, height=5, seed=7),
+                        column="user_id", ts_column="ts", window=Tumbling("1 day"))
+    job = StreamingSynopsisJob(spec, sink_dir=str(tmp_path / "sink"),
+                               watermark_delay="1 hour")
+    keys = sorted(r[0] for r in events.select("user_id").distinct().collect())
+
+    # phase 1: query batches 0-1 arrive BEFORE any synopsis exists
+    q1 = spark.createDataFrame([(b, k) for b in range(2) for k in keys],
+                               "q_batch long, key long")
+    fixtures.replay_in_order(spark, q1, str(tmp_path / "qsrc"), n_chunks=2,
+                             ts_col="q_batch")
+    ql = QueryLatestStream(job, out_dir=str(tmp_path / "ans"), key_column="key")
+    ql.start(spark, str(tmp_path / "qsrc"), str(tmp_path / "qckpt"),
+             max_files_per_trigger=1).awaitTermination(300)
+    assert ql.read_answers(spark).count() == 0  # parked, not answered
+
+    # phase 2: the synopsis stream commits, a third query batch arrives
+    job.start(spark, source_dir, str(tmp_path / "ckpt")).awaitTermination(300)
+    q2 = spark.createDataFrame([(2, k) for k in keys], "q_batch long, key long")
+    (q2.coalesce(1).write.mode("append")
+       .parquet(str(tmp_path / "qsrc")))  # new file -> batch 2 on restart
+    ql.start(spark, str(tmp_path / "qsrc"), str(tmp_path / "qckpt"),
+             max_files_per_trigger=1).awaitTermination(300)
+
+    got = ql.read_answers(spark).toPandas()
+    # batch 2 answered its own keys AND both parked batches
+    assert len(got) == 3 * len(keys)
+    assert set(got["batch"]) == {2}
+    # answers are exact counts of the newest window
+    latest_ws = (events.groupBy(F.window("ts", "1 day").alias("w"))
+                 .count().orderBy(F.col("w.start").desc()).first())
+    exact = {str(r["user_id"]): r["c"] for r in
+             events.filter(F.col("ts") >= latest_ws["w"]["start"])
+             .groupBy("user_id").agg(F.count("*").alias("c")).collect()}
+    for k, grp in got.groupby("key"):
+        assert (grp["est_count"] == exact.get(k, 0)).all()
