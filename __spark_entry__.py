@@ -24,6 +24,7 @@ from condor_spark.engine import similarity, text
 from condor_spark.engine.builder import (SynopsisSpec, build_batch,
                                          build_batch_multi,
                                          build_count_windows, build_ordered)
+from condor_spark.engine.sqlbuild import build_sketch_sql
 from condor_spark.engine.windows import (CountTumbling, GlobalWindow, Session,
                                          Sliding, Tumbling)
 
@@ -461,6 +462,32 @@ def q_ams_f2(spark, sf_dir):
                     F.round("est_f2", 2).alias("est_f2")))
 
 
+def q_cm_sql_frequency(spark, sf_dir):
+    """Count-Min built by the pure-JVM SQL path (sqlbuild.build_sketch_sql:
+    H3 as byte-LUT expressions, scatter/merge as SQL aggregation). Blob
+    byte-parity with build_batch is asserted in tests, so this shares
+    cm_user_frequency's exact oracle."""
+    df = _events(spark, sf_dir)
+    spec = SynopsisSpec(kind="countmin", params=dict(width=8192, height=5, seed=7),
+                        column="user_id", ts_column="ts", window=Tumbling(DAY))
+    syn = build_sketch_sql(df, spec)
+    res = ev.frequency_estimates(syn, _user_keys(df))
+    return res.select(F.col("window_start").cast(NTZ).alias("window_start"),
+                      "key", "est_count")
+
+
+def q_ams_sql_f2(spark, sf_dir):
+    """Fast-AGMS built by the pure-JVM SQL path (EH3 signs as bit_count
+    parity expressions); byte parity with build_batch means the estimator
+    replay oracle for ams_f2 applies unchanged."""
+    df = _events(spark, sf_dir)
+    spec = SynopsisSpec(kind="ams", params=dict(width=1024, height=7, seed=7),
+                        column="user_id", ts_column="ts", window=Tumbling(DAY))
+    return (ev.f2_estimates(build_sketch_sql(df, spec))
+            .select(F.col("window_start").cast(NTZ).alias("window_start"),
+                    F.round("est_f2", 2).alias("est_f2")))
+
+
 def q_cuckoo_membership(spark, sf_dir):
     df = _events(spark, sf_dir)
     present = sorted(r[0] for r in df.select("event_type").distinct().collect())
@@ -863,6 +890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
         "dedup_cosine": q_dedup_cosine,
+        "cm_sql_frequency": q_cm_sql_frequency,
+        "ams_sql_f2": q_ams_sql_f2,
         # approximate / randomized, rows-only
         "hll_distinct": q_hll_distinct,
         "ams_f2": q_ams_f2,
@@ -1412,6 +1441,9 @@ def oracle_sql() -> dict[str, str]:
     # same synopsis content as the batch build
     oracles["cm_frequency_tree"] = oracles["cm_user_frequency"]
     oracles["stream_stateful_frequency"] = oracles["cm_user_frequency"]
+    # the pure-JVM SQL build is blob-byte-identical to build_batch
+    # (tests/test_sqlbuild.py), so its estimates share the same oracles
+    oracles["cm_sql_frequency"] = oracles["cm_user_frequency"]
     oracles["stream_sessions"] = oracles["session_windows"]
     oracles["stream_sliding"] = oracles["sliding_counts"]
     oracles["stream_wavelet"] = oracles["wavelet_range_sums"]
@@ -1419,6 +1451,7 @@ def oracle_sql() -> dict[str, str]:
     # constants; see the helper docstrings) — the "approximate" estimators
     # are deterministic, so they value-hash like any exact query
     oracles["ams_f2"] = _ams_oracle_sql(width=1024, height=7, seed=7)
+    oracles["ams_sql_f2"] = _ams_oracle_sql(width=1024, height=7, seed=7)
     oracles["hll_distinct"] = _hll_oracle_sql(log_reg_num=14, seed=7)
     # query-stream evaluation: the snapshot is final before the query stream
     # replays, so every batch answers against the newest window; CM at

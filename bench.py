@@ -109,7 +109,17 @@ def throughput_job(spark, sf_dir: str, target_rows: int = 2_000_000,
                      params=dict(relative_accuracy=0.01, max_num_bins=4096),
                      column="value", ts_column="ts", window=Tumbling("1 day")),
     ]
-    shared_walls, seq_walls = [], []
+    # third shape: the pure-JVM SQL build (sqlbuild.py) — CM + AMS shared
+    # scan with the whole hash→scatter→merge pipeline in codegen; zero
+    # Python in the hot path (the per-core ceiling the kernel path can't
+    # reach through Arrow+numpy dispatch)
+    from condor_spark.engine.sqlbuild import build_sketch_sql_many
+    sql_specs = [
+        specs[0],
+        SynopsisSpec(kind="ams", params=dict(width=1024, height=7, seed=7),
+                     column="user_id", ts_column="ts", window=Tumbling("1 day")),
+    ]
+    shared_walls, seq_walls, sql_walls = [], [], []
     for _ in range(reps):
         t0 = time.perf_counter()
         build_batch_many(df, specs).count()
@@ -118,13 +128,18 @@ def throughput_job(spark, sf_dir: str, target_rows: int = 2_000_000,
         for spec in specs:
             build_batch(df, spec).count()
         seq_walls.append(time.perf_counter() - t0)
-    best, best_seq = min(shared_walls), min(seq_walls)
+        t0 = time.perf_counter()
+        build_sketch_sql_many(df, sql_specs).count()
+        sql_walls.append(time.perf_counter() - t0)
+    best, best_seq, best_sql = min(shared_walls), min(seq_walls), min(sql_walls)
     return {"rows": n * 3, "sec": best, "rows_per_sec": n * 3 / best,
             "rows_per_sec_sequential": n * 3 / best_seq,
+            "rows_per_sec_sql": n * len(sql_specs) / best_sql,
             "rep_secs_shared": [round(w, 2) for w in shared_walls],
             "rep_secs_sequential": [round(w, 2) for w in seq_walls],
-            "storm_detected": bool(max(shared_walls + seq_walls)
-                                   > 3 * min(shared_walls + seq_walls))}
+            "rep_secs_sql": [round(w, 2) for w in sql_walls],
+            "storm_detected": bool(max(shared_walls + seq_walls + sql_walls)
+                                   > 3 * min(shared_walls + seq_walls + sql_walls))}
 
 
 def query_throughput_job(spark, sf_dir: str, n_queries: int = 2_000_000,
@@ -493,8 +508,10 @@ def main() -> None:
             "events_updates_per_sec": round(tput["rows_per_sec"]),
             "events_updates_per_sec_sequential":
                 round(tput["rows_per_sec_sequential"]),
+            "events_updates_per_sec_sql": round(tput["rows_per_sec_sql"]),
             "events_rep_secs": {"shared": tput["rep_secs_shared"],
-                                "sequential": tput["rep_secs_sequential"]},
+                                "sequential": tput["rep_secs_sequential"],
+                                "sql": tput["rep_secs_sql"]},
             "events_storm_detected": tput["storm_detected"],
             "queries_per_sec": round(qtput["queries_per_sec"]),
             "audio_clips_per_sec": round(audio["clips_per_sec"]) if audio else None,

@@ -1,0 +1,182 @@
+"""Pure-JVM SQL build path (sqlbuild.py): byte parity with the kernel path,
+hash-expression parity with the numpy families, plan shape, and guards."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from condor_spark.engine.builder import SynopsisSpec, build_batch, build_batch_many
+from condor_spark.engine.sqlbuild import (build_sketch_sql, build_sketch_sql_many,
+                                          eh3_sign_exprs, h3_bucket_exprs)
+from condor_spark.engine.windows import GlobalWindow, Session, Sliding, Tumbling
+from condor_spark.synopsis.hashing import EH3Family, H3Family
+
+from conftest import SF_DIR
+
+
+def _blob_map(df, key_cols=("window_start", "window_end", "stratum")):
+    return {tuple(r[k] for k in key_cols): (bytes(r["state"]), r["n"])
+            for r in df.collect()}
+
+
+# ---------------------------------------------------------------------------
+# hash-expression parity: SQL H3/EH3 == numpy H3/EH3, including negatives
+# ---------------------------------------------------------------------------
+
+def test_h3_expr_matches_numpy(spark):
+    vals = np.array([0, 1, 2, 255, 256, 65535, 2**31 - 1, -1, -12345,
+                     987654321, 2**40 + 17], dtype=np.int64)
+    df = spark.createDataFrame(pd.DataFrame({"x": vals}))
+    exprs = h3_bucket_exprs(F.col("x"), height=5, seed=7, width=8192)
+    got = (df.select(F.col("x"), *[exprs[r].alias(f"h{r}") for r in range(5)])
+           .toPandas().set_index("x"))
+    want = H3Family(5, 7).hash(vals) % 8192  # (5, n)
+    for i, v in enumerate(vals):
+        for r in range(5):
+            assert got.loc[v, f"h{r}"] == want[r, i]
+
+
+def test_eh3_expr_matches_numpy(spark):
+    vals = np.array([0, 1, 3, 42, 255, 65535, -1, -999, 2**31 - 1],
+                    dtype=np.int64)
+    df = spark.createDataFrame(pd.DataFrame({"x": vals}))
+    exprs = eh3_sign_exprs(F.col("x"), height=7, seed=7)
+    got = (df.select(F.col("x"), *[exprs[r].alias(f"s{r}") for r in range(7)])
+           .toPandas().set_index("x"))
+    want = EH3Family(7, 7).signs(vals)  # (7, n) ±1
+    for i, v in enumerate(vals):
+        for r in range(7):
+            assert got.loc[v, f"s{r}"] == want[r, i]
+
+
+# ---------------------------------------------------------------------------
+# byte parity with build_batch across kinds / windows / strata
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("kind,params", [
+    ("countmin", dict(width=8192, height=5, seed=7)),
+    ("ams", dict(width=1024, height=7, seed=7)),
+])
+@pytest.mark.parametrize("window,stratify", [
+    (Tumbling("1 day"), None),
+    (Sliding("2 days", "1 day"), None),
+    (Tumbling("1 day"), "event_type"),
+    (GlobalWindow(), "event_type"),
+])
+def test_sql_build_byte_parity(spark, kind, params, window, stratify):
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    spec = SynopsisSpec(
+        kind=kind, params=params, column="user_id",
+        ts_column=None if isinstance(window, GlobalWindow) else "ts",
+        window=window, stratify_by=stratify)
+    kernel = _blob_map(build_batch(df, spec))
+    sql = _blob_map(build_sketch_sql(df, spec))
+    assert kernel.keys() == sql.keys()
+    assert kernel == sql  # blob bytes AND n identical
+
+
+def test_sql_build_parallelism_invariant(spark):
+    """2-partition and 8-partition inputs produce identical bytes (counter
+    addition commutes; no merge-order sensitivity)."""
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    spec = SynopsisSpec(kind="countmin", params=dict(width=4096, height=5, seed=7),
+                        column="user_id", ts_column="ts", window=Tumbling("1 day"))
+    a = _blob_map(build_sketch_sql(df.repartition(2), spec))
+    b = _blob_map(build_sketch_sql(df.repartition(8), spec))
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# shared-scan multi-build
+# ---------------------------------------------------------------------------
+
+def test_sql_many_matches_per_spec(spark):
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    specs = [
+        SynopsisSpec(kind="countmin", params=dict(width=8192, height=5, seed=7),
+                     column="user_id", ts_column="ts", window=Tumbling("1 day")),
+        SynopsisSpec(kind="ams", params=dict(width=1024, height=7, seed=7),
+                     column="user_id", ts_column="ts", window=Tumbling("1 day")),
+        SynopsisSpec(kind="countmin", params=dict(width=2048, height=3, seed=11),
+                     column="event_id", ts_column="ts", window=Tumbling("1 day")),
+    ]
+    many = build_sketch_sql_many(df, specs)
+    for i, spec in enumerate(specs):
+        got = _blob_map(many.where(F.col("spec_id") == i).drop("spec_id"))
+        want = _blob_map(build_sketch_sql(df, spec))
+        assert got == want, f"spec {i}"
+
+
+def test_sql_many_matches_kernel_many(spark):
+    """The SQL shared-scan and the kernel shared-scan agree row-for-row."""
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    specs = [
+        SynopsisSpec(kind="countmin", params=dict(width=8192, height=5, seed=7),
+                     column="user_id", ts_column="ts", window=Tumbling("1 day")),
+        SynopsisSpec(kind="ams", params=dict(width=1024, height=7, seed=7),
+                     column="user_id", ts_column="ts", window=Tumbling("1 day")),
+    ]
+    keys = ("spec_id", "window_start", "window_end", "stratum")
+    got = _blob_map(build_sketch_sql_many(df, specs), key_cols=keys)
+    want = _blob_map(build_batch_many(df, specs), key_cols=keys)
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# plan shape: the hot path is pure codegen — no Python evaluation before the
+# final per-window assembly
+# ---------------------------------------------------------------------------
+
+def test_sql_build_plan_is_jvm_side(spark):
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    spec = SynopsisSpec(kind="countmin", params=dict(width=8192, height=5, seed=7),
+                        column="user_id", ts_column="ts", window=Tumbling("1 day"))
+    plan = build_sketch_sql(df, spec)._jdf.queryExecution().executedPlan().toString()
+    # exactly one Python operator: the final blob assembly
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    # pre-shuffle partial aggregation is present (map-side combine)
+    assert "HashAggregate" in plan
+
+
+# ---------------------------------------------------------------------------
+# guards
+# ---------------------------------------------------------------------------
+
+def test_sql_build_rejects_string_keys(spark):
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    spec = SynopsisSpec(kind="countmin", params=dict(width=1024, height=5, seed=7),
+                        column="event_type", ts_column="ts", window=Tumbling("1 day"))
+    with pytest.raises(ValueError, match="integer-typed"):
+        build_sketch_sql(df, spec)
+
+
+def test_sql_build_rejects_other_kinds(spark):
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    spec = SynopsisSpec(kind="hll", params=dict(log_reg_num=12, seed=7),
+                        column="user_id", ts_column="ts", window=Tumbling("1 day"))
+    with pytest.raises(ValueError, match="countmin/ams"):
+        build_sketch_sql(df, spec)
+
+
+def test_sql_build_rejects_session_windows(spark):
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    spec = SynopsisSpec(kind="countmin", params=dict(width=1024, height=5, seed=7),
+                        column="user_id", ts_column="ts",
+                        window=Session("10 minutes"))
+    with pytest.raises(ValueError, match="unsupported window"):
+        build_sketch_sql(df, spec)
+
+
+def test_sql_many_rejects_mismatched_windows(spark):
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    specs = [
+        SynopsisSpec(kind="countmin", params=dict(width=1024, height=5, seed=7),
+                     column="user_id", ts_column="ts", window=Tumbling("1 day")),
+        SynopsisSpec(kind="ams", params=dict(width=1024, height=5, seed=7),
+                     column="user_id", ts_column="ts", window=Tumbling("2 days")),
+    ]
+    with pytest.raises(ValueError, match="share window"):
+        build_sketch_sql_many(df, specs)
