@@ -488,6 +488,18 @@ def q_ams_sql_f2(spark, sf_dir):
                     F.round("est_f2", 2).alias("est_f2")))
 
 
+def q_hll_sql_distinct(spark, sf_dir):
+    """HyperLogLog built by the pure-JVM SQL path (SplitMix64 via ANSI-safe
+    limb arithmetic, rank via bit_count); byte parity with build_batch means
+    the register-replay oracle for hll_distinct applies unchanged."""
+    df = _events(spark, sf_dir)
+    spec = SynopsisSpec(kind="hll", params=dict(log_reg_num=14, seed=7),
+                        column="user_id", ts_column="ts", window=Tumbling(DAY))
+    return (ev.distinct_estimates(build_sketch_sql(df, spec))
+            .select(F.col("window_start").cast(NTZ).alias("window_start"),
+                    "est_distinct"))
+
+
 def q_cuckoo_membership(spark, sf_dir):
     df = _events(spark, sf_dir)
     present = sorted(r[0] for r in df.select("event_type").distinct().collect())
@@ -712,6 +724,39 @@ def q_stream_stateful_frequency(spark, sf_dir):
                       "key", "est_count")
 
 
+def q_stream_sketch_sql(spark, sf_dir):
+    """Sketch maintenance as NATIVE streaming aggregation state
+    (sqlbuild.StreamingSketchSQLJob): watermark → JVM hash exprs → explode →
+    windowed cell counts in append mode, blobs assembled per closed window
+    in foreachBatch. Closed windows are byte-identical to the batch build,
+    so this shares cm_user_frequency's exact oracle."""
+    import tempfile
+
+    from condor_spark import fixtures
+    from condor_spark.engine.sqlbuild import StreamingSketchSQLJob
+
+    df = _events(spark, sf_dir)
+    max_ts = df.agg(F.max("ts")).collect()[0][0]
+    cutoff = pd.Timestamp(max_ts) + pd.Timedelta(days=1)
+    tmp = tempfile.mkdtemp(prefix="condor_sqlstream_")
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    fixtures.replay_in_order(
+        spark, df, src, n_chunks=5,
+        flush_ts=[cutoff + pd.Timedelta(days=40), cutoff + pd.Timedelta(days=80)])
+
+    spec = SynopsisSpec(kind="countmin", params=dict(width=8192, height=5, seed=7),
+                        column="user_id", ts_column="ts", window=Tumbling(DAY))
+    job = StreamingSketchSQLJob(spec, watermark_delay="1 hour")
+    q = job.start(spark, src, out, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(600)
+
+    syn = (job.read_output(spark, out).drop("spec_id")
+           .filter(F.col("window_end") <= F.lit(cutoff)))
+    res = ev.frequency_estimates(syn, _user_keys(df))
+    return res.select(F.col("window_start").cast(NTZ).alias("window_start"),
+                      "key", "est_count")
+
+
 def q_stream_sessions(spark, sf_dir):
     """Streaming session windows (gap-merge in applyInPandasWithState);
     closed sessions must equal the batch sessionization → shares the exact
@@ -878,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_latest_hist": q_query_latest_hist,
         "cm_frequency_tree": q_cm_frequency_tree,
         "stream_stateful_frequency": q_stream_stateful_frequency,
+        "stream_sketch_sql": q_stream_sketch_sql,
         "stream_sessions": q_stream_sessions,
         "stream_sliding": q_stream_sliding,
         "stream_count_windows": q_stream_count_windows,
@@ -892,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cosine": q_dedup_cosine,
         "cm_sql_frequency": q_cm_sql_frequency,
         "ams_sql_f2": q_ams_sql_f2,
+        "hll_sql_distinct": q_hll_sql_distinct,
         # approximate / randomized, rows-only
         "hll_distinct": q_hll_distinct,
         "ams_f2": q_ams_f2,
@@ -1444,6 +1491,7 @@ def oracle_sql() -> dict[str, str]:
     # the pure-JVM SQL build is blob-byte-identical to build_batch
     # (tests/test_sqlbuild.py), so its estimates share the same oracles
     oracles["cm_sql_frequency"] = oracles["cm_user_frequency"]
+    oracles["stream_sketch_sql"] = oracles["cm_user_frequency"]
     oracles["stream_sessions"] = oracles["session_windows"]
     oracles["stream_sliding"] = oracles["sliding_counts"]
     oracles["stream_wavelet"] = oracles["wavelet_range_sums"]
@@ -1453,6 +1501,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["ams_f2"] = _ams_oracle_sql(width=1024, height=7, seed=7)
     oracles["ams_sql_f2"] = _ams_oracle_sql(width=1024, height=7, seed=7)
     oracles["hll_distinct"] = _hll_oracle_sql(log_reg_num=14, seed=7)
+    oracles["hll_sql_distinct"] = _hll_oracle_sql(log_reg_num=14, seed=7)
     # query-stream evaluation: the snapshot is final before the query stream
     # replays, so every batch answers against the newest window; CM at
     # width 8192 over this key set is exact

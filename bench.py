@@ -44,6 +44,12 @@ def make_spark(cpus: int):
             .appName("condor_spark_bench")
             .config("spark.sql.shuffle.partitions", str(cpus))
             .config("spark.sql.adaptive.enabled", "true")
+            # align Spark's whole-stage-codegen bailout with HotSpot's JIT
+            # refusal threshold (-XX:DontCompileHugeMethods, 8000 bytecode
+            # bytes): beyond it a fused span runs bytecode-INTERPRETED, which
+            # is far slower than per-operator codegen. Measured 4x on the
+            # sqlbuild multi-sketch pipeline (10.2s -> 2.7s).
+            .config("spark.sql.codegen.hugeMethodLimit", "8000")
             .config("spark.sql.session.timeZone", "UTC")
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
             # Binary-heavy rows (~60 KB audio blobs) need BYTE-bounded
@@ -118,6 +124,7 @@ def throughput_job(spark, sf_dir: str, target_rows: int = 2_000_000,
         specs[0],
         SynopsisSpec(kind="ams", params=dict(width=1024, height=7, seed=7),
                      column="user_id", ts_column="ts", window=Tumbling("1 day")),
+        specs[1],  # hll — splitmix + rank in ANSI-safe JVM expressions
     ]
     shared_walls, seq_walls, sql_walls = [], [], []
     for _ in range(reps):

@@ -1,10 +1,11 @@
-"""Pure-JVM SQL build path for linear hash sketches (Count-Min, Fast-AGMS).
+"""Pure-JVM SQL build path for hash sketches (Count-Min, Fast-AGMS, HLL).
 
 The update pipeline of ``CountMinSketch.java:57-71`` / ``FastAGMS.java:93-117``
-is *linear* over counter cells: hash the key, pick a bucket per row, add ±1.
-That whole pipeline — hashing, scatter, slice→window expansion, merge — is
-expressible as Spark SQL aggregation, so it runs entirely inside
-whole-stage codegen with zero Python in the hot path:
+is *linear* over counter cells: hash the key, pick a bucket per row, add ±1;
+``HyperLogLogSketch.java:51-68`` is a register-wise max, which packs into the
+same shape (see ``_cell_space``). The whole pipeline — hashing, scatter,
+slice→window expansion, merge — is expressible as Spark SQL aggregation, so
+it runs entirely inside whole-stage codegen with zero Python in the hot path:
 
   numpy kernel path (builder.py)          this path
   ------------------------------          ---------------------------------
@@ -24,8 +25,11 @@ The H3 decomposition is exact: H3 is XOR-linear over input bits
 (``hashing.H3Family``), so ``h(x) = T0[x&255] ^ T1[(x>>8)&255] ^ T2[..] ^
 T3[..]`` with ``Tb[v] = XOR of q-words for the set bits of v``. EH3's sign is
 ``s0 ^ parity(S & x) ^ f(x)`` with ``f(x) = parity(x & (x>>1) & 0x55555555)``
-— both are single ``bit_count(...) & 1`` expressions. Constants come from the
-same seeded families as the numpy kernels, so the resulting blobs are
+— both are single ``bit_count(...) & 1`` expressions. HLL's SplitMix64 hash
+needs wrapping 64-bit ``+``/``×`` under ANSI mode — done exactly with 16-bit
+limb products and 32-bit lane carries (``_wrap_mul_const``), and its
+trailing-zero rank is ``bit_count(lowest_set_bit − 1)``. Constants come from
+the same seeded families as the numpy kernels, so the resulting blobs are
 **byte-identical** to ``build_batch`` output (asserted in
 ``tests/test_sqlbuild.py``), and every downstream evaluator works unchanged.
 
@@ -37,9 +41,16 @@ is a handful of codegen'd long ops instead of Arrow decode + numpy dispatch.
 Scope: integer-typed key columns (string keys go through pandas' keyed
 siphash in ``strings_to_ints``, which has no JVM equivalent — use the kernel
 path); tumbling / sliding / global windows; unit weights. ``build_batch``
-remains the general surface; this is the throughput fast path for the two
+remains the general surface; this is the throughput fast path for the
 sketches that dominate the reference's scalability benchmarks
 (``benchmark/.../scalability/jobs/CountMinSlicing.java``).
+
+Deployment note: set ``spark.sql.codegen.hugeMethodLimit=8000`` (HotSpot's
+JIT refusal threshold). The default 65536 lets Spark fuse these wide hash
+pipelines into one whole-stage method that HotSpot then refuses to JIT
+(-XX:DontCompileHugeMethods) — the span runs bytecode-interpreted, measured
+4-13x slower. At 8000 Spark falls back to per-operator codegen for
+oversized spans, which JITs fine. bench.py and tests/conftest.py set it.
 """
 
 from __future__ import annotations
@@ -101,6 +112,103 @@ def eh3_sign_exprs(col, height: int, seed: int) -> list:
     return out
 
 
+_M32 = 0xFFFFFFFF
+
+
+def _slit(v: int):
+    """64-bit literal with two's-complement reinterpretation (F.lit rejects
+    ints ≥ 2^63)."""
+    v &= 0xFFFFFFFFFFFFFFFF
+    return F.lit(v - (1 << 64) if v >= (1 << 63) else v)
+
+
+def _wrap_add_const(x, c: int):
+    """(x + c) mod 2^64 on a long Column, ANSI-safe: 32-bit lane adds (every
+    intermediate < 2^35), recombined with wrapping bitwise shifts."""
+    lo = x.bitwiseAND(F.lit(_M32)) + F.lit(c & _M32)
+    hi = (F.shiftrightunsigned(x, 32) + F.lit((c >> 32) & _M32)
+          + F.shiftrightunsigned(lo, 32))
+    return F.shiftleft(hi, 32).bitwiseOR(lo.bitwiseAND(F.lit(_M32)))
+
+
+def _wrap_mul_const(x, c: int):
+    """(x × c) mod 2^64 on a long Column, ANSI-safe: 16-bit limbs of x times
+    16-bit limbs of c — every product < 2^32, every lane sum < 2^36 — then
+    lane recombination. ~30 codegen ops; the price of exact unsigned
+    arithmetic under ANSI mode."""
+    xs = [x.bitwiseAND(F.lit(0xFFFF))] + [
+        F.shiftrightunsigned(x, 16 * i).bitwiseAND(F.lit(0xFFFF))
+        for i in range(1, 4)]
+    cs = [(c >> (16 * j)) & 0xFFFF for j in range(4)]
+    # S_s = Σ_{i+j=s} x_i·c_j  (only s ≤ 3 survives mod 2^64)
+    S = []
+    for s_ in range(4):
+        terms = [xs[i] * F.lit(cs[s_ - i]) for i in range(s_ + 1) if cs[s_ - i]]
+        S.append(sum(terms[1:], terms[0]) if terms else None)
+    lo = F.lit(0)
+    hi = F.lit(0)
+    if S[0] is not None:
+        lo = S[0].bitwiseAND(F.lit(_M32))
+        hi = F.shiftrightunsigned(S[0], 32)
+    if S[1] is not None:
+        lo = lo + S[1].bitwiseAND(F.lit(0xFFFF)) * F.lit(1 << 16)
+        hi = hi + F.shiftrightunsigned(S[1], 16)
+    if S[2] is not None:
+        hi = hi + S[2]
+    if S[3] is not None:
+        hi = hi + S[3].bitwiseAND(F.lit(0xFFFF)) * F.lit(1 << 16)
+    hi = hi + F.shiftrightunsigned(lo, 32)
+    return F.shiftleft(hi, 32).bitwiseOR(lo.bitwiseAND(F.lit(_M32)))
+
+
+def splitmix64_expr(col, seed: int):
+    """``hashing.hash64`` (seeded SplitMix64 finalizer) as a pure Column
+    expression — bit-exact with the numpy kernel (tested on random vectors)."""
+    x = col.bitwiseXOR(_slit(seed))
+    x = _wrap_add_const(x, 0x9E3779B97F4A7C15)
+    x = _wrap_mul_const(x.bitwiseXOR(F.shiftrightunsigned(x, 30)),
+                        0xBF58476D1CE4E5B9)
+    x = _wrap_mul_const(x.bitwiseXOR(F.shiftrightunsigned(x, 27)),
+                        0x94D049BB133111EB)
+    return x.bitwiseXOR(F.shiftrightunsigned(x, 31))
+
+
+def with_hll_registers(df: DataFrame, column: str, log_reg_num: int, seed: int,
+                       idx_name: str, rank_name: str) -> DataFrame:
+    """Add (register index, rank) columns matching ``HyperLogLog.precompute``:
+    idx = top ``log_reg_num`` hash bits; rank = trailing-zeros(low bits) + 1
+    capped at 64 − log_reg_num + 1. Trailing zeros are exact integer ops:
+    ``bit_count(lowest_set_bit − 1)`` — no floating point.
+
+    The hash is STAGED through intermediate columns rather than composed as
+    one Column: ``_wrap_mul_const`` references its argument 7×, so nesting
+    the two multiplies plus the idx/low/lsb reuse textually multiplies the
+    expression tree ~7³× — big enough to OOM the codegen's subexpression
+    elimination. Materialized intermediates are plain attributes; Catalyst
+    keeps the stages because it refuses to collapse projections that would
+    duplicate non-cheap multi-referenced expressions (SPARK-36718)."""
+    p = int(log_reg_num)
+    t = f"__smx_{idx_name}"
+    x = F.col(column)
+    d = df.withColumn(t, _wrap_add_const(x.bitwiseXOR(_slit(seed)),
+                                         0x9E3779B97F4A7C15))
+    c = F.col(t)
+    d = d.withColumn(t, _wrap_mul_const(
+        c.bitwiseXOR(F.shiftrightunsigned(c, 30)), 0xBF58476D1CE4E5B9))
+    d = d.withColumn(t, _wrap_mul_const(
+        c.bitwiseXOR(F.shiftrightunsigned(c, 27)), 0x94D049BB133111EB))
+    d = d.withColumn(t, c.bitwiseXOR(F.shiftrightunsigned(c, 31)))
+    low = f"__low_{idx_name}"
+    d = d.withColumn(idx_name, F.shiftrightunsigned(c, 64 - p))
+    d = d.withColumn(low, c.bitwiseAND(F.lit((1 << (64 - p)) - 1)))
+    lo = F.col(low)
+    lsb = lo.bitwiseAND(F.bitwise_not(lo) + F.lit(1))
+    d = d.withColumn(rank_name,
+                     F.when(lo == 0, F.lit(64 - p + 1))
+                     .otherwise(F.bit_count(lsb - F.lit(1)) + F.lit(1)))
+    return d.drop(t, low)
+
+
 def _key_is_integer(df: DataFrame, column: str) -> bool:
     for f in df.schema.fields:
         if f.name == column:
@@ -129,12 +237,85 @@ def _cell_exprs(col, spec: SynopsisSpec, width: int, height: int, seed: int,
 
 
 def _validate_spec(df: DataFrame, spec: SynopsisSpec) -> None:
-    if spec.kind not in ("countmin", "ams"):
-        raise ValueError(f"SQL build supports countmin/ams, not {spec.kind}")
+    if spec.kind not in ("countmin", "ams", "hll"):
+        raise ValueError(f"SQL build supports countmin/ams/hll, not {spec.kind}")
     if not _key_is_integer(df, spec.column):
         raise ValueError(
             f"column {spec.column!r} is not integer-typed; string keys hash "
             "through pandas siphash (no JVM equivalent) — use build_batch")
+
+
+# cells per row and packed-id space per synopsis kind:
+#   countmin/ams — height cells/row, ids in (0, height·width]
+#   hll          — 1 cell/row: id = idx·65 + rank (rank ≤ 61 < 65), so a
+#                  (register, rank) pair groups under ONE count key and the
+#                  register max is taken at assembly — max folds into the
+#                  same count aggregation the linear sketches use
+def _cell_space(proto) -> int:
+    if proto.KIND == "hll":
+        return proto.m * 65
+    return proto.width * proto.height
+
+
+def _cells_per_row(proto) -> int:
+    return 1 if proto.KIND == "hll" else proto.height
+
+
+def _attach_cells(work: DataFrame, specs, protos, offsets, keep: list):
+    """Compute every spec's packed cell ids as ``__c0..__cN`` columns in a
+    standalone Project (plus SplitMix64 staging for HLL), returning
+    ``(df[keep + __c*], n_cells)``.
+
+    The cells are evaluated in a Project and ONLY attribute refs reach the
+    downstream explode. Inlining the hash expressions into the Generate
+    fuses every element_at chain into ONE codegen method that blows past
+    HotSpot's 8000-byte JIT threshold (DontCompileHugeMethods) → the whole
+    hot loop runs bytecode-interpreted (measured 13x on the AMS shape)."""
+    cells = []
+    for i, (spec, proto) in enumerate(zip(specs, protos)):
+        off = int(offsets[i])
+        if spec.kind == "hll":
+            work = with_hll_registers(work, f"__v{i}", proto.log_reg_num,
+                                      proto.seed, f"__idx{i}", f"__rank{i}")
+            cells.append(F.lit(off) + F.col(f"__idx{i}") * F.lit(65)
+                         + F.col(f"__rank{i}"))
+        else:
+            cells.extend(_cell_exprs(F.col(f"__v{i}"), spec, proto.width,
+                                     proto.height, proto.seed, off))
+    return (work.select(*keep, *[c.alias(f"__c{j}") for j, c in enumerate(cells)]),
+            len(cells))
+
+
+def _explode_cells(ncells: int):
+    return F.explode(F.array(*[F.col(f"__c{j}") for j in range(ncells)])
+                     ).alias("cell")
+
+
+def _assemble_sketches(specs, offsets, bounds, pdf: pd.DataFrame):
+    """Scatter a (cell, m) frame into one synopsis per spec; yields
+    ``(spec_id, blob_bytes, n_processed)`` for specs with any cells."""
+    cell = pdf["cell"].to_numpy()
+    m = pdf["m"].to_numpy()
+    idx = np.abs(cell) - 1
+    which = np.searchsorted(bounds, idx, side="right")
+    for i, spec in enumerate(specs):
+        sel = which == i
+        if not sel.any():
+            continue
+        spec.ensure_registered()
+        syn = spec.make_synopsis()
+        local = idx[sel] - int(offsets[i])
+        if spec.kind == "hll":
+            # local = register·65 + (rank − 1) → unpack and take the
+            # register-wise max (the groupBy counted (idx, rank) pairs)
+            np.maximum.at(syn.registers, local // 65,
+                          (local % 65 + 1).astype(np.uint8))
+        else:
+            flat = np.zeros(syn.height * syn.width, dtype=np.int64)
+            np.add.at(flat, local, np.sign(cell[sel]) * m[sel])
+            syn.counts = flat.reshape(syn.height, syn.width)
+        syn.n_processed = int(m[sel].sum()) // _cells_per_row(syn)
+        yield i, syn.to_bytes(), syn.n_processed
 
 
 def _build_sql(df: DataFrame, specs: list[SynopsisSpec]) -> DataFrame:
@@ -153,8 +334,7 @@ def _build_sql(df: DataFrame, specs: list[SynopsisSpec]) -> DataFrame:
         raise ValueError(f"unsupported window {win} for the SQL path")
 
     protos = [spec.make_synopsis() for spec in specs]
-    dims = [(p.width, p.height, p.seed) for p in protos]
-    offsets = np.concatenate([[0], np.cumsum([w * h for w, h, _ in dims])])
+    offsets = np.concatenate([[0], np.cumsum([_cell_space(p) for p in protos])])
 
     s0 = specs[0]
     cols = [F.col(spec.column).alias(f"__v{i}") for i, spec in enumerate(specs)]
@@ -172,26 +352,16 @@ def _build_sql(df: DataFrame, specs: list[SynopsisSpec]) -> DataFrame:
         work = work.withColumn("__slice", F.lit(0).cast("long"))
     work = _rescale_degenerate(work)
 
-    cells = []
-    for i, (spec, (w, h, sd)) in enumerate(zip(specs, dims)):
-        cells.extend(_cell_exprs(F.col(f"__v{i}"), spec, w, h, sd, int(offsets[i])))
-    # Evaluate the hash expressions in a standalone Project, then explode
-    # plain attribute refs. Inlining them into the Generate fuses every
-    # element_at chain into ONE codegen method that blows past HotSpot's
-    # 8000-byte JIT threshold (DontCompileHugeMethods) → the whole hot loop
-    # runs bytecode-interpreted. A Project splits its consume path at
-    # spark.sql.codegen.methodSplitThreshold, so each method stays JIT-able
-    # (measured 13x on the AMS shape).
+    work, ncells = _attach_cells(work, specs, protos, offsets,
+                                 keep=(["__slice", "__st"] if s0.stratify_by
+                                       else ["__slice"]))
     # the constant stratum is NOT carried through the hot aggregation when
     # unstratified — hashing an extra (empty-string) key per probe is pure
     # overhead; it is re-attached after the heavy aggs
     grp = ["__slice", "__st"] if s0.stratify_by else ["__slice"]
-    pre = work.select(*grp, *[c.alias(f"__c{j}") for j, c in enumerate(cells)])
     # one shuffle: partial agg collapses each task to ≤ slices×strata×Σ(h×w)
     # cells — independent of row count, the blob path's scale property
-    agg = (pre.select(*grp,
-                      F.explode(F.array(*[F.col(f"__c{j}")
-                                          for j in range(len(cells))])).alias("cell"))
+    agg = (work.select(*grp, _explode_cells(ncells))
            .groupBy(*grp, "cell")
            .agg(F.count(F.lit(1)).alias("m")))
 
@@ -215,27 +385,12 @@ def _build_sql(df: DataFrame, specs: list[SynopsisSpec]) -> DataFrame:
     bounds = offsets[1:-1]  # np.searchsorted bin edges between sketches
 
     def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        cell = pdf["cell"].to_numpy()
-        m = pdf["m"].to_numpy()
-        idx = np.abs(cell) - 1
-        which = np.searchsorted(bounds, idx, side="right")
         w = int(key[0])
-        out = []
-        for i, spec in enumerate(specs):
-            sel = which == i
-            if not sel.any():
-                continue
-            spec.ensure_registered()
-            syn = spec.make_synopsis()
-            width, height, _ = dims[i]
-            flat = np.zeros(height * width, dtype=np.int64)
-            np.add.at(flat, idx[sel] - int(offsets[i]), np.sign(cell[sel]) * m[sel])
-            syn.counts = flat.reshape(height, width)
-            syn.n_processed = int(m[sel].sum()) // height
-            out.append((i, pd.Timestamp(w, unit="us"),
-                        pd.Timestamp(w + size_us, unit="us") if size_us else
-                        pd.Timestamp(w, unit="us"),
-                        key[1], syn.to_bytes(), syn.n_processed))
+        out = [(i, pd.Timestamp(w, unit="us"),
+                pd.Timestamp(w + size_us, unit="us") if size_us else
+                pd.Timestamp(w, unit="us"),
+                key[1], blob, n)
+               for i, blob, n in _assemble_sketches(specs, offsets, bounds, pdf)]
         return pd.DataFrame(out, columns=["spec_id", "window_start", "window_end",
                                           "stratum", "state", "n"])
 
@@ -244,14 +399,137 @@ def _build_sql(df: DataFrame, specs: list[SynopsisSpec]) -> DataFrame:
 
 
 def build_sketch_sql(df: DataFrame, spec: SynopsisSpec) -> DataFrame:
-    """JVM-expression build for ``kind in {"countmin", "ams"}`` over an
-    integer key column. Output rows and blob bytes are identical to
+    """JVM-expression build for ``kind in {"countmin", "ams", "hll"}`` over
+    an integer key column. Output rows and blob bytes are identical to
     ``build_batch(df, spec)`` (asserted in ``tests/test_sqlbuild.py``)."""
     return _build_sql(df, [spec]).drop("spec_id")
 
 
 def build_sketch_sql_many(df: DataFrame, specs: list[SynopsisSpec]) -> DataFrame:
-    """Shared-scan SQL multi-build: N countmin/ams sketches from ONE pass and
-    ONE shuffle — ``build_batch_many``'s contract (leading ``spec_id``
+    """Shared-scan SQL multi-build: N countmin/ams/hll sketches from ONE pass
+    and ONE shuffle — ``build_batch_many``'s contract (leading ``spec_id``
     column), with the whole hash→scatter→merge pipeline in codegen."""
     return _build_sql(df, specs)
+
+
+class StreamingSketchSQLJob:
+    """Synopsis maintenance as NATIVE Structured Streaming aggregation state.
+
+    The batch SQL path's insight — a hash sketch is a count over packed cell
+    ids — makes the sketch *incrementally maintainable by Spark's own
+    streaming aggregation*: ``withWatermark → project cells → explode →
+    groupBy(window, cell).count()`` in append mode. The streaming state
+    store (HDFS/RocksDB-backed, checkpointed, bounded at
+    O(open windows × strata × cells)) IS the sketch state — the closest
+    Spark-native analogue of the reference's Flink operator state
+    (``flinkScottyConnector/.../SynopsisAggregator.java``), with event-time
+    watermark correctness, late-row handling, and exactly-once emission
+    handled by the engine rather than hand-written keyed-state code
+    (contrast ``stateful.StatefulSynopsisStream``, the applyInPandasWithState
+    formulation of the same build).
+
+    When the watermark closes a window, all its cells emit in one
+    micro-batch; ``foreachBatch`` assembles them into canonical blobs
+    (byte-identical to ``build_batch`` on the same closed rows — asserted in
+    ``tests/test_sqlbuild.py``) and writes an idempotent ``batch=<id>``
+    parquet dir, so replays after a crash rewrite rather than duplicate.
+
+    Tumbling and sliding windows map onto ``F.window(ts, size[, slide])``,
+    whose window algebra matches the batch slice expansion exactly.
+    """
+
+    def __init__(self, specs: list[SynopsisSpec] | SynopsisSpec,
+                 watermark_delay: str = "1 hour"):
+        self.specs = [specs] if isinstance(specs, SynopsisSpec) else list(specs)
+        self.watermark_delay = watermark_delay
+        s0 = self.specs[0]
+        win = s0.window
+        if not isinstance(win, (Tumbling, Sliding)):
+            raise ValueError("streaming SQL build needs a Tumbling/Sliding window")
+        if not s0.ts_column:
+            raise ValueError("streaming SQL build needs ts_column")
+        for s in self.specs:
+            if s.kind not in ("countmin", "ams", "hll"):
+                raise ValueError(f"SQL build supports countmin/ams/hll, not {s.kind}")
+            if (s.window != win or s.ts_column != s0.ts_column
+                    or s.stratify_by != s0.stratify_by):
+                raise ValueError("streaming SQL specs must share window/ts/strata")
+        self.size_us = win.size_us
+        self.slide_us = win.slide_us if isinstance(win, Sliding) else None
+
+    def transform(self, reader: DataFrame) -> DataFrame:
+        specs = self.specs
+        s0 = specs[0]
+        for spec in specs:
+            _validate_spec(reader, spec)
+        protos = [spec.make_synopsis() for spec in specs]
+        offsets = np.concatenate([[0],
+                                  np.cumsum([_cell_space(p) for p in protos])])
+        cols = [F.col(spec.column).alias(f"__v{i}")
+                for i, spec in enumerate(specs)]
+        cols.append(F.col(s0.ts_column).cast("timestamp").alias("__t"))
+        if s0.stratify_by:
+            cols.append(F.col(s0.stratify_by).cast("string").alias("__st"))
+        grp = ["__st"] if s0.stratify_by else []
+        work = reader.select(*cols).withWatermark("__t", self.watermark_delay)
+        work, ncells = _attach_cells(work, specs, protos, offsets,
+                                     keep=["__t"] + grp)
+        win = (F.window("__t", f"{self.size_us} microseconds")
+               if self.slide_us is None else
+               F.window("__t", f"{self.size_us} microseconds",
+                        f"{self.slide_us} microseconds"))
+        return (work.select("__t", *grp, _explode_cells(ncells))
+                .groupBy(win.alias("__win"), *grp, "cell")
+                .agg(F.count(F.lit(1)).alias("m")))
+
+    def _sink(self, out_dir: str):
+        specs = self.specs
+        protos = [spec.make_synopsis() for spec in specs]
+        offsets = np.concatenate([[0],
+                                  np.cumsum([_cell_space(p) for p in protos])])
+        bounds = offsets[1:-1]
+        stratified = bool(specs[0].stratify_by)
+
+        def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            out = [(i, key[0], key[1], key[2] if stratified else "", blob, n)
+                   for i, blob, n in
+                   _assemble_sketches(specs, offsets, bounds, pdf)]
+            return pd.DataFrame(out, columns=["spec_id", "window_start",
+                                              "window_end", "stratum",
+                                              "state", "n"])
+
+        def process(bdf: DataFrame, batch_id: int) -> None:
+            rows = bdf.select(F.col("__win.start").alias("__ws"),
+                              F.col("__win.end").alias("__we"),
+                              *(["__st"] if stratified else []),
+                              "cell", "m")
+            keys = ["__ws", "__we"] + (["__st"] if stratified else [])
+            out = rows.groupBy(*keys).applyInPandas(
+                assemble, schema="spec_id int, " + _FINAL_SCHEMA)
+            out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+        return process
+
+    def start(self, spark, source_dir: str, out_dir: str, checkpoint_dir: str,
+              schema=None, max_files_per_trigger: int = 1,
+              available_now: bool = True):
+        if schema is None:
+            schema = spark.read.parquet(source_dir).schema
+        reader = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", max_files_per_trigger)
+                  .parquet(source_dir))
+        writer = (self.transform(reader).writeStream
+                  .foreachBatch(self._sink(out_dir))
+                  .option("checkpointLocation", checkpoint_dir)
+                  .outputMode("append"))
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    @staticmethod
+    def read_output(spark, out_dir: str) -> DataFrame:
+        """Assembled synopsis rows across all batch dirs (build_batch_many
+        schema: spec_id + window/stratum/state/n)."""
+        return (spark.read.parquet(out_dir)
+                .select("spec_id", "window_start", "window_end", "stratum",
+                        "state", "n"))

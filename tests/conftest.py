@@ -10,6 +10,9 @@ def spark():
          .config("spark.sql.shuffle.partitions", "8")
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         # match HotSpot's 8000-byte JIT limit: oversized fused codegen
+         # methods otherwise run interpreted (see engine/sqlbuild.py)
+         .config("spark.sql.codegen.hugeMethodLimit", "8000")
          .config("spark.ui.enabled", "false")
          .config("spark.ui.showConsoleProgress", "false")
          .config("spark.driver.memory", "8g")

@@ -1,16 +1,21 @@
 """Pure-JVM SQL build path (sqlbuild.py): byte parity with the kernel path,
-hash-expression parity with the numpy families, plan shape, and guards."""
+hash-expression parity with the numpy families, plan shape, guards, and the
+streaming formulation (sketch cells as native streaming aggregation state)."""
+
+import tempfile
 
 import numpy as np
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
+from condor_spark import fixtures
 from condor_spark.engine.builder import SynopsisSpec, build_batch, build_batch_many
-from condor_spark.engine.sqlbuild import (build_sketch_sql, build_sketch_sql_many,
-                                          eh3_sign_exprs, h3_bucket_exprs)
+from condor_spark.engine.sqlbuild import (StreamingSketchSQLJob, build_sketch_sql,
+                                          build_sketch_sql_many, eh3_sign_exprs,
+                                          h3_bucket_exprs, splitmix64_expr)
 from condor_spark.engine.windows import GlobalWindow, Session, Sliding, Tumbling
-from condor_spark.synopsis.hashing import EH3Family, H3Family
+from condor_spark.synopsis.hashing import EH3Family, H3Family, hash64
 
 from conftest import SF_DIR
 
@@ -57,6 +62,7 @@ def test_eh3_expr_matches_numpy(spark):
 @pytest.mark.parametrize("kind,params", [
     ("countmin", dict(width=8192, height=5, seed=7)),
     ("ams", dict(width=1024, height=7, seed=7)),
+    ("hll", dict(log_reg_num=14, seed=7)),
 ])
 @pytest.mark.parametrize("window,stratify", [
     (Tumbling("1 day"), None),
@@ -97,6 +103,8 @@ def test_sql_many_matches_per_spec(spark):
         SynopsisSpec(kind="countmin", params=dict(width=8192, height=5, seed=7),
                      column="user_id", ts_column="ts", window=Tumbling("1 day")),
         SynopsisSpec(kind="ams", params=dict(width=1024, height=7, seed=7),
+                     column="user_id", ts_column="ts", window=Tumbling("1 day")),
+        SynopsisSpec(kind="hll", params=dict(log_reg_num=12, seed=7),
                      column="user_id", ts_column="ts", window=Tumbling("1 day")),
         SynopsisSpec(kind="countmin", params=dict(width=2048, height=3, seed=11),
                      column="event_id", ts_column="ts", window=Tumbling("1 day")),
@@ -155,7 +163,7 @@ def test_sql_build_rejects_string_keys(spark):
 
 def test_sql_build_rejects_other_kinds(spark):
     df = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    spec = SynopsisSpec(kind="hll", params=dict(log_reg_num=12, seed=7),
+    spec = SynopsisSpec(kind="bloom", params=dict(n_bits=4096, max_elements=256),
                         column="user_id", ts_column="ts", window=Tumbling("1 day"))
     with pytest.raises(ValueError, match="countmin/ams"):
         build_sketch_sql(df, spec)
@@ -168,6 +176,93 @@ def test_sql_build_rejects_session_windows(spark):
                         window=Session("10 minutes"))
     with pytest.raises(ValueError, match="unsupported window"):
         build_sketch_sql(df, spec)
+
+
+def test_splitmix64_expr_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([
+        rng.integers(-2**63, 2**63 - 1, 2000, dtype=np.int64),
+        np.array([0, 1, -1, 2**62, -2**62, 2**63 - 1, -2**63], dtype=np.int64)])
+    df = spark.createDataFrame(pd.DataFrame({"x": vals}))
+    for seed in (7, 123456789):
+        got = (df.select(splitmix64_expr(F.col("x"), seed).alias("h"))
+               .toPandas()["h"].to_numpy().view(np.uint64))
+        assert (got == hash64(vals, seed)).all()
+
+
+# ---------------------------------------------------------------------------
+# streaming: sketch cells as native streaming aggregation state
+# ---------------------------------------------------------------------------
+
+def _stream_parity(spark, specs, replay, watermark_delay, sliding=False):
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    max_ts = df.agg(F.max("ts")).collect()[0][0]
+    cutoff = pd.Timestamp(max_ts) + pd.Timedelta(days=2)
+    tmp = tempfile.mkdtemp(prefix="condor_sqlstream_")
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    replay(df, src, [cutoff + pd.Timedelta(days=40),
+                     cutoff + pd.Timedelta(days=80)])
+    job = StreamingSketchSQLJob(specs, watermark_delay=watermark_delay)
+    q = job.start(spark, src, out, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(600)
+    got = {(r["spec_id"], r["window_start"], r["stratum"]):
+           (bytes(r["state"]), r["n"])
+           for r in job.read_output(spark, out)
+           .filter(F.col("window_end") <= F.lit(cutoff)).collect()}
+    want = {(r["spec_id"], r["window_start"], r["stratum"]):
+            (bytes(r["state"]), r["n"])
+            for r in build_sketch_sql_many(df, specs).collect()}
+    assert got == want
+
+
+def test_streaming_sql_matches_batch(spark):
+    """Ordered replay: every closed window's blob is byte-identical to the
+    batch SQL build (which is byte-identical to the kernel build)."""
+    specs = [
+        SynopsisSpec(kind="countmin", params=dict(width=8192, height=5, seed=7),
+                     column="user_id", ts_column="ts", window=Tumbling("1 day")),
+        SynopsisSpec(kind="hll", params=dict(log_reg_num=12, seed=7),
+                     column="user_id", ts_column="ts", window=Tumbling("1 day")),
+    ]
+    _stream_parity(
+        spark, specs,
+        lambda df, src, flush: fixtures.replay_in_order(
+            spark, df, src, n_chunks=4, flush_ts=flush),
+        watermark_delay="1 hour")
+
+
+def test_streaming_sql_unordered_within_watermark(spark):
+    """Bounded-disorder replay with watermark delay ≥ the disorder bound
+    reproduces the in-order results exactly (UnorderedSource contract)."""
+    specs = [SynopsisSpec(kind="ams", params=dict(width=512, height=5, seed=7),
+                          column="user_id", ts_column="ts",
+                          window=Tumbling("1 day"))]
+    _stream_parity(
+        spark, specs,
+        lambda df, src, flush: fixtures.replay_unordered(
+            spark, df, src, n_chunks=4, max_delay="2 hours", flush_ts=flush),
+        watermark_delay="3 hours")
+
+
+def test_streaming_sql_sliding_stratified(spark):
+    """F.window(size, slide) streaming expansion matches the batch slice
+    algebra, per stratum."""
+    specs = [SynopsisSpec(kind="countmin", params=dict(width=2048, height=5, seed=7),
+                          column="user_id", ts_column="ts",
+                          window=Sliding("2 days", "1 day"),
+                          stratify_by="event_type")]
+    _stream_parity(
+        spark, specs,
+        lambda df, src, flush: fixtures.replay_in_order(
+            spark, df, src, n_chunks=4, flush_ts=flush),
+        watermark_delay="1 hour")
+
+
+def test_streaming_sql_rejects_global_window(spark):
+    spec = SynopsisSpec(kind="countmin", params=dict(width=1024, height=5, seed=7),
+                        column="user_id", window=GlobalWindow())
+    with pytest.raises(ValueError, match="Tumbling/Sliding"):
+        StreamingSketchSQLJob(spec)
 
 
 def test_sql_many_rejects_mismatched_windows(spark):
