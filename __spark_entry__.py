@@ -488,6 +488,40 @@ def q_ams_sql_f2(spark, sf_dir):
                     F.round("est_f2", 2).alias("est_f2")))
 
 
+def q_equiwidth_sql_hist(spark, sf_dir):
+    """Equi-width histogram built by the pure-JVM SQL path (np.histogram's
+    uniform-bin fast path replicated as double expressions with baked-in
+    linspace edges); byte parity with build_batch means equiwidth_hist's
+    exact oracle applies unchanged."""
+    df = _events(spark, sf_dir)
+    spec = SynopsisSpec(kind="equiwidth",
+                        params=dict(lower=0.0, upper=500.0, num_buckets=20),
+                        column="value", ts_column="ts", window=Tumbling(DAY))
+    syn = build_sketch_sql(df, spec)
+    return (ev.histogram_counts(syn)
+            .select(F.col("window_start").cast(NTZ).alias("window_start"),
+                    F.col("bucket").cast("long").alias("bucket"), "cnt"))
+
+
+def q_bloom_sql_membership(spark, sf_dir):
+    """Bloom filter built by the pure-JVM SQL path (k H3 bit positions as
+    byte-LUT expressions, distributed bit-OR via cell counts). Sized so the
+    FP bound is ≈1e-9 over this key set → membership is exact. Integer keys
+    (the SQL path's domain); three negative ids are the guaranteed-absent
+    probes."""
+    df = _events(spark, sf_dir)
+    present = sorted(r[0] for r in df.select("user_id").distinct().collect())
+    keys = present + [-1, -2, -3]
+    spec = SynopsisSpec(kind="bloom",
+                        params=dict(n_bits=65536, max_elements=2048, seed=7,
+                                    merge_mode="union"),
+                        column="user_id", ts_column="ts", window=Tumbling(DAY))
+    syn = build_sketch_sql(df, spec)
+    return (ev.membership(syn, keys)
+            .select(F.col("window_start").cast(NTZ).alias("window_start"),
+                    "key", "member"))
+
+
 def q_hll_sql_distinct(spark, sf_dir):
     """HyperLogLog built by the pure-JVM SQL path (SplitMix64 via ANSI-safe
     limb arithmetic, rank via bit_count); byte parity with build_batch means
@@ -939,6 +973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_sql_frequency": q_cm_sql_frequency,
         "ams_sql_f2": q_ams_sql_f2,
         "hll_sql_distinct": q_hll_sql_distinct,
+        "equiwidth_sql_hist": q_equiwidth_sql_hist,
+        "bloom_sql_membership": q_bloom_sql_membership,
         # approximate / randomized, rows-only
         "hll_distinct": q_hll_distinct,
         "ams_f2": q_ams_f2,
@@ -1492,6 +1528,20 @@ def oracle_sql() -> dict[str, str]:
     # (tests/test_sqlbuild.py), so its estimates share the same oracles
     oracles["cm_sql_frequency"] = oracles["cm_user_frequency"]
     oracles["stream_sketch_sql"] = oracles["cm_user_frequency"]
+    oracles["equiwidth_sql_hist"] = oracles["equiwidth_hist"]
+    # integer-keyed bloom (SQL path): FP bound ~1e-9 at this sizing → exact
+    oracles["bloom_sql_membership"] = """
+        WITH w AS (SELECT DISTINCT time_bucket(INTERVAL '1 day', ts) ws FROM events),
+             k AS (SELECT unnest(list_sort(list_distinct(list(user_id)))
+                          || [-1, -2, -3]) AS uid
+                   FROM events),
+             p AS (SELECT DISTINCT time_bucket(INTERVAL '1 day', ts) ws, user_id
+                   FROM events)
+        SELECT w.ws AS window_start, CAST(k.uid AS VARCHAR) AS key,
+               (p.user_id IS NOT NULL) AS member
+        FROM w CROSS JOIN k
+        LEFT JOIN p ON p.ws = w.ws AND p.user_id = k.uid
+    """
     oracles["stream_sessions"] = oracles["session_windows"]
     oracles["stream_sliding"] = oracles["sliding_counts"]
     oracles["stream_wavelet"] = oracles["wavelet_range_sums"]

@@ -216,6 +216,43 @@ def _key_is_integer(df: DataFrame, column: str) -> bool:
     return False
 
 
+def _key_is_numeric(df: DataFrame, column: str) -> bool:
+    for f in df.schema.fields:
+        if f.name == column:
+            return (f.dataType.simpleString() in _INT_TYPES
+                    or f.dataType.simpleString() in ("float", "double"))
+    return False
+
+
+def equiwidth_cell_expr(col, lower: float, upper: float, nb: int, offset: int):
+    """Equi-width bucket index as a Column, replicating numpy's uniform-bin
+    histogram EXACTLY (``np.histogram`` fast path): scaled multiply, cast,
+    then the two boundary corrections against the ``linspace`` edges — the
+    edge doubles are baked in as literals, so float behavior is identical
+    to the kernel's ``np.histogram`` call. NULL (→ dropped by
+    ``array_compact``) for NaN/out-of-range, mirroring the kernel's silent
+    drop (``EquiWidthHistogram.java:49-52``)."""
+    x = col.cast("double")
+    edges = np.linspace(lower, upper, nb + 1)
+    earr = F.array(*[F.lit(float(e)) for e in edges])
+    # numpy 1.26 _histogram: ((x - first) / norm_denom) * norm_numerator —
+    # divide THEN multiply, same double ops in the same order
+    idx0 = (((x - F.lit(float(lower))) / F.lit(float(upper - lower)))
+            * F.lit(float(nb))).cast("int")
+    idx1 = F.when(idx0 == nb, F.lit(nb - 1)).otherwise(idx0)
+    idx2 = F.when(x < F.element_at(earr, idx1 + 1), idx1 - 1).otherwise(idx1)
+    idx3 = F.when((x >= F.element_at(earr, idx2 + 2)) & (idx2 != nb - 1),
+                  idx2 + 1).otherwise(idx2)
+    # Spark sorts NaN above all doubles, so NaN fails x < upper and drops.
+    # Dropped rows emit the SENTINEL cell (local id 0) instead of nothing:
+    # the kernel still materializes an all-zero histogram for a window whose
+    # rows are all out-of-range (the group exists before the filter), so the
+    # SQL path must keep the group alive too; the sentinel carries no count.
+    in_range = x.isNotNull() & (x >= float(lower)) & (x < float(upper))
+    return (F.when(in_range, idx3.cast("long") + F.lit(offset + 2))
+            .otherwise(F.lit(offset + 1)))
+
+
 def _cell_exprs(col, spec: SynopsisSpec, width: int, height: int, seed: int,
                 offset: int) -> list:
     """Pack (row, bucket, sign) into ONE signed long per cell:
@@ -236,10 +273,17 @@ def _cell_exprs(col, spec: SynopsisSpec, width: int, height: int, seed: int,
             for r in range(height)]
 
 
+_SQL_KINDS = ("countmin", "ams", "hll", "equiwidth", "bloom")
+
+
 def _validate_spec(df: DataFrame, spec: SynopsisSpec) -> None:
-    if spec.kind not in ("countmin", "ams", "hll"):
-        raise ValueError(f"SQL build supports countmin/ams/hll, not {spec.kind}")
-    if not _key_is_integer(df, spec.column):
+    if spec.kind not in _SQL_KINDS:
+        raise ValueError(f"SQL build supports {'/'.join(_SQL_KINDS)}, "
+                         f"not {spec.kind}")
+    if spec.kind == "equiwidth":
+        if not _key_is_numeric(df, spec.column):
+            raise ValueError(f"column {spec.column!r} is not numeric")
+    elif not _key_is_integer(df, spec.column):
         raise ValueError(
             f"column {spec.column!r} is not integer-typed; string keys hash "
             "through pandas siphash (no JVM equivalent) — use build_batch")
@@ -251,14 +295,26 @@ def _validate_spec(df: DataFrame, spec: SynopsisSpec) -> None:
 #                  (register, rank) pair groups under ONE count key and the
 #                  register max is taken at assembly — max folds into the
 #                  same count aggregation the linear sketches use
+#   equiwidth    — 1 cell/row: id = bucket + 2, or the sentinel id 1 for
+#                  dropped (NaN / out-of-range) rows, which keeps the
+#                  (window, stratum) group alive without counting
+#   bloom        — k cells/row (bit positions); bit set iff count > 0
 def _cell_space(proto) -> int:
     if proto.KIND == "hll":
         return proto.m * 65
+    if proto.KIND == "equiwidth":
+        return proto.num_buckets + 1
+    if proto.KIND == "bloom":
+        return proto.n_bits
     return proto.width * proto.height
 
 
 def _cells_per_row(proto) -> int:
-    return 1 if proto.KIND == "hll" else proto.height
+    if proto.KIND in ("hll", "equiwidth"):
+        return 1
+    if proto.KIND == "bloom":
+        return proto.k
+    return proto.height
 
 
 def _attach_cells(work: DataFrame, specs, protos, offsets, keep: list):
@@ -279,6 +335,19 @@ def _attach_cells(work: DataFrame, specs, protos, offsets, keep: list):
                                       proto.seed, f"__idx{i}", f"__rank{i}")
             cells.append(F.lit(off) + F.col(f"__idx{i}") * F.lit(65)
                          + F.col(f"__rank{i}"))
+        elif spec.kind == "equiwidth":
+            cells.append(equiwidth_cell_expr(F.col(f"__v{i}"), proto.lower,
+                                             proto.upper, proto.num_buckets,
+                                             off))
+        elif spec.kind == "bloom":
+            # distributed bit-OR only matches union merge; the reference's
+            # intersect-merge quirk is partition-dependent by construction
+            if proto.merge_mode != "union":
+                raise ValueError('SQL bloom build requires merge_mode="union"')
+            cells.extend([
+                (b + F.lit(off + 1)).cast("long")
+                for b in h3_bucket_exprs(F.col(f"__v{i}"), proto.k,
+                                         proto.seed, proto.n_bits)])
         else:
             cells.extend(_cell_exprs(F.col(f"__v{i}"), spec, proto.width,
                                      proto.height, proto.seed, off))
@@ -287,8 +356,9 @@ def _attach_cells(work: DataFrame, specs, protos, offsets, keep: list):
 
 
 def _explode_cells(ncells: int):
-    return F.explode(F.array(*[F.col(f"__c{j}") for j in range(ncells)])
-                     ).alias("cell")
+    # array_compact drops NULL cells (equiwidth's out-of-range/NaN rows)
+    return F.explode(F.array_compact(
+        F.array(*[F.col(f"__c{j}") for j in range(ncells)]))).alias("cell")
 
 
 def _assemble_sketches(specs, offsets, bounds, pdf: pd.DataFrame):
@@ -310,6 +380,14 @@ def _assemble_sketches(specs, offsets, bounds, pdf: pd.DataFrame):
             # register-wise max (the groupBy counted (idx, rank) pairs)
             np.maximum.at(syn.registers, local // 65,
                           (local % 65 + 1).astype(np.uint8))
+        elif spec.kind == "equiwidth":
+            real = local >= 1  # local 0 = dropped-row sentinel, no count
+            np.add.at(syn.frequency, local[real] - 1, m[sel][real])
+            syn.n_processed = int(m[sel][real].sum())
+            yield i, syn.to_bytes(), syn.n_processed
+            continue
+        elif spec.kind == "bloom":
+            syn.bits[local] = True
         else:
             flat = np.zeros(syn.height * syn.width, dtype=np.int64)
             np.add.at(flat, local, np.sign(cell[sel]) * m[sel])
@@ -399,8 +477,8 @@ def _build_sql(df: DataFrame, specs: list[SynopsisSpec]) -> DataFrame:
 
 
 def build_sketch_sql(df: DataFrame, spec: SynopsisSpec) -> DataFrame:
-    """JVM-expression build for ``kind in {"countmin", "ams", "hll"}`` over
-    an integer key column. Output rows and blob bytes are identical to
+    """JVM-expression build for ``kind in {"countmin", "ams", "hll",
+    "equiwidth"}`` over an integer (numeric for equiwidth) key column. Output rows and blob bytes are identical to
     ``build_batch(df, spec)`` (asserted in ``tests/test_sqlbuild.py``)."""
     return _build_sql(df, [spec]).drop("spec_id")
 
@@ -449,8 +527,9 @@ class StreamingSketchSQLJob:
         if not s0.ts_column:
             raise ValueError("streaming SQL build needs ts_column")
         for s in self.specs:
-            if s.kind not in ("countmin", "ams", "hll"):
-                raise ValueError(f"SQL build supports countmin/ams/hll, not {s.kind}")
+            if s.kind not in ("countmin", "ams", "hll", "equiwidth"):
+                raise ValueError(
+                    f"SQL build supports countmin/ams/hll/equiwidth, not {s.kind}")
             if (s.window != win or s.ts_column != s0.ts_column
                     or s.stratify_by != s0.stratify_by):
                 raise ValueError("streaming SQL specs must share window/ts/strata")

@@ -59,10 +59,13 @@ def test_eh3_expr_matches_numpy(spark):
 # byte parity with build_batch across kinds / windows / strata
 # ---------------------------------------------------------------------------
 
-@pytest.mark.parametrize("kind,params", [
-    ("countmin", dict(width=8192, height=5, seed=7)),
-    ("ams", dict(width=1024, height=7, seed=7)),
-    ("hll", dict(log_reg_num=14, seed=7)),
+@pytest.mark.parametrize("kind,params,column", [
+    ("countmin", dict(width=8192, height=5, seed=7), "user_id"),
+    ("ams", dict(width=1024, height=7, seed=7), "user_id"),
+    ("hll", dict(log_reg_num=14, seed=7), "user_id"),
+    ("equiwidth", dict(lower=0.0, upper=450.0, num_buckets=19), "value"),
+    ("bloom", dict(n_bits=8192, max_elements=512, seed=7, merge_mode="union"),
+     "user_id"),
 ])
 @pytest.mark.parametrize("window,stratify", [
     (Tumbling("1 day"), None),
@@ -70,10 +73,10 @@ def test_eh3_expr_matches_numpy(spark):
     (Tumbling("1 day"), "event_type"),
     (GlobalWindow(), "event_type"),
 ])
-def test_sql_build_byte_parity(spark, kind, params, window, stratify):
+def test_sql_build_byte_parity(spark, kind, params, column, window, stratify):
     df = spark.read.parquet(f"{SF_DIR}/events.parquet")
     spec = SynopsisSpec(
-        kind=kind, params=params, column="user_id",
+        kind=kind, params=params, column=column,
         ts_column=None if isinstance(window, GlobalWindow) else "ts",
         window=window, stratify_by=stratify)
     kernel = _blob_map(build_batch(df, spec))
@@ -163,9 +166,20 @@ def test_sql_build_rejects_string_keys(spark):
 
 def test_sql_build_rejects_other_kinds(spark):
     df = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    spec = SynopsisSpec(kind="bloom", params=dict(n_bits=4096, max_elements=256),
+    spec = SynopsisSpec(kind="cuckoo", params=dict(bucket_size=4, num_buckets=64),
                         column="user_id", ts_column="ts", window=Tumbling("1 day"))
-    with pytest.raises(ValueError, match="countmin/ams"):
+    with pytest.raises(ValueError, match="SQL build supports"):
+        build_sketch_sql(df, spec)
+
+
+def test_sql_bloom_rejects_intersect_merge(spark):
+    """The reference's intersect-merge quirk is partition-dependent by
+    construction; the SQL bit-OR path only matches union merge."""
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    spec = SynopsisSpec(kind="bloom",
+                        params=dict(n_bits=4096, max_elements=256, seed=7),
+                        column="user_id", ts_column="ts", window=Tumbling("1 day"))
+    with pytest.raises(ValueError, match="union"):
         build_sketch_sql(df, spec)
 
 
@@ -176,6 +190,49 @@ def test_sql_build_rejects_session_windows(spark):
                         window=Session("10 minutes"))
     with pytest.raises(ValueError, match="unsupported window"):
         build_sketch_sql(df, spec)
+
+
+def test_equiwidth_expr_matches_np_histogram(spark):
+    """Adversarial boundary parity: edge doubles, their float neighbors,
+    NaN, out-of-range, irrational bucket widths — bucket assignment must
+    reproduce np.histogram's uniform-bin fast path exactly."""
+    from condor_spark.engine.sqlbuild import equiwidth_cell_expr
+    rng = np.random.default_rng(3)
+    lo, up, k = -3.7, 129.1, 13
+    edges = np.linspace(lo, up, k + 1)
+    vals = np.concatenate([
+        rng.uniform(lo - 10, up + 10, 5000),
+        edges, np.nextafter(edges, -np.inf), np.nextafter(edges, np.inf),
+        [np.nan, -0.0, up, np.nextafter(up, -np.inf)]])
+    df = spark.createDataFrame(pd.DataFrame({"x": vals}))
+    got = (df.select(equiwidth_cell_expr(F.col("x"), lo, up, k, 0).alias("c"))
+           .toPandas()["c"].astype(int).to_numpy())
+    kept = vals[~np.isnan(vals)]
+    kept = kept[(kept >= lo) & (kept < up)]
+    want_hist, _ = np.histogram(kept, bins=k, range=(lo, up))
+    got_hist = np.bincount(got[got >= 2] - 2, minlength=k)  # cell = bucket+2
+    assert (got_hist == want_hist).all()
+    assert int((got >= 2).sum()) == len(kept)
+    assert int((got == 1).sum()) == len(vals) - len(kept)  # sentinel rows
+
+
+def test_equiwidth_all_dropped_window_still_emits(spark):
+    """A window whose rows are ALL out-of-range must still produce an
+    all-zero histogram row (kernel semantics: the group exists before the
+    range filter) — the sentinel cell keeps it alive in the SQL path."""
+    pdf = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 11:00",
+                              "2024-01-02 10:00", "2024-01-02 11:00"]),
+        "v": [5.0, 7.0, 999.0, -4.0],  # day 2 entirely out of [0, 10)
+    })
+    df = spark.createDataFrame(pdf)
+    spec = SynopsisSpec(kind="equiwidth",
+                        params=dict(lower=0.0, upper=10.0, num_buckets=5),
+                        column="v", ts_column="ts", window=Tumbling("1 day"))
+    kernel = _blob_map(build_batch(df, spec))
+    sql = _blob_map(build_sketch_sql(df, spec))
+    assert len(kernel) == 2  # both days present
+    assert kernel == sql
 
 
 def test_splitmix64_expr_matches_numpy(spark):
