@@ -69,6 +69,44 @@ class Catalog:
         else:
             df.write.mode(mode).parquet(self._path(name))
 
+    # ---------------------------------------------------------- bucketing
+    def _bucketed_ident(self, name: str) -> str:
+        # session-catalog table name (in-memory catalog in this sandbox;
+        # hive/iceberg metastore on a real cluster)
+        return f"{self.namespace}_{name}"
+
+    def write_bucketed(self, df: DataFrame, name: str, bucket_cols: list,
+                       num_buckets: int, sort_cols: list | None = None,
+                       mode: str = "overwrite") -> None:
+        """Bucketed write — the co-location primitive for the 100 TB posture:
+        rows are hash-routed into ``num_buckets`` files per partition by
+        ``bucket_cols``, and the layout is recorded in the catalog, so any
+        join or aggregation keyed on those columns reads each bucket
+        co-located and plans with ZERO Exchange (asserted in
+        ``tests/test_catalog.py``; captured plan in PLANS.md §10). On
+        Iceberg this is the ``bucket(N, col)`` partition transform; on the
+        parquet fallback it is Spark's native ``bucketBy`` + ``saveAsTable``
+        (bucket metadata requires a catalog table, not a bare path)."""
+        if self.is_iceberg:
+            from pyspark.sql import functions as F
+            writer = df.writeTo(self._ident(name)).using("iceberg") \
+                .partitionedBy(F.bucket(num_buckets, bucket_cols[0]))
+            writer.createOrReplace()
+            return
+        writer = (df.write.mode(mode)
+                  .bucketBy(num_buckets, *bucket_cols)
+                  .option("path", self._path(name)))
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.saveAsTable(self._bucketed_ident(name))
+
+    def read_bucketed(self, name: str) -> DataFrame:
+        """Read via the catalog identifier — a plain path read would drop the
+        bucket metadata and reintroduce the shuffle."""
+        if self.is_iceberg:
+            return self.read(name)
+        return self.spark.table(self._bucketed_ident(name))
+
     # ---------------------------------------------------------- streaming
     def read_stream(self, name: str, schema=None,
                     max_files_per_trigger: int = 4) -> DataFrame:

@@ -527,9 +527,9 @@ class StreamingSketchSQLJob:
         if not s0.ts_column:
             raise ValueError("streaming SQL build needs ts_column")
         for s in self.specs:
-            if s.kind not in ("countmin", "ams", "hll", "equiwidth"):
-                raise ValueError(
-                    f"SQL build supports countmin/ams/hll/equiwidth, not {s.kind}")
+            if s.kind not in _SQL_KINDS:
+                raise ValueError(f"SQL build supports {'/'.join(_SQL_KINDS)}, "
+                                 f"not {s.kind}")
             if (s.window != win or s.ts_column != s0.ts_column
                     or s.stratify_by != s0.stratify_by):
                 raise ValueError("streaming SQL specs must share window/ts/strata")

@@ -274,11 +274,19 @@ def _stream_parity(spark, specs, replay, watermark_delay, sliding=False):
 
 def test_streaming_sql_matches_batch(spark):
     """Ordered replay: every closed window's blob is byte-identical to the
-    batch SQL build (which is byte-identical to the kernel build)."""
+    batch SQL build (which is byte-identical to the kernel build) — all
+    five SQL-path kinds maintained in ONE streaming aggregation."""
     specs = [
         SynopsisSpec(kind="countmin", params=dict(width=8192, height=5, seed=7),
                      column="user_id", ts_column="ts", window=Tumbling("1 day")),
         SynopsisSpec(kind="hll", params=dict(log_reg_num=12, seed=7),
+                     column="user_id", ts_column="ts", window=Tumbling("1 day")),
+        SynopsisSpec(kind="equiwidth",
+                     params=dict(lower=0.0, upper=450.0, num_buckets=9),
+                     column="value", ts_column="ts", window=Tumbling("1 day")),
+        SynopsisSpec(kind="bloom",
+                     params=dict(n_bits=8192, max_elements=512, seed=7,
+                                 merge_mode="union"),
                      column="user_id", ts_column="ts", window=Tumbling("1 day")),
     ]
     _stream_parity(
