@@ -503,6 +503,23 @@ def q_equiwidth_sql_hist(spark, sf_dir):
                     F.col("bucket").cast("long").alias("bucket"), "cnt"))
 
 
+def q_bottomk_sql_sample(spark, sf_dir):
+    """Bottom-k sampler as a rank-limited window query
+    (sqlbuild.build_bottomk_sql): WindowGroupLimit keeps each task's local
+    top-k before the shuffle. Byte parity with build_batch means
+    bottomk_sample's exact oracle applies unchanged."""
+    from condor_spark.engine.sqlbuild import build_bottomk_sql
+    df = (_events(spark, sf_dir)
+          .withColumn("__prio", F.md5(F.col("event_id").cast("string"))))
+    spec = SynopsisSpec(kind="bottomk", params=dict(sample_size=20, seed=7),
+                        column="event_id", ts_column="ts", window=Tumbling(DAY),
+                        priority_column="__prio")
+    syn = build_bottomk_sql(df, spec)
+    return (ev.sample_rows(syn, value_type="long")
+            .select(F.col("window_start").cast(NTZ).alias("window_start"),
+                    F.col("value").alias("event_id")))
+
+
 def q_bloom_sql_membership(spark, sf_dir):
     """Bloom filter built by the pure-JVM SQL path (k H3 bit positions as
     byte-LUT expressions, distributed bit-OR via cell counts). Sized so the
@@ -975,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_sql_distinct": q_hll_sql_distinct,
         "equiwidth_sql_hist": q_equiwidth_sql_hist,
         "bloom_sql_membership": q_bloom_sql_membership,
+        "bottomk_sql_sample": q_bottomk_sql_sample,
         # approximate / randomized, rows-only
         "hll_distinct": q_hll_distinct,
         "ams_f2": q_ams_f2,
@@ -1529,6 +1547,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["cm_sql_frequency"] = oracles["cm_user_frequency"]
     oracles["stream_sketch_sql"] = oracles["cm_user_frequency"]
     oracles["equiwidth_sql_hist"] = oracles["equiwidth_hist"]
+    oracles["bottomk_sql_sample"] = oracles["bottomk_sample"]
     # integer-keyed bloom (SQL path): FP bound ~1e-9 at this sizing → exact
     oracles["bloom_sql_membership"] = """
         WITH w AS (SELECT DISTINCT time_bucket(INTERVAL '1 day', ts) ws FROM events),

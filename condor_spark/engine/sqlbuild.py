@@ -490,6 +490,114 @@ def build_sketch_sql_many(df: DataFrame, specs: list[SynopsisSpec]) -> DataFrame
     return _build_sql(df, specs)
 
 
+def build_bottomk_sql(df: DataFrame, spec: SynopsisSpec) -> DataFrame:
+    """Bottom-k distinct sampler as a rank-limited window query.
+
+    The sampler's state IS "the k smallest (priority, value) pairs per
+    (window, stratum)", which Spark answers natively:
+    ``row_number() over (partition by window, stratum order by priority,
+    value) <= k``. Spark ≥3.5 plans the filter as **WindowGroupLimit** —
+    each map task keeps only its local top-k before the shuffle, so shuffle
+    volume is O(partitions × k), not O(rows) (asserted on the plan in
+    ``tests/test_sqlbuild.py``). This is the same communication bound as
+    the kernel path's partial samplers, with the per-row Python replaced by
+    codegen comparisons.
+
+    Priorities: ``spec.priority_column`` (any orderable type — e.g. the
+    driver's JVM ``F.md5`` hex) or, when absent, the kernel's default
+    seeded SplitMix64 of the integer key — computed with the same staged
+    limb arithmetic as HLL and ordered UNSIGNED via a sign-bit flip.
+    Output rows and blob bytes match ``build_batch`` exactly: the k
+    survivors are the same rows, and assembly feeds them through the
+    kernel's own canonicalizing ``update_batch``.
+    """
+    from pyspark.sql import Window
+    from .builder import _normalize
+
+    if spec.kind != "bottomk":
+        raise ValueError(f"build_bottomk_sql needs kind='bottomk', not {spec.kind}")
+    if spec.priority_column is None and not _key_is_integer(df, spec.column):
+        raise ValueError("default-hash bottomk needs an integer key column; "
+                         "provide priority_column for other types")
+    win = spec.window or GlobalWindow()
+    if isinstance(win, GlobalWindow):
+        slice_us, size_us = None, 0
+    elif isinstance(win, (Tumbling, Sliding)):
+        slice_us, size_us = win.slice_us, win.size_us
+    else:
+        raise ValueError(f"unsupported window {win} for the SQL path")
+
+    proto = spec.make_synopsis()
+    k, seed = proto.sample_size, proto.seed
+    work = _rescale_degenerate(_normalize(df, spec, slice_us))
+    hashed = spec.priority_column is None
+    if hashed:
+        t = "__smx_p"
+        x = F.col("__v")
+        work = work.withColumn(t, _wrap_add_const(x.bitwiseXOR(_slit(seed)),
+                                                  0x9E3779B97F4A7C15))
+        c = F.col(t)
+        work = work.withColumn(t, _wrap_mul_const(
+            c.bitwiseXOR(F.shiftrightunsigned(c, 30)), 0xBF58476D1CE4E5B9))
+        work = work.withColumn(t, _wrap_mul_const(
+            c.bitwiseXOR(F.shiftrightunsigned(c, 27)), 0x94D049BB133111EB))
+        work = work.withColumn("__prio", c.bitwiseXOR(F.shiftrightunsigned(c, 31))).drop(t)
+        # unsigned order on a signed long = order after flipping the sign bit
+        ordc = F.col("__prio").bitwiseXOR(_slit(1 << 63))
+    else:
+        ordc = F.col("__prio")
+
+    def topk_and_counts(frame, keys):
+        w = Window.partitionBy(*keys).orderBy(ordc.asc(), F.col("__v").asc())
+        top = (frame.withColumn("__rn", F.row_number().over(w))
+               .where(F.col("__rn") <= k).drop("__rn"))
+        cnt = frame.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+        return top, cnt
+
+    if isinstance(win, Sliding):
+        slide, size, sl = win.slide_us, win.size_us, win.slice_us
+        first_w = (-F.floor((F.lit(size) - F.lit(sl) - F.col("__slice")) / F.lit(slide))
+                   * F.lit(slide)).cast("long")
+        last_w = (F.floor(F.col("__slice") / F.lit(slide)) * F.lit(slide)).cast("long")
+        wins = F.when(first_w <= last_w,
+                      F.sequence(first_w, last_w, F.lit(slide).cast("long"))
+                      ).otherwise(F.array().cast("array<long>"))
+        # slice-level top-k first (bounds the expansion), then re-rank per window
+        top_s, cnt_s = topk_and_counts(work, ["__slice", "__st"])
+        expanded = top_s.withColumn("__w", F.explode(wins))
+        w2 = Window.partitionBy("__w", "__st").orderBy(ordc.asc(), F.col("__v").asc())
+        top = (expanded.withColumn("__rn", F.row_number().over(w2))
+               .where(F.col("__rn") <= k).drop("__rn"))
+        cnt = (cnt_s.withColumn("__w", F.explode(wins))
+               .groupBy("__w", "__st").agg(F.sum("__n").alias("__n")))
+    else:
+        top, cnt = topk_and_counts(work, ["__slice", "__st"])
+        top = top.withColumnRenamed("__slice", "__w")
+        cnt = cnt.withColumnRenamed("__slice", "__w")
+
+    joined = top.join(F.broadcast(cnt), ["__w", "__st"])
+
+    def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        spec.ensure_registered()
+        syn = spec.make_synopsis()
+        prio = pdf["__prio"].to_numpy()
+        if hashed:
+            prio = prio.astype(np.uint64)  # two's-complement reinterpret
+        syn.update_batch(pdf["__v"].to_numpy(), priorities=prio)
+        syn.n_processed = int(pdf["__n"].iloc[0])
+        w = int(key[0])
+        return pd.DataFrame({
+            "window_start": [pd.Timestamp(w, unit="us")],
+            "window_end": [pd.Timestamp(w + size_us, unit="us") if size_us else
+                           pd.Timestamp(w, unit="us")],
+            "stratum": [key[1]],
+            "state": [syn.to_bytes()],
+            "n": [syn.n_processed],
+        })
+
+    return joined.groupBy("__w", "__st").applyInPandas(assemble, schema=_FINAL_SCHEMA)
+
+
 class StreamingSketchSQLJob:
     """Synopsis maintenance as NATIVE Structured Streaming aggregation state.
 

@@ -192,6 +192,52 @@ def test_sql_build_rejects_session_windows(spark):
         build_sketch_sql(df, spec)
 
 
+# ---------------------------------------------------------------------------
+# bottom-k sampler as a rank-limited window query
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("use_md5,window,stratify", [
+    (True, Tumbling("1 day"), None),
+    (False, Sliding("2 days", "1 day"), "event_type"),
+    (False, GlobalWindow(), None),
+])
+def test_bottomk_sql_byte_parity(spark, use_md5, window, stratify):
+    from condor_spark.engine.sqlbuild import build_bottomk_sql
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    kwargs = dict(kind="bottomk", params=dict(sample_size=20, seed=7),
+                  column="event_id",
+                  ts_column=None if isinstance(window, GlobalWindow) else "ts",
+                  window=window, stratify_by=stratify)
+    if use_md5:
+        df = df.withColumn("__p", F.md5(F.col("event_id").cast("string")))
+        kwargs["priority_column"] = "__p"
+    spec = SynopsisSpec(**kwargs)
+    assert _blob_map(build_batch(df, spec)) == _blob_map(build_bottomk_sql(df, spec))
+
+
+def test_bottomk_sql_plans_rank_pushdown(spark):
+    """The rn<=k filter must plan as WindowGroupLimit: each map task keeps
+    only its local top-k before the shuffle → shuffle is O(partitions×k)."""
+    from condor_spark.engine.sqlbuild import build_bottomk_sql
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    spec = SynopsisSpec(kind="bottomk", params=dict(sample_size=20, seed=7),
+                        column="event_id", ts_column="ts",
+                        window=Tumbling("1 day"))
+    plan = build_bottomk_sql(df, spec)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_bottomk_sql_rejects_string_default_hash(spark):
+    from condor_spark.engine.sqlbuild import build_bottomk_sql
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    spec = SynopsisSpec(kind="bottomk", params=dict(sample_size=20, seed=7),
+                        column="event_type", ts_column="ts",
+                        window=Tumbling("1 day"))
+    with pytest.raises(ValueError, match="integer key column"):
+        build_bottomk_sql(df, spec)
+
+
 def test_equiwidth_expr_matches_np_histogram(spark):
     """Adversarial boundary parity: edge doubles, their float neighbors,
     NaN, out-of-range, irrational bucket widths — bucket assignment must
