@@ -503,6 +503,46 @@ def q_equiwidth_sql_hist(spark, sf_dir):
                     F.col("bucket").cast("long").alias("bucket"), "cnt"))
 
 
+def q_hist4lt_sql_ranges(spark, sf_dir):
+    """4LT-compressed equi-width histogram via the SQL build path (4LT keeps
+    exact fine bins as state and compresses at serialization, so it shares
+    the equiwidth cell model); byte parity → shares hist4lt_ranges' exact
+    oracle."""
+    df = _events(spark, sf_dir)
+    spec = SynopsisSpec(kind="equiwidth4lt",
+                        params=dict(lower=0.0, upper=500.0, num_buckets=16),
+                        column="value", ts_column="ts", window=Tumbling(DAY))
+    syn = build_sketch_sql(df, spec)
+    ranges = [(0.0, 125.0), (100.0, 300.0), (250.0, 500.0)]
+
+    def fn(s, row):
+        return pd.DataFrame({
+            "lo": [a for a, _ in ranges],
+            "hi": [b for _, b in ranges],
+            "est": [s.range_query_compressed(a, b) for a, b in ranges],
+        })
+
+    out = ev.apply_per_window(syn, fn, "window_start timestamp, lo double, "
+                                       "hi double, est double")
+    return out.select(F.col("window_start").cast(NTZ).alias("window_start"),
+                      "lo", "hi", F.round("est", 4).alias("est"))
+
+
+def q_fifo_sql_latest(spark, sf_dir):
+    """FiFo sampler as a rank-limited SQL window query (newest-k by event
+    time, WindowGroupLimit pushdown); byte parity with build_batch on
+    trimmed windows means fifo_latest's exact oracle applies unchanged."""
+    from condor_spark.engine.sqlbuild import build_fifo_sql
+    df = _events(spark, sf_dir)
+    spec = SynopsisSpec(kind="fifo", params=dict(sample_size=20),
+                        column="event_id", ts_column="ts", window=Tumbling(DAY),
+                        tiebreak_column="event_id")
+    syn = build_fifo_sql(df, spec)
+    return (ev.sample_rows(syn, value_type="long")
+            .select(F.col("window_start").cast(NTZ).alias("window_start"),
+                    F.col("value").alias("event_id")))
+
+
 def q_bottomk_sql_sample(spark, sf_dir):
     """Bottom-k sampler as a rank-limited window query
     (sqlbuild.build_bottomk_sql): WindowGroupLimit keeps each task's local
@@ -993,6 +1033,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equiwidth_sql_hist": q_equiwidth_sql_hist,
         "bloom_sql_membership": q_bloom_sql_membership,
         "bottomk_sql_sample": q_bottomk_sql_sample,
+        "fifo_sql_latest": q_fifo_sql_latest,
+        "hist4lt_sql_ranges": q_hist4lt_sql_ranges,
         # approximate / randomized, rows-only
         "hll_distinct": q_hll_distinct,
         "ams_f2": q_ams_f2,
@@ -1548,6 +1590,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["stream_sketch_sql"] = oracles["cm_user_frequency"]
     oracles["equiwidth_sql_hist"] = oracles["equiwidth_hist"]
     oracles["bottomk_sql_sample"] = oracles["bottomk_sample"]
+    oracles["fifo_sql_latest"] = oracles["fifo_latest"]
+    oracles["hist4lt_sql_ranges"] = oracles["hist4lt_ranges"]
     # integer-keyed bloom (SQL path): FP bound ~1e-9 at this sizing → exact
     oracles["bloom_sql_membership"] = """
         WITH w AS (SELECT DISTINCT time_bucket(INTERVAL '1 day', ts) ws FROM events),

@@ -273,14 +273,14 @@ def _cell_exprs(col, spec: SynopsisSpec, width: int, height: int, seed: int,
             for r in range(height)]
 
 
-_SQL_KINDS = ("countmin", "ams", "hll", "equiwidth", "bloom")
+_SQL_KINDS = ("countmin", "ams", "hll", "equiwidth", "equiwidth4lt", "bloom")
 
 
 def _validate_spec(df: DataFrame, spec: SynopsisSpec) -> None:
     if spec.kind not in _SQL_KINDS:
         raise ValueError(f"SQL build supports {'/'.join(_SQL_KINDS)}, "
                          f"not {spec.kind}")
-    if spec.kind == "equiwidth":
+    if spec.kind in ("equiwidth", "equiwidth4lt"):
         if not _key_is_numeric(df, spec.column):
             raise ValueError(f"column {spec.column!r} is not numeric")
     elif not _key_is_integer(df, spec.column):
@@ -302,7 +302,9 @@ def _validate_spec(df: DataFrame, spec: SynopsisSpec) -> None:
 def _cell_space(proto) -> int:
     if proto.KIND == "hll":
         return proto.m * 65
-    if proto.KIND == "equiwidth":
+    if proto.KIND in ("equiwidth", "equiwidth4lt"):
+        # 4LT keeps the exact fine bins as its streaming state and only
+        # compresses at serialization, so it shares the equi-width cell model
         return proto.num_buckets + 1
     if proto.KIND == "bloom":
         return proto.n_bits
@@ -310,7 +312,7 @@ def _cell_space(proto) -> int:
 
 
 def _cells_per_row(proto) -> int:
-    if proto.KIND in ("hll", "equiwidth"):
+    if proto.KIND in ("hll", "equiwidth", "equiwidth4lt"):
         return 1
     if proto.KIND == "bloom":
         return proto.k
@@ -335,7 +337,9 @@ def _attach_cells(work: DataFrame, specs, protos, offsets, keep: list):
                                       proto.seed, f"__idx{i}", f"__rank{i}")
             cells.append(F.lit(off) + F.col(f"__idx{i}") * F.lit(65)
                          + F.col(f"__rank{i}"))
-        elif spec.kind == "equiwidth":
+        elif spec.kind in ("equiwidth", "equiwidth4lt"):
+            # proto geometry (4LT pads num_buckets to a multiple of 8 and
+            # widens upper accordingly) — use the proto's values, not params
             cells.append(equiwidth_cell_expr(F.col(f"__v{i}"), proto.lower,
                                              proto.upper, proto.num_buckets,
                                              off))
@@ -380,7 +384,7 @@ def _assemble_sketches(specs, offsets, bounds, pdf: pd.DataFrame):
             # register-wise max (the groupBy counted (idx, rank) pairs)
             np.maximum.at(syn.registers, local // 65,
                           (local % 65 + 1).astype(np.uint8))
-        elif spec.kind == "equiwidth":
+        elif spec.kind in ("equiwidth", "equiwidth4lt"):
             real = local >= 1  # local 0 = dropped-row sentinel, no count
             np.add.at(syn.frequency, local[real] - 1, m[sel][real])
             syn.n_processed = int(m[sel][real].sum())
@@ -584,6 +588,87 @@ def build_bottomk_sql(df: DataFrame, spec: SynopsisSpec) -> DataFrame:
         if hashed:
             prio = prio.astype(np.uint64)  # two's-complement reinterpret
         syn.update_batch(pdf["__v"].to_numpy(), priorities=prio)
+        syn.n_processed = int(pdf["__n"].iloc[0])
+        w = int(key[0])
+        return pd.DataFrame({
+            "window_start": [pd.Timestamp(w, unit="us")],
+            "window_end": [pd.Timestamp(w + size_us, unit="us") if size_us else
+                           pd.Timestamp(w, unit="us")],
+            "stratum": [key[1]],
+            "state": [syn.to_bytes()],
+            "n": [syn.n_processed],
+        })
+
+    return joined.groupBy("__w", "__st").applyInPandas(assemble, schema=_FINAL_SCHEMA)
+
+
+def build_fifo_sql(df: DataFrame, spec: SynopsisSpec) -> DataFrame:
+    """FiFo sampler ("newest k by event time") as a rank-limited window
+    query: ``row_number() over (order by ts DESC, tiebreak DESC) <= k`` —
+    the same WindowGroupLimit pushdown as ``build_bottomk_sql``.
+
+    Requires ``tiebreak_column`` (the kernel's arrival-order default has no
+    SQL equivalent — arrival order is not a distributed concept). Assembly
+    passes the k survivors to the kernel ascending by (ts, tiebreak), which
+    is exactly the kernel's trimmed state order, so blobs are
+    byte-identical whenever the window actually trims (> k rows); for
+    windows with ≤ k rows the kernel keeps arrival order and only the row
+    MULTISET is guaranteed equal."""
+    from pyspark.sql import Window
+    from .builder import _normalize
+
+    if spec.kind != "fifo":
+        raise ValueError(f"build_fifo_sql needs kind='fifo', not {spec.kind}")
+    if not spec.ts_column or not spec.tiebreak_column:
+        raise ValueError("SQL fifo build needs ts_column and tiebreak_column")
+    win = spec.window or GlobalWindow()
+    if isinstance(win, GlobalWindow):
+        slice_us, size_us = None, 0
+    elif isinstance(win, (Tumbling, Sliding)):
+        slice_us, size_us = win.slice_us, win.size_us
+    else:
+        raise ValueError(f"unsupported window {win} for the SQL path")
+
+    k = spec.make_synopsis().sample_size
+    work = _rescale_degenerate(_normalize(df, spec, slice_us))
+    order = [F.col("__ts").desc(), F.col("__tb").desc()]
+
+    def topk_and_counts(frame, keys):
+        w = Window.partitionBy(*keys).orderBy(*order)
+        top = (frame.withColumn("__rn", F.row_number().over(w))
+               .where(F.col("__rn") <= k).drop("__rn"))
+        cnt = frame.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+        return top, cnt
+
+    if isinstance(win, Sliding):
+        slide, size, sl = win.slide_us, win.size_us, win.slice_us
+        first_w = (-F.floor((F.lit(size) - F.lit(sl) - F.col("__slice")) / F.lit(slide))
+                   * F.lit(slide)).cast("long")
+        last_w = (F.floor(F.col("__slice") / F.lit(slide)) * F.lit(slide)).cast("long")
+        wins = F.when(first_w <= last_w,
+                      F.sequence(first_w, last_w, F.lit(slide).cast("long"))
+                      ).otherwise(F.array().cast("array<long>"))
+        top_s, cnt_s = topk_and_counts(work, ["__slice", "__st"])
+        expanded = top_s.withColumn("__w", F.explode(wins))
+        w2 = Window.partitionBy("__w", "__st").orderBy(*order)
+        top = (expanded.withColumn("__rn", F.row_number().over(w2))
+               .where(F.col("__rn") <= k).drop("__rn"))
+        cnt = (cnt_s.withColumn("__w", F.explode(wins))
+               .groupBy("__w", "__st").agg(F.sum("__n").alias("__n")))
+    else:
+        top, cnt = topk_and_counts(work, ["__slice", "__st"])
+        top = top.withColumnRenamed("__slice", "__w")
+        cnt = cnt.withColumnRenamed("__slice", "__w")
+
+    joined = top.join(F.broadcast(cnt), ["__w", "__st"])
+
+    def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        spec.ensure_registered()
+        syn = spec.make_synopsis()
+        pdf = pdf.sort_values(["__ts", "__tb"], kind="stable")
+        syn.update_batch(pdf["__v"].to_numpy(),
+                         ts=pdf["__ts"].to_numpy(),
+                         tiebreak=pdf["__tb"].to_numpy())
         syn.n_processed = int(pdf["__n"].iloc[0])
         w = int(key[0])
         return pd.DataFrame({

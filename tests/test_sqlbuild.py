@@ -64,6 +64,7 @@ def test_eh3_expr_matches_numpy(spark):
     ("ams", dict(width=1024, height=7, seed=7), "user_id"),
     ("hll", dict(log_reg_num=14, seed=7), "user_id"),
     ("equiwidth", dict(lower=0.0, upper=450.0, num_buckets=19), "value"),
+    ("equiwidth4lt", dict(lower=0.0, upper=450.0, num_buckets=19), "value"),
     ("bloom", dict(n_bits=8192, max_elements=512, seed=7, merge_mode="union"),
      "user_id"),
 ])
@@ -226,6 +227,31 @@ def test_bottomk_sql_plans_rank_pushdown(spark):
     plan = build_bottomk_sql(df, spec)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+@pytest.mark.parametrize("window,stratify", [
+    (Tumbling("1 day"), None),
+    (Sliding("2 days", "1 day"), "event_type"),
+])
+def test_fifo_sql_byte_parity(spark, window, stratify):
+    from condor_spark.engine.sqlbuild import build_fifo_sql
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    spec = SynopsisSpec(kind="fifo", params=dict(sample_size=20),
+                        column="event_id", ts_column="ts", window=window,
+                        tiebreak_column="event_id", stratify_by=stratify)
+    assert _blob_map(build_batch(df, spec)) == _blob_map(build_fifo_sql(df, spec))
+
+
+def test_fifo_sql_requires_tiebreak(spark):
+    """Arrival order is not a distributed concept — the SQL fifo path
+    refuses to run without an explicit tiebreak column."""
+    from condor_spark.engine.sqlbuild import build_fifo_sql
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    spec = SynopsisSpec(kind="fifo", params=dict(sample_size=20),
+                        column="event_id", ts_column="ts",
+                        window=Tumbling("1 day"))
+    with pytest.raises(ValueError, match="tiebreak"):
+        build_fifo_sql(df, spec)
 
 
 def test_bottomk_sql_rejects_string_default_hash(spark):
