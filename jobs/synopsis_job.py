@@ -22,6 +22,8 @@ condor_spark/engine/streaming.py).
 Modes:
   --mode stream    foreachBatch snapshot sink (default; queryable open windows)
   --mode stateful  applyInPandasWithState closed-window append stream
+  --mode sql       pure-JVM streaming aggregation (sqlbuild; sketch cells as
+                   native streaming state — countmin/ams/hll/equiwidth/bloom)
   --mode batch     one-shot batch build of the input table
 """
 
@@ -45,7 +47,7 @@ def parse_args(argv):
     p.add_argument("--slide", default=None)
     p.add_argument("--stratify-by", default=None)
     p.add_argument("--watermark-delay", default="10 seconds")
-    p.add_argument("--mode", choices=("stream", "stateful", "batch"),
+    p.add_argument("--mode", choices=("stream", "stateful", "sql", "batch"),
                    default="stream")
     p.add_argument("--max-files-per-trigger", type=int, default=4)
     p.add_argument("--decode-audio", action="store_true",
@@ -77,6 +79,9 @@ def main(argv=None) -> None:
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "500")
         .config("spark.sql.parquet.columnarReaderBatchSize", "512")
         .config("spark.sql.files.maxPartitionBytes", "32m")
+        # match HotSpot's 8000-byte JIT limit — oversized fused codegen
+        # spans otherwise run interpreted (BASELINE.md, engine/sqlbuild.py)
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .getOrCreate())
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
@@ -98,7 +103,12 @@ def main(argv=None) -> None:
     if args.checkpoint is None:
         raise SystemExit("--checkpoint is required in streaming modes")
 
-    if args.mode == "stateful":
+    if args.mode == "sql":
+        from condor_spark.engine.sqlbuild import StreamingSketchSQLJob
+        job = StreamingSketchSQLJob(spec, watermark_delay=args.watermark_delay)
+        q = job.start(spark, args.input, args.sink, args.checkpoint,
+                      max_files_per_trigger=args.max_files_per_trigger)
+    elif args.mode == "stateful":
         job = StatefulSynopsisStream(spec, watermark_delay=args.watermark_delay)
         q = job.start(spark, args.input, args.sink, args.checkpoint,
                       max_files_per_trigger=args.max_files_per_trigger)

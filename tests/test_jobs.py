@@ -62,3 +62,59 @@ def test_spark_submit_batch_job(tmp_path):
     assert syn.count() == 30  # one window per day of January
     ests = ev.frequency_estimates(syn, [1, 2, 3])
     assert ests.count() == 90
+
+
+@pytest.mark.slow
+def test_spark_submit_sql_stream_job(tmp_path):
+    """The pure-JVM streaming mode ships through the same --py-files
+    artifact: sketch cells as native streaming aggregation state, closed
+    windows assembled to blobs in idempotent batch dirs."""
+    spark_submit = shutil.which("spark-submit")
+    assert spark_submit, "spark-submit not on PATH"
+    out = str(tmp_path / "sql_out")
+    ckpt = str(tmp_path / "sql_ckpt")
+    # FileStreamSource needs a DIRECTORY source; stage the single-file table
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    shutil.copy(f"{SF}/events.parquet", f"{src}/events.parquet")
+    cmd = [
+        spark_submit, "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--py-files", _make_zip(tmp_path),
+        os.path.join(REPO, "jobs", "synopsis_job.py"),
+        "--mode", "sql",
+        "--input", src,
+        "--sink", out,
+        "--checkpoint", ckpt,
+        "--kind", "countmin",
+        "--params", '{"width": 2048, "height": 5, "seed": 7}',
+        "--column", "user_id", "--ts-column", "ts", "--window", "1 day",
+        "--watermark-delay", "1 hour",
+    ]
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    r = subprocess.run(cmd, cwd=str(tmp_path), env=env,
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-4000:]
+
+    # every window the stream closed must match the batch build exactly
+    from pyspark.sql import SparkSession
+    from condor_spark.engine.builder import SynopsisSpec
+    from condor_spark.engine.sqlbuild import build_sketch_sql
+    from condor_spark.engine.windows import Tumbling
+    spark = SparkSession.getActiveSession() or (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false").getOrCreate())
+    got = {r2["window_start"]: (bytes(r2["state"]), r2["n"])
+           for r2 in spark.read.parquet(out).collect()}
+    assert len(got) >= 25  # all but the watermark-open tail of 30 days
+    spec = SynopsisSpec(kind="countmin", params=dict(width=2048, height=5, seed=7),
+                        column="user_id", ts_column="ts", window=Tumbling("1 day"))
+    df = spark.read.parquet(f"{SF}/events.parquet")
+    want = {r2["window_start"]: (bytes(r2["state"]), r2["n"])
+            for r2 in build_sketch_sql(df, spec).collect()}
+    for k, v in got.items():
+        assert want[k] == v, k

@@ -395,6 +395,42 @@ def test_streaming_sql_sliding_stratified(spark):
         watermark_delay="1 hour")
 
 
+def test_streaming_sql_resume_from_checkpoint(spark):
+    """Kill/resume contract: run 1 drains the first half of the stream and
+    stops; run 2 restarts from the SAME checkpoint over the appended second
+    half. Aggregation state for windows spanning the split must survive the
+    restart — the final closed windows are byte-identical to a single batch
+    build over everything."""
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    max_ts = df.agg(F.max("ts")).collect()[0][0]
+    mid = pd.Timestamp(max_ts) - pd.Timedelta(days=14)
+    cutoff = pd.Timestamp(max_ts) + pd.Timedelta(days=2)
+    tmp = tempfile.mkdtemp(prefix="condor_sqlresume_")
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    # mid falls inside a window: its first-half rows sit in checkpointed
+    # aggregation state when run 1 stops
+    fixtures.replay_in_order(spark, df.where(F.col("ts") <= F.lit(mid)),
+                             src, n_chunks=2)
+    specs = [SynopsisSpec(kind="countmin", params=dict(width=4096, height=5, seed=7),
+                          column="user_id", ts_column="ts",
+                          window=Tumbling("1 day"))]
+    job = StreamingSketchSQLJob(specs, watermark_delay="1 hour")
+    q1 = job.start(spark, src, out, ckpt, max_files_per_trigger=1)
+    q1.awaitTermination(300)
+    fixtures.replay_in_order(spark, df.where(F.col("ts") > F.lit(mid)),
+                             src, n_chunks=2,
+                             flush_ts=[cutoff + pd.Timedelta(days=40),
+                                       cutoff + pd.Timedelta(days=80)])
+    q2 = job.start(spark, src, out, ckpt, max_files_per_trigger=1)
+    q2.awaitTermination(300)
+    got = {(r["spec_id"], r["window_start"]): (bytes(r["state"]), r["n"])
+           for r in job.read_output(spark, out)
+           .filter(F.col("window_end") <= F.lit(cutoff)).collect()}
+    want = {(r["spec_id"], r["window_start"]): (bytes(r["state"]), r["n"])
+            for r in build_sketch_sql_many(df, specs).collect()}
+    assert got == want
+
+
 def test_streaming_sql_rejects_global_window(spark):
     spec = SynopsisSpec(kind="countmin", params=dict(width=1024, height=5, seed=7),
                         column="user_id", window=GlobalWindow())
