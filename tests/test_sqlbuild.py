@@ -307,6 +307,31 @@ def test_equiwidth_all_dropped_window_still_emits(spark):
     assert kernel == sql
 
 
+def test_wrap_arithmetic_matches_python_mod_2_64(spark):
+    """Property check of the ANSI-safe lane arithmetic: for random 64-bit
+    constants and inputs, _wrap_mul_const/_wrap_add_const equal Python's
+    (x*c) % 2^64 / (x+c) % 2^64 reinterpreted as signed."""
+    from condor_spark.engine.sqlbuild import _wrap_add_const, _wrap_mul_const
+    rng = np.random.default_rng(99)
+    consts = [int(c) for c in rng.integers(0, 2**64, 25, dtype=np.uint64)]
+    vals = np.concatenate([
+        rng.integers(-2**63, 2**63 - 1, 500, dtype=np.int64),
+        np.array([0, 1, -1, 2**63 - 1, -2**63], dtype=np.int64)])
+    df = spark.createDataFrame(pd.DataFrame({"x": vals}))
+    exprs = []
+    for j, c in enumerate(consts):
+        exprs.append(_wrap_mul_const(F.col("x"), c).alias(f"m{j}"))
+        exprs.append(_wrap_add_const(F.col("x"), c).alias(f"a{j}"))
+    got = df.select("x", *exprs).toPandas()
+    M = 1 << 64
+    for j, c in enumerate(consts):
+        for col, op in ((f"m{j}", lambda u: (u * c) % M),
+                        (f"a{j}", lambda u: (u + c) % M)):
+            want = [op(int(v) % M) for v in vals]
+            want = [w - M if w >= (1 << 63) else w for w in want]
+            assert got[col].tolist() == want, (col, c)
+
+
 def test_splitmix64_expr_matches_numpy(spark):
     rng = np.random.default_rng(7)
     vals = np.concatenate([
