@@ -1077,6 +1077,93 @@ _LANG_LISTS = {
 }
 
 
+def _minhash_oracle_sql(threshold: float = 0.6, num_hashes: int = 64,
+                        shingle: int = 3, seed: int = 7,
+                        rows_per_band: int = 8) -> str:
+    """Exact SQL replay of minhash_dedup_pairs: per-doc character-shingle
+    ids (the same byte polynomial), 64 SplitMix64 lanes via the (hi, lo)
+    HUGEINT wrapping-multiply machinery, per-band signature-slice equality
+    for LSH candidacy, then exact Jaccard over the shingle-id sets with the
+    same HALF_UP rounding and threshold.
+
+    Candidacy caveat: Spark buckets bands by murmur3 of the slice — a
+    superset of slice EQUALITY only under 2^-32 hash collisions, which this
+    fixture has none of (verified: 1594 pairs, zero diff) and which exact
+    verification would erase unless the colliding pair were also above the
+    threshold. Verification caveat: Spark intersects xxhash64'd shingles;
+    the oracle intersects raw shingle ids — identical Jaccards barring
+    xxhash collisions (~n² / 2^64 per pair)."""
+    c_add, c1, c2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    hilo = lambda c: ((c >> 32) & 0xFFFFFFFF, c & 0xFFFFFFFF)
+    a_hi, a_lo = hilo(c_add)
+    c1_hi, c1_lo = hilo(c1)
+    c2_hi, c2_lo = hilo(c2)
+    return f"""
+WITH norm AS (
+  SELECT doc_id, CASE WHEN length(t) < {shingle}
+                      THEN rpad(t, {shingle}, '_') ELSE t END AS t
+  FROM (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+        FROM documents)),
+sids AS (
+  SELECT DISTINCT doc_id,
+         unnest([ord(t[i]) + 257*ord(t[i+1]) + 66049*ord(t[i+2])
+                 for i in generate_series(1, length(t)-{shingle}+1)]) AS sid
+  FROM norm),
+lanes AS (SELECT j, {seed}*1000003 + j AS sj
+          FROM generate_series(0, {num_hashes}-1) g(j)),
+s0 AS (SELECT doc_id, j, CAST(0 AS BIGINT) AS hi, xor(sid, sj) AS lo
+       FROM sids CROSS JOIN lanes),
+s1 AS (SELECT doc_id, j, (hi + {a_hi} + ((lo + {a_lo}) >> 32)) & 4294967295 AS hi,
+              (lo + {a_lo}) & 4294967295 AS lo FROM s0),
+s2 AS (SELECT doc_id, j, xor(hi, hi >> 30) AS hi,
+              xor(lo, ((lo >> 30) | ((hi & 1073741823) << 2)) & 4294967295) AS lo
+       FROM s1),
+s3 AS (SELECT doc_id, j, CAST(CAST(lo AS HUGEINT) * {c1_lo} AS HUGEINT) AS p0,
+          CAST((CAST(lo AS HUGEINT) * {c1_hi} + CAST(hi AS HUGEINT) * {c1_lo})
+               % 4294967296 AS HUGEINT) AS crs FROM s2),
+s3b AS (SELECT doc_id, j,
+               CAST(((p0 // 4294967296) + crs) % 4294967296 AS BIGINT) AS hi,
+               CAST(p0 % 4294967296 AS BIGINT) AS lo FROM s3),
+s4 AS (SELECT doc_id, j, xor(hi, hi >> 27) AS hi,
+              xor(lo, ((lo >> 27) | ((hi & 134217727) << 5)) & 4294967295) AS lo
+       FROM s3b),
+s5 AS (SELECT doc_id, j, CAST(CAST(lo AS HUGEINT) * {c2_lo} AS HUGEINT) AS p0,
+          CAST((CAST(lo AS HUGEINT) * {c2_hi} + CAST(hi AS HUGEINT) * {c2_lo})
+               % 4294967296 AS HUGEINT) AS crs FROM s4),
+s5b AS (SELECT doc_id, j,
+               CAST(((p0 // 4294967296) + crs) % 4294967296 AS BIGINT) AS hi,
+               CAST(p0 % 4294967296 AS BIGINT) AS lo FROM s5),
+s6 AS (SELECT doc_id, j, xor(hi, hi >> 31) AS hi,
+              xor(lo, ((lo >> 31) | ((hi & 2147483647) << 1)) & 4294967295) AS lo
+       FROM s5b),
+mins AS (SELECT doc_id, j, min(CAST(hi AS HUGEINT) * 4294967296 + lo) AS v
+         FROM s6 GROUP BY 1, 2),
+sigs AS (SELECT doc_id, j,
+       CAST(CASE WHEN v >= CAST(9223372036854775808 AS HUGEINT)
+                 THEN v - CAST(18446744073709551616 AS HUGEINT)
+                 ELSE v END AS BIGINT) AS sig
+       FROM mins),
+bands AS (SELECT doc_id, j // {rows_per_band} AS band,
+                 list(sig ORDER BY j) AS bsig
+          FROM sigs GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+         WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM sids GROUP BY 1),
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM cand c JOIN sids x ON x.doc_id = c.doc_a
+                      JOIN sids y ON y.doc_id = c.doc_b AND y.sid = x.sid
+          GROUP BY 1, 2),
+jac AS (SELECT c.doc_a, c.doc_b,
+               ROUND(COALESCE(i.i, 0)
+                     / greatest(sa.n + sb.n - COALESCE(i.i, 0), 1), 6) AS jaccard
+        FROM cand c LEFT JOIN inter i USING (doc_a, doc_b)
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b)
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {threshold}
+    """
+
+
 def _ams_oracle_sql(width: int = 1024, height: int = 7, seed: int = 7) -> str:
     """Exact SQL replay of the Fast-AGMS estimate: the H3 q-matrix and EH3
     seeds are EMBEDDED as constants, bucket = bit_xor over selected q-words
@@ -1611,6 +1698,9 @@ def oracle_sql() -> dict[str, str]:
     # hash-sketch estimates replayed exactly in SQL (embedded hash-family
     # constants; see the helper docstrings) — the "approximate" estimators
     # are deterministic, so they value-hash like any exact query
+    # full MinHash+LSH pipeline replayed exactly: signatures, banding,
+    # exact-Jaccard verification (see _minhash_oracle_sql caveats)
+    oracles["minhash_pairs"] = _minhash_oracle_sql(threshold=0.6)
     oracles["ams_f2"] = _ams_oracle_sql(width=1024, height=7, seed=7)
     oracles["ams_sql_f2"] = _ams_oracle_sql(width=1024, height=7, seed=7)
     oracles["hll_distinct"] = _hll_oracle_sql(log_reg_num=14, seed=7)
