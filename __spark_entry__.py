@@ -674,6 +674,31 @@ def q_equidepth_dd(spark, sf_dir):
                     F.round("lo", 4).alias("lo"), F.round("hi", 4).alias("hi")))
 
 
+def q_splitmerge_dd_hist(spark, sf_dir):
+    """Split-and-merge equi-depth (the real SplitAndMergeWithDDSketch
+    algorithm, paper-correct; see synopsis/histograms.py docstring). The
+    partition partials' final merge recomputes boundaries from the
+    MERGEABLE DDSketch, so windowed builds are deterministic: boundaries =
+    exact min + sketch quantiles at i/B with chain-merge of non-increasing
+    boundaries — replayed exactly in the oracle."""
+    df = _events(spark, sf_dir).filter(F.col("value") > 0)
+    spec = SynopsisSpec(kind="splitmerge_dd",
+                        params=dict(num_buckets=10, relative_accuracy=0.01),
+                        column="value", window=GlobalWindow())
+    syn = build_batch(df, spec)
+
+    def fn(s, row):
+        bounds, freqs = s.bounds()
+        return pd.DataFrame({"bucket": range(len(freqs)),
+                             "lo": bounds[:-1], "freq": freqs})
+
+    out = ev.apply_per_window(
+        syn, fn, "window_start timestamp, bucket long, lo double, freq double")
+    return (out.select(F.col("bucket"), F.round("lo", 4).alias("lo"),
+                       F.round("freq", 4).alias("freq"))
+            .orderBy("bucket"))
+
+
 def q_ann_topk_ivf(spark, sf_dir):
     out = similarity.ann_topk_ivf(_emb(spark, sf_dir), list(range(10)), k=5,
                                   num_centroids=16, nprobe=4)
@@ -1044,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bash_equidepth": q_bash_equidepth,
         "equidepth_exact": q_equidepth_exact,
         "equidepth_dd": q_equidepth_dd,
+        "splitmerge_dd_hist": q_splitmerge_dd_hist,
         "hist4lt_ranges": q_hist4lt_ranges,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -1701,6 +1727,33 @@ def oracle_sql() -> dict[str, str]:
     # full MinHash+LSH pipeline replayed exactly: signatures, banding,
     # exact-Jaccard verification (see _minhash_oracle_sql caveats)
     oracles["minhash_pairs"] = _minhash_oracle_sql(threshold=0.6)
+    # split-and-merge equi-depth: post-merge state = exact min + DD quantile
+    # estimator at i/B, boundaries ≤ the running max chain-merged into their
+    # predecessor with size N/B each (histograms.SplitMergeDDHistogram
+    # _recompute); the estimator CTE matches the equidepth_dd oracle
+    oracles["splitmerge_dd_hist"] = """
+        WITH r AS (SELECT value, row_number() OVER (ORDER BY value) rn,
+                          count(*) OVER () n
+                   FROM events WHERE value > 0),
+             mn AS (SELECT min(value) AS mv, max(n) AS n FROM r),
+             q AS (SELECT i FROM range(1, 10) t(i)),
+             est AS (SELECT q.i,
+                        2 * pow(1.01/0.99, ceil(ln(r.value) / ln(1.01/0.99)))
+                          / (1.01/0.99 + 1) AS v
+                     FROM q JOIN r
+                       ON r.rn = greatest(1, CAST(ceil(q.i / 10.0 * r.n) AS BIGINT))),
+             keyed AS (  -- quantile boundaries at/below the exact min chain-
+                         -- merge into the min bucket; quantiles are monotone,
+                         -- so CASE + GROUP BY reproduces the sequential merge
+               SELECT CASE WHEN e.v <= mn.mv THEN mn.mv ELSE e.v END AS lo
+               FROM est e CROSS JOIN mn
+               UNION ALL SELECT mv FROM mn),
+             merged AS (SELECT lo, count(*) AS mult FROM keyed GROUP BY lo)
+        SELECT row_number() OVER (ORDER BY lo) - 1 AS bucket,
+               ROUND(lo, 4) AS lo,
+               ROUND(mult * (SELECT n FROM mn) / 10.0, 4) AS freq
+        FROM merged
+    """
     oracles["ams_f2"] = _ams_oracle_sql(width=1024, height=7, seed=7)
     oracles["ams_sql_f2"] = _ams_oracle_sql(width=1024, height=7, seed=7)
     oracles["hll_distinct"] = _hll_oracle_sql(log_reg_num=14, seed=7)

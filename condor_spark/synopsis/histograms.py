@@ -322,3 +322,200 @@ class EquiWidth4LTHistogram(EquiWidthHistogram):
             return self.range_query(lo, hi)
         finally:
             self.frequency = saved
+
+
+@register
+class SplitMergeDDHistogram(Synopsis):
+    """Split-and-merge equi-depth histogram with a DDSketch quantile backer.
+
+    Capability parity with ``core/.../Histograms/SplitAndMergeWithDDSketch
+    .java`` (per-element insert into the floor bucket :88-117; recursive
+    median split past the threshold :149-166; adjacent merge under the
+    bucket budget / full recompute from the sketch when the merge would
+    itself exceed the threshold :120-144; recompute keeps the exact
+    leftmost boundary :225-238; continuous-value range query :170-222) —
+    Gibbons/Matias/Poosala, "Fast incremental maintenance of approximate
+    histograms", TODS 2002, with the backing sample swapped for DDSketch.
+
+    The reference marks itself "not yet debugged"; three divergences here
+    follow the PAPER instead, each cited:
+      * merge step: we merge the minimal-sum ADJACENT pair; the reference
+        scans for the minimum but then removes the LAST pair with the min
+        VALUE (:136-138) — a TreeMap-iteration slip.
+      * split threshold: T = round((2+γ)·N/B) per the paper; the reference
+        recomputes T = N·(2+γ) (:141) — without /B no bucket ever splits
+        again after the first recompute.
+      * ``merge(other)``: totals are summed; the reference leaves
+        ``totalFrequencies`` stale across merges (:273-285), so its
+        post-merge recompute divides by the wrong N.
+    Like the reference (class comment :26-28) the maintenance is inherently
+    sequential — build it through the order-based path or per-stratum; the
+    DDSketch itself stays mergeable, so the final merge recomputes
+    boundaries from the combined sketch.
+    """
+
+    KIND = "splitmerge_dd"
+    TRAIT = Trait.MERGEABLE
+
+    def __init__(self, num_buckets: int = 10, relative_accuracy: float = 0.01,
+                 gamma: float = 0.5):
+        if gamma <= -1:
+            raise ValueError("gamma must be > -1")
+        super().__init__(num_buckets=int(num_buckets),
+                         relative_accuracy=float(relative_accuracy),
+                         gamma=float(gamma))
+        from .ddsketch import DDSketch
+        self.num_buckets = int(num_buckets)
+        self.gamma = float(gamma)
+        self.dd = DDSketch(relative_accuracy=relative_accuracy,
+                           max_num_bins=2048)
+        self.keys: list[float] = []    # left boundaries, sorted
+        self.freqs: list[float] = []   # parallel frequencies
+        self.right_most = float("-inf")
+        self.total = 0.0
+        self.threshold = 3  # reference ctor default until first recompute
+        self.n_processed = 0
+
+    def _state(self) -> dict:
+        return {"dd": self.dd.to_bytes(), "keys": self.keys,
+                "freqs": self.freqs, "right_most": self.right_most,
+                "total": self.total, "threshold": self.threshold,
+                "n_processed": self.n_processed}
+
+    def _load_state(self, state: dict) -> None:
+        self.dd = Synopsis.from_bytes(state["dd"])
+        self.keys = list(state["keys"])
+        self.freqs = list(state["freqs"])
+        self.right_most = state["right_most"]
+        self.total = state["total"]
+        self.threshold = state["threshold"]
+        self.n_processed = int(state["n_processed"])
+
+    # ------------------------------------------------------------ update
+    def update_batch(self, values, ts=None) -> None:
+        import bisect
+        x = np.asarray(values, dtype=np.float64)
+        x = x[~np.isnan(x)]
+        for v in x:
+            v = float(v)
+            # the sketch sees the element BEFORE any split consults it
+            self.dd.update_batch(np.array([v]))
+            self.total += 1
+            if not self.keys:
+                self.keys = [v]
+                self.freqs = [1.0]
+                self.right_most = v
+                continue
+            i = bisect.bisect_right(self.keys, v) - 1
+            if i < 0:  # new exact leftmost boundary absorbs the old first bin
+                self.freqs[0] += 1
+                self.keys[0] = v
+                i = 0
+            else:
+                if i == len(self.keys) - 1 and v > self.right_most:
+                    self.right_most = v
+                self.freqs[i] += 1
+            if self.freqs[i] >= self.threshold:
+                self._split(i)
+                self._shrink_to_budget()
+        self.n_processed += int(x.size)
+
+    def _split(self, i: int) -> None:
+        """Recursive median split (SplitAndMergeWithDDSketch.java:149-166),
+        guarded so the new boundary stays strictly inside the bucket (the
+        sketch is global; its conditional median can fall outside)."""
+        key = self.keys[i]
+        right = (self.keys[i + 1] if i + 1 < len(self.keys)
+                 else self.right_most)
+        med = self._bucket_median(i)
+        if not (key < med < right):
+            return
+        half = self.freqs[i] / 2.0
+        self.freqs[i] = half
+        self.keys.insert(i + 1, med)
+        self.freqs.insert(i + 1, half)
+        if half >= self.threshold:
+            self._split(i + 1)  # right half first: left split reindexes it
+            self._split(i)
+
+    def _bucket_median(self, i: int) -> float:
+        freq = sum(self.freqs[:i]) + self.freqs[i] / 2.0
+        return self.dd.quantile(min(max(freq / self.total, 0.0), 1.0))
+
+    def _shrink_to_budget(self) -> None:
+        while len(self.keys) > self.num_buckets:
+            sums = [self.freqs[j] + self.freqs[j + 1]
+                    for j in range(len(self.freqs) - 1)]
+            j = int(np.argmin(sums))
+            if sums[j] < self.threshold:  # paper: merge the min-sum pair
+                self.freqs[j] = sums[j]
+                del self.keys[j + 1]
+                del self.freqs[j + 1]
+            else:  # every merge would breach the bound → recompute
+                self._recompute()
+                self.threshold = max(
+                    3, round((2 + self.gamma) * self.total / self.num_buckets))
+                break
+
+    def _recompute(self) -> None:
+        """Rebuild equi-depth boundaries from the sketch; the exact leftmost
+        boundary is preserved (SplitAndMergeWithDDSketch.java:225-238)."""
+        if not self.keys:
+            return
+        size = self.total / self.num_buckets
+        keys = [self.keys[0]]
+        freqs = [size]
+        for i in range(1, self.num_buckets):
+            b = self.dd.quantile(i / self.num_buckets)
+            if b <= keys[-1]:  # equal boundaries merge
+                freqs[-1] += size
+            else:
+                keys.append(b)
+                freqs.append(size)
+        self.keys, self.freqs = keys, freqs
+
+    # ------------------------------------------------------------- query
+    def range_query(self, lo: float, hi: float) -> float:
+        """Estimated count in [lo, hi) under the continuous-value
+        assumption (SplitAndMergeWithDDSketch.java:170-222)."""
+        import bisect
+        if hi < lo:
+            raise ValueError("upper bound below lower bound")
+        if not self.keys or hi < self.keys[0] or lo > self.right_most:
+            return 0.0
+        hi = min(hi, self.right_most)
+        lo = max(lo, self.keys[0])
+        edges = self.keys + [self.right_most]
+        a = max(bisect.bisect_right(self.keys, lo) - 1, 0)
+        b = max(bisect.bisect_right(self.keys, hi) - 1, 0)
+        if a == b:
+            w = edges[a + 1] - edges[a]
+            return (hi - lo) / w * self.freqs[a] if w > 0 else float(self.freqs[a])
+        wa = edges[a + 1] - edges[a]
+        out = (edges[a + 1] - lo) / wa * self.freqs[a] if wa > 0 else 0.0
+        out += sum(self.freqs[a + 1:b])
+        wb = edges[b + 1] - edges[b]
+        out += (hi - edges[b]) / wb * self.freqs[b] if wb > 0 else 0.0
+        return float(out)
+
+    def bounds(self) -> tuple[np.ndarray, np.ndarray]:
+        """(boundaries incl. right edge, frequencies)."""
+        return (np.array(self.keys + [self.right_most]),
+                np.array(self.freqs))
+
+    # ------------------------------------------------------------- merge
+    def merge(self, other: "SplitMergeDDHistogram") -> "SplitMergeDDHistogram":
+        self._check_same(other)
+        if not other.keys:
+            return self
+        if not self.keys:
+            state = other._state()
+            self._load_state(state)
+            return self
+        self.dd = self.dd.merge(other.dd)
+        self.right_most = max(self.right_most, other.right_most)
+        self.keys[0] = min(self.keys[0], other.keys[0])
+        self.total += other.total  # paper-correct (see class docstring)
+        self.n_processed += other.n_processed
+        self._recompute()
+        return self
