@@ -721,7 +721,11 @@ def q_media_features(spark, sf_dir):
 
 
 def q_minhash_pairs(spark, sf_dir):
-    return text.minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.6)
+    # verify_mode pinned: the exact oracle replays the EXHAUSTIVE verify
+    # path; the shuffle path's 4σ signature pre-filter is a documented
+    # recall trade for scale that the oracle deliberately does not model
+    return text.minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.6,
+                                    verify_mode="broadcast")
 
 
 def q_simhash_pairs(spark, sf_dir):

@@ -250,21 +250,19 @@ def wavelet_range_sums(slices_df: DataFrame, ranges: list[tuple[int, int]]) -> D
     """Range-sum queries over the unified slice manager
     (HaarWaveletsAccuracy.java:69-84; DistributedWaveletsManager.java:42-76).
 
-    The slice list is small (one per partition), so unification happens on
-    the driver — mirroring the reference's parallelism-1 unifier.
+    Unification runs EXECUTOR-side: the unstratified case is the
+    single-stratum case of ``wavelet_range_sums_stratified`` (one constant
+    group), so only sketch blobs move through one ``applyInPandas`` task
+    and nothing is collected to the driver — the reference's parallelism-1
+    ``UnifyToManager`` placed on an executor instead of the coordinator
+    (at 10^5 input partitions the slice blobs are 100s of MB; the driver
+    must not hold them).
     """
-    from ..synopsis.wavelet import SliceWaveletsManager, WaveletSynopsis
+    from pyspark.sql import functions as F
 
-    rows = sorted(slices_df.collect(), key=lambda r: r["slice_idx"])
-    triples = []
-    off = 0
-    for r in rows:  # offsets = running sum of this job's own slice lengths
-        triples.append((off, r["length"], Synopsis.from_bytes(r["state"])))
-        off += r["length"]
-    mgr = SliceWaveletsManager(triples)
-    spark = slices_df.sparkSession
-    data = [(int(lo), int(hi), float(mgr.range_sum_query(lo, hi))) for lo, hi in ranges]
-    return spark.createDataFrame(data, "lo_idx long, hi_idx long, range_sum double")
+    tagged = slices_df.withColumn("stratum", F.lit(""))
+    return (wavelet_range_sums_stratified(tagged, ranges)
+            .select("lo_idx", "hi_idx", "range_sum"))
 
 
 def wavelet_range_sums_stratified(slices_df: DataFrame,

@@ -99,7 +99,7 @@ def ann_topk_lsh(emb_df: DataFrame, query_ids: list[int], k: int = 5,
     out = (sims.withColumn("rank", F.row_number().over(w))
                .filter(F.col("rank") <= k)
                .select("query_id", "rank", "neighbor_id", "cosine"))
-    return pin_result(out, with_bucket)
+    return pin_result(out, with_bucket, key="ann_topk_lsh")
 
 
 def ivf_index(emb_df: DataFrame, num_centroids: int = 16, iters: int = 2,
@@ -220,7 +220,7 @@ def ann_topk_ivf(emb_df: DataFrame, query_ids: list[int], k: int = 5,
     out = (sims.withColumn("rank", F.row_number().over(w))
                .filter(F.col("rank") <= k)
                .select("query_id", "rank", "neighbor_id", "cosine"))
-    return pin_result(out, with_cluster)
+    return pin_result(out, with_cluster, key="ann_topk_ivf")
 
 
 def cosine_near_dup_pairs(emb_df: DataFrame, threshold: float = 0.4,
@@ -319,4 +319,4 @@ def cosine_near_dup_pairs_lsh(emb_df: DataFrame, threshold: float = 0.4,
            .withColumn("cosine", F.round(dot, 6))
            .filter(F.col("cosine") >= threshold)
            .select("id_a", "id_b", "cosine"))
-    return pin_result(out, sig)
+    return pin_result(out, sig, key="dedup_cosine_lsh")

@@ -417,10 +417,21 @@ class StatefulOrderedStream:
     the batch ``build_ordered`` contract, so a full replay answers range
     queries identically to the batch build.
 
-    Order within a micro-batch is (ts, tiebreak); across batches it is the
-    replay order (ordered file replay = event-time order) — the analogue of
-    the reference's priority-queue miniBatch reordering
-    (``NonMergeableSynopsisAggregator.java:114-128``).
+    Ordering — the analogue of the reference's priority-queue miniBatch
+    reordering (``NonMergeableSynopsisAggregator.java:114-128``): when a
+    watermark exists (``flush_cutoff_us`` set), rows BUFFER in state until
+    the watermark passes them — only rows with ts strictly below the
+    current watermark enter the open slice (Spark guarantees no later
+    arrival can precede them), so any cross-batch disorder within the
+    ``watermark_delay`` bound is repaired exactly (rows later than the
+    bound are dropped by Spark's own watermark filter, the standard
+    late-data semantics). Without a cutoff there is no watermark and rows
+    are consumed in (batch, ts, tiebreak) order; cross-batch disorder is
+    then DETECTED against the previous batch's max ts and handled per
+    ``on_disorder``: "error" (default — order-based synopses are silently
+    wrong under disorder, so fail loudly and tell the caller to set a
+    cutoff/watermark) or "count" (accumulate the count in state and
+    proceed, for sources known to be ordered between batches).
 
     ``flush_cutoff_us``: a finite replay declares its logical end of
     stream; rows at/after the cutoff are watermark-pushing sentinels
@@ -435,10 +446,14 @@ class StatefulOrderedStream:
     slice_count: int
     flush_cutoff_us: int | None = None
     watermark_delay: str = "1 hour"
+    on_disorder: str = "error"
 
     def transform(self, stream_df: DataFrame) -> DataFrame:
         spec, count = self.spec, int(self.slice_count)
         cutoff = self.flush_cutoff_us
+        on_disorder = self.on_disorder
+        if on_disorder not in ("error", "count"):
+            raise ValueError(f"on_disorder {on_disorder!r}")
 
         work = _normalize(stream_df, spec, None)
         if "__tb" not in work.columns:
@@ -453,35 +468,23 @@ class StatefulOrderedStream:
 
         def update(key: tuple, pdfs: Iterator[pd.DataFrame],
                    state: GroupState) -> Iterator[pd.DataFrame]:
+            import pickle
+
             spec.ensure_registered()
             stratum = key[0]
             if state.exists:
-                blob, open_n, next_slice = state.get
+                blob, open_n, next_slice, pending, max_ts, n_dis = state.get
                 syn = Synopsis.from_bytes(blob) if blob is not None else None
             else:
                 syn, open_n, next_slice = None, 0, 0
+                pending, max_ts, n_dis = None, -(1 << 62), 0
 
             out = []
-            if state.hasTimedOut:
-                # watermark passed the cutoff: flush the trailing partial
-                if syn is not None and open_n > 0:
-                    if hasattr(syn, "finalize"):
-                        syn.finalize()
-                    out.append((stratum, next_slice, open_n, syn.to_bytes()))
-                state.remove()
-                if out:
-                    yield pd.DataFrame(out, columns=["stratum", "slice_idx",
-                                                     "length", "state"])
-                return
 
-            for pdf in pdfs:
-                if pdf.empty:
-                    continue
-                if cutoff is not None:
-                    pdf = pdf[pdf["__ts"].to_numpy() < cutoff]  # drop sentinels
-                    if pdf.empty:
-                        continue
-                pdf = pdf.sort_values(["__ts", "__tb"], kind="stable")
+            def emit(pdf: pd.DataFrame) -> None:
+                """Feed ORDERED rows into the open slice, sealing every
+                ``count`` elements."""
+                nonlocal syn, open_n, next_slice
                 pos = 0
                 while pos < len(pdf):
                     take = min(count - open_n, len(pdf) - pos)
@@ -498,8 +501,82 @@ class StatefulOrderedStream:
                         next_slice += 1
                         syn, open_n = None, 0
 
+            if state.hasTimedOut:
+                # watermark passed the cutoff: drain the reorder buffer,
+                # then flush the trailing partial
+                if pending is not None:
+                    rest = pd.DataFrame(pickle.loads(pending))
+                    if len(rest):
+                        emit(rest.sort_values(["__ts", "__tb"], kind="stable"))
+                if syn is not None and open_n > 0:
+                    if hasattr(syn, "finalize"):
+                        syn.finalize()
+                    out.append((stratum, next_slice, open_n, syn.to_bytes()))
+                state.remove()
+                if out:
+                    yield pd.DataFrame(out, columns=["stratum", "slice_idx",
+                                                     "length", "state"])
+                return
+
+            frames = []
+            if pending is not None:
+                rest = pd.DataFrame(pickle.loads(pending))
+                if len(rest):
+                    frames.append(rest)
+            batch_min = None
+            for pdf in pdfs:
+                if pdf.empty:
+                    continue
+                if cutoff is not None:
+                    pdf = pdf[pdf["__ts"].to_numpy() < cutoff]  # drop sentinels
+                    if pdf.empty:
+                        continue
+                    pdf = pdf.drop(columns=["__evt"], errors="ignore")
+                ts = pdf["__ts"].to_numpy()
+                lo = int(ts.min())
+                batch_min = lo if batch_min is None else min(batch_min, lo)
+                frames.append(pdf)
+
+            if frames:
+                if cutoff is None and batch_min is not None \
+                        and batch_min < max_ts:
+                    # no watermark → no reorder buffer; disorder would build
+                    # slices out of order (silently wrong for order-based
+                    # synopses)
+                    late = sum(int((f["__ts"].to_numpy() < max_ts).sum())
+                               for f in frames)
+                    if on_disorder == "error":
+                        raise ValueError(
+                            f"StatefulOrderedStream: {late} row(s) in stratum "
+                            f"{stratum!r} arrived older than a previous "
+                            "batch's max ts and there is no watermark to "
+                            "reorder under — set flush_cutoff_us (enables "
+                            "the watermark reorder buffer) or "
+                            "on_disorder='count'")
+                    n_dis += late
+                allr = (pd.concat(frames, ignore_index=True)
+                        if len(frames) > 1 else frames[0])
+                allr = allr.sort_values(["__ts", "__tb"], kind="stable")
+                ts = allr["__ts"].to_numpy()
+                max_ts = max(max_ts, int(ts.max()))
+                if cutoff is not None:
+                    # only rows STRICTLY below the watermark are safe to
+                    # consume: Spark has already dropped any later arrival
+                    # below it, so nothing can ever sort before them
+                    wm_us = state.getCurrentWatermarkMs() * 1000
+                    ready = allr.iloc[: int((ts < wm_us).sum())]
+                    hold = allr.iloc[int((ts < wm_us).sum()):]
+                else:
+                    ready, hold = allr, allr.iloc[0:0]
+                if len(ready):
+                    emit(ready)
+                pending = (pickle.dumps(
+                    {c: hold[c].to_numpy() for c in hold.columns})
+                    if len(hold) else None)
+
             state.update((syn.to_bytes() if syn is not None else None,
-                          int(open_n), int(next_slice)))
+                          int(open_n), int(next_slice), pending,
+                          int(max_ts), int(n_dis)))
             if cutoff is not None:
                 wm_us = state.getCurrentWatermarkMs() * 1000
                 state.setTimeoutTimestamp(max(cutoff, wm_us + 1_000) // 1000)
@@ -511,7 +588,10 @@ class StatefulOrderedStream:
             update, _ORDERED_OUT_SCHEMA,
             StructType([StructField("blob", BinaryType()),
                         StructField("open_n", LongType()),
-                        StructField("next_slice", LongType())]),
+                        StructField("next_slice", LongType()),
+                        StructField("pending", BinaryType()),
+                        StructField("max_ts", LongType()),
+                        StructField("n_disordered", LongType())]),
             "append",
             GroupStateTimeout.EventTimeTimeout if cutoff is not None
             else GroupStateTimeout.NoTimeout)

@@ -328,11 +328,17 @@ class QueryLatestStream:
             return
 
         qled = self._read_qledger()
+        # NEVER adopt this batch's own park: a batch that parked itself,
+        # crashed before its checkpoint committed, and replays after the
+        # synopsis stream commits would otherwise answer its own rows twice
+        # (once from batch_df, once from the park). The own park is instead
+        # marked consumed in the ledger below — its rows ARE batch_df.
+        own = f"p{int(batch_id)}"
         mine = [p for p, b in qled["answered_pending"].items()
-                if b == int(batch_id)]
+                if b == int(batch_id) and p != own]
         if not mine:  # first (non-replay) pass: adopt every unassigned park
             mine = sorted(p for p in os.listdir(pend_dir)
-                          if p not in qled["answered_pending"]) \
+                          if p not in qled["answered_pending"] and p != own) \
                 if os.path.isdir(pend_dir) else []
         work = batch_df.select(F.col(key_col))
         for p in mine:
@@ -356,8 +362,12 @@ class QueryLatestStream:
         (work.mapInPandas(
             answer, schema="key string, est_count long, snapshot_version int")
          .write.mode("overwrite").parquet(target))
-        if mine:  # commit the assignment AFTER the answers are durable
-            for p in mine:
+        consumed = list(mine)
+        if (os.path.isdir(os.path.join(pend_dir, own))
+                and qled["answered_pending"].get(own) != int(batch_id)):
+            consumed.append(own)  # own rows answered from batch_df itself
+        if consumed:  # commit the assignment AFTER the answers are durable
+            for p in consumed:
                 qled["answered_pending"][p] = int(batch_id)
             self._write_qledger(qled)
 

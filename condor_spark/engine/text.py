@@ -188,7 +188,8 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", threshold: float = 0.7,
                         num_hashes: int = 64, shingle: int = 3,
                         seed: int = 7,
-                        broadcast_bytes: int = 64 << 20) -> DataFrame:
+                        broadcast_bytes: int = 64 << 20,
+                        verify_mode: str = "auto") -> DataFrame:
     """LSH candidates verified by exact character-shingle Jaccard.
 
     Banding r=8, b=8 targets the ~0.7 LSH threshold ((1/b)^(1/r)); recall
@@ -210,6 +211,12 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
     pair exactly at the threshold is lost with probability ≤ ~3e-5
     (binomial tail at z = −4), vanishing for pairs above it. The broadcast
     path verifies every LSH candidate and has no such loss.
+
+    ``verify_mode``: "auto" (size-based switch, the default), "broadcast",
+    or "shuffle". Callers that need DETERMINISTIC semantics independent of
+    input size — e.g. the driver-contract query, whose exact SQL oracle
+    models the exhaustive-verify path and not the shuffle path's 4σ
+    pre-filter — pin "broadcast"; "shuffle" forces the scale path in tests.
     """
     # persist the self-joined intermediate: without it Spark recomputes the
     # Python minhash UDF once per join side (4x the text work per query); at
@@ -229,7 +236,10 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
     stats = sh.select(F.count(F.lit(1)).alias("n_docs"),
                       F.sum(F.size("shingles")).alias("tot")).first()
     lut_bytes = int(stats["tot"] or 0) * 8 + int(stats["n_docs"] or 0) * 120
-    if lut_bytes <= broadcast_bytes:
+    if verify_mode not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"verify_mode {verify_mode!r}")
+    if verify_mode == "broadcast" or (verify_mode == "auto"
+                                      and lut_bytes <= broadcast_bytes):
         raw = _verify_pairs_broadcast(cand, sh, id_col)
     else:
         # signature pre-filter: matching-lane fraction is an unbiased
@@ -265,7 +275,7 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
     out = (raw.select("doc_a", "doc_b",
                       F.round(F.col("jaccard"), 6).alias("jaccard"))
               .filter(F.col("jaccard") >= threshold))
-    return pin_result(out, sigs, sh)
+    return pin_result(out, sigs, sh, key="minhash_dedup_pairs")
 
 
 def _verify_pairs_broadcast(cand: DataFrame, sh: DataFrame,
@@ -345,7 +355,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 
     out = (pairs.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
                 .filter(F.col("jaccard") >= threshold))
-    return pin_result(out, sh)
+    return pin_result(out, sh, key="ngram_jaccard_pairs")
 
 
 # --------------------------------------------------------------- SimHash
@@ -402,4 +412,4 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
 
     out = (cand.select("doc_a", "doc_b", ham.alias("hamming"))
                .filter(F.col("hamming") <= max_hamming))
-    return pin_result(out, sig)
+    return pin_result(out, sig, key="simhash_near_pairs")

@@ -352,6 +352,11 @@ class SplitMergeDDHistogram(Synopsis):
     sequential — build it through the order-based path or per-stratum; the
     DDSketch itself stays mergeable, so the final merge recomputes
     boundaries from the combined sketch.
+
+    DOMAIN: strictly positive values only. The DDSketch backer bins only
+    v > 0, so zero/negative inputs would silently corrupt the conditional
+    medians that place split boundaries — ``update_batch`` raises on them
+    (filter upstream, e.g. ``df.filter(col > 0)``).
     """
 
     KIND = "splitmerge_dd"
@@ -396,6 +401,11 @@ class SplitMergeDDHistogram(Synopsis):
         import bisect
         x = np.asarray(values, dtype=np.float64)
         x = x[~np.isnan(x)]
+        if x.size and float(x.min()) <= 0.0:
+            raise ValueError(
+                "SplitMergeDDHistogram requires strictly positive values "
+                "(its DDSketch backer bins only v > 0; zero/negative inputs "
+                "would corrupt split-boundary medians) — filter upstream")
         for v in x:
             v = float(v)
             # the sketch sees the element BEFORE any split consults it

@@ -571,3 +571,19 @@ class TestSplitMergeDD:
         h2 = Synopsis.from_bytes(h.to_bytes())
         assert h2.keys == h.keys and h2.freqs == h.freqs
         assert h2.total == h.total and h2.threshold == h.threshold
+
+
+def test_splitmerge_dd_rejects_nonpositive():
+    """The DDSketch backer bins only v > 0 — zero/negative inputs would
+    silently corrupt split-boundary medians, so update_batch raises."""
+    import pytest
+
+    from condor_spark.synopsis.histograms import SplitMergeDDHistogram
+
+    h = SplitMergeDDHistogram(num_buckets=8, relative_accuracy=0.01)
+    with pytest.raises(ValueError, match="strictly positive"):
+        h.update_batch(np.array([3.0, 0.0, 5.0]))
+    with pytest.raises(ValueError, match="strictly positive"):
+        h.update_batch(np.array([-1.0]))
+    h.update_batch(np.array([1.0, 2.0, float("nan")]))  # NaN still skipped
+    assert h.n_processed == 2

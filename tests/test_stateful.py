@@ -260,3 +260,63 @@ def test_join_batch_parity(spark):
     joined = clip_transcript_join(audio, text, max_lag="5 seconds")
     assert joined.count() == 200
     assert joined.select("clip_id").distinct().count() == 200
+
+
+def test_stateful_ordered_reorder_buffer_repairs_disorder(spark, tmp_path):
+    """Cross-batch bounded disorder is repaired EXACTLY by the watermark
+    reorder buffer (the priority-queue analogue of
+    NonMergeableSynopsisAggregator.java:114-128): the same data replayed
+    in order and with bounded disorder produce byte-identical slices."""
+    from condor_spark.engine.stateful import StatefulOrderedStream
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    cutoff = pd.Timestamp(max_ts) + pd.Timedelta(days=1)
+    flush = [cutoff + pd.Timedelta(days=1), cutoff + pd.Timedelta(days=2)]
+    spec = SynopsisSpec(kind="wavelet", params=dict(size=1 << 14),
+                        column="value", ts_column="ts",
+                        tiebreak_column="event_id", stratify_by="event_type")
+
+    outs = []
+    for tag, writer in (
+            ("ord", lambda s: fixtures.replay_in_order(
+                spark, events, s, 5, flush_ts=flush)),
+            ("dis", lambda s: fixtures.replay_unordered(
+                spark, events, s, 5, max_delay="1 hour", flush_ts=flush))):
+        src = str(tmp_path / f"src_{tag}")
+        writer(src)
+        job = StatefulOrderedStream(spec, slice_count=700,
+                                    flush_cutoff_us=int(cutoff.value // 1000),
+                                    watermark_delay="2 hours")
+        q = job.start(spark, src, str(tmp_path / f"out_{tag}"),
+                      str(tmp_path / f"ckpt_{tag}"), max_files_per_trigger=1)
+        q.awaitTermination(300)
+        rows = sorted((r["stratum"], r["slice_idx"], r["length"],
+                       bytes(r["state"]))
+                      for r in spark.read.parquet(
+                          str(tmp_path / f"out_{tag}")).collect())
+        outs.append(rows)
+    assert outs[0] == outs[1]
+    assert sum(r[2] for r in outs[0]) == events.count()
+
+
+def test_stateful_ordered_unwatermarked_disorder_raises(spark, tmp_path):
+    """Without a watermark there is no reorder buffer; cross-batch disorder
+    must fail loudly (on_disorder='error' default) instead of silently
+    building slices out of order."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from condor_spark.engine.stateful import StatefulOrderedStream
+
+    events = spark.read.parquet(f"{SF}/events.parquet").limit(3000)
+    src = str(tmp_path / "src")
+    fixtures.replay_unordered(spark, events, src, 4, max_delay="6 hours")
+    spec = SynopsisSpec(kind="wavelet", params=dict(size=1 << 14),
+                        column="value", ts_column="ts",
+                        tiebreak_column="event_id")
+    job = StatefulOrderedStream(spec, slice_count=500)  # no cutoff
+    q = job.start(spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+                  max_files_per_trigger=1)
+    with pytest.raises(StreamingQueryException,
+                       match="older than a previous batch"):
+        q.awaitTermination(300)
