@@ -400,6 +400,24 @@ def q_query_latest_hist(spark, sf_dir):
             .select(F.col("bucket").cast("long").alias("bucket"), "cnt"))
 
 
+def q_query_latest_sql(spark, sf_dir):
+    """``queryLatest`` answered entirely JVM-side (the QueryLatest.java:60-65
+    per-core query path): the newest window's CM cell grid rides a one-row
+    broadcast, each query key's buckets come from the constant-folded H3
+    byte-LUT expressions (sqlbuild.h3_bucket_exprs), and the estimate is a
+    codegen gather+least — zero Python per query. CM at width 8192 is exact
+    at this scale, so answers equal the newest window's true counts."""
+    from condor_spark.engine import pointquery
+
+    df = _events(spark, sf_dir)
+    spec = SynopsisSpec(kind="countmin", params=dict(width=8192, height=5, seed=7),
+                        column="user_id", ts_column="ts", window=Tumbling(DAY))
+    syn = build_batch(df, spec)
+    keys = df.select(F.col("user_id").alias("key")).distinct()
+    out = pointquery.query_latest_frequency(syn, keys, key_col="key")
+    return out.select(F.col("key").cast("string").alias("key"), "est_count")
+
+
 # ---- documents / embeddings pipeline ops ----------------------------------
 
 def q_dedup_exact(spark, sf_dir):
@@ -1041,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_timestamped": q_query_timestamped,
         "query_timestamped_stratified": q_query_timestamped_stratified,
         "query_latest_hist": q_query_latest_hist,
+        "query_latest_sql": q_query_latest_sql,
         "cm_frequency_tree": q_cm_frequency_tree,
         "stream_stateful_frequency": q_stream_stateful_frequency,
         "stream_sketch_sql": q_stream_sketch_sql,
@@ -1776,6 +1795,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT b.q_batch, CAST(u.user_id AS VARCHAR) AS key,
                    COALESCE(c.cnt, 0) AS est_count
             FROM b CROSS JOIN u LEFT JOIN c USING (user_id)
+        """
+    oracles["query_latest_sql"] = """
+            WITH last AS (SELECT max(time_bucket(INTERVAL '1 day', ts)) ws
+                          FROM events),
+                 u AS (SELECT DISTINCT user_id FROM events),
+                 c AS (SELECT user_id, count(*) cnt FROM events, last
+                       WHERE time_bucket(INTERVAL '1 day', ts) = last.ws
+                       GROUP BY 1)
+            SELECT CAST(u.user_id AS VARCHAR) AS key,
+                   COALESCE(c.cnt, 0) AS est_count
+            FROM u LEFT JOIN c USING (user_id)
         """
     oracles["cep_sequence"] = """
             SELECT a.user_id AS key, a.ts AS first_ts, b.ts AS second_ts

@@ -149,29 +149,53 @@ def throughput_job(spark, sf_dir: str, target_rows: int = 2_000_000,
                                    > 3 * min(shared_walls + seq_walls + sql_walls))}
 
 
-def query_throughput_job(spark, sf_dir: str, n_queries: int = 2_000_000,
-                         reps: int = 2) -> dict:
+def query_throughput_job(spark, sf_dir: str, n_queries: int = 20_000_000,
+                         reps: int = 2, cpus: int | None = None) -> dict:
     """Point-query evaluation rate against the latest windowed synopsis —
     the reference's query-stream metric (``benchmark/.../scalability/
-    evaluation/QueryLatest.java:60-65`` sustains ~1M q/s from an
-    IPQuerySource). Execution shape = QueryLatestStream's micro-batch body:
-    the newest window's CM blob is broadcast, each partition decodes it
-    once and answers its whole Arrow batch vectorized."""
+    evaluation/QueryLatest.java:60-65`` sustains ~1M q/s/core from an
+    IPQuerySource). Execution shape = QueryLatestStream's "auto" micro-batch
+    body: the newest window's CM cell grid rides a one-row broadcast and
+    every query is answered in whole-stage codegen (pointquery.py) — zero
+    Python per query. The round-2 Python path (blob decode + numpy gather
+    per Arrow batch, ~80k q/s/core) is kept as a secondary honesty metric.
+    The timed action is agg(sum(est)) so column pruning cannot skip the
+    gather (count() would)."""
     from pyspark.sql import functions as F
 
     from condor_spark.engine.builder import SynopsisSpec, build_batch
+    from condor_spark.engine.pointquery import cm_cells, frequency_point_queries
     from condor_spark.engine.windows import Tumbling
     from condor_spark.synopsis.base import Synopsis
 
+    cpus = cpus or CPUS
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     spec = SynopsisSpec(kind="countmin", params=dict(width=65536, height=5, seed=7),
                         column="user_id", ts_column="ts", window=Tumbling("1 day"))
     syn = build_batch(df, spec)
     latest = syn.orderBy(F.col("window_end").desc()).limit(1).collect()
     blob = bytes(latest[0]["state"])
+    s0 = Synopsis.from_bytes(blob)
 
-    queries = (spark.range(0, n_queries, 1, CPUS * 4)
+    queries = (spark.range(0, n_queries, 1, cpus * 4)
                .select((F.col("id") % 2000).alias("key")))
+    out = frequency_point_queries(queries, "key", cm_cells(s0),
+                                  s0.width, s0.height, s0.seed, "est")
+
+    def timed(frame, action):
+        action(frame)  # warm
+        walls = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            action(frame)
+            walls.append(time.perf_counter() - t0)
+        return walls
+
+    walls = timed(out, lambda f: f.agg(F.sum("est")).collect())
+
+    n_py = max(1, n_queries // 10)  # the slow path needs no 20M rows
+    pyq = (spark.range(0, n_py, 1, cpus * 4)
+           .select((F.col("id") % 2000).alias("key")))
 
     def answer(batches):
         import pandas as pd
@@ -182,17 +206,14 @@ def query_throughput_job(spark, sf_dir: str, n_queries: int = 2_000_000,
             est = s.query(pdf["key"])
             yield pd.DataFrame({"est": pd.Series(est).astype("int64")})
 
-    out = queries.mapInPandas(answer, schema="est long")
-    out.count()  # warm
-    walls = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out.count()
-        walls.append(time.perf_counter() - t0)
-    best = min(walls)
-    return {"queries": n_queries, "sec": best,
-            "queries_per_sec": n_queries / best,
-            "rep_secs": [round(w, 2) for w in walls]}
+    pwalls = timed(pyq.mapInPandas(answer, schema="est long"),
+                   lambda f: f.agg(F.sum("est")).collect())
+    return {"queries": n_queries, "sec": min(walls),
+            "queries_per_sec": n_queries / min(walls),
+            "queries_per_sec_python": n_py / min(pwalls),
+            "rep_secs": [round(w, 2) for w in walls],
+            "rep_secs_python": [round(w, 2) for w in pwalls],
+            "storm_detected": bool(max(walls) > 3 * min(walls))}
 
 
 def error_metrics(spark, sf_dir: str) -> dict:
@@ -381,6 +402,20 @@ def main() -> None:
         print(json.dumps(out))
         return
 
+    if len(sys.argv) >= 3 and sys.argv[1] == "--qtput":
+        # fresh pinned-size JVM for the query-eval metric, same reasoning as
+        # --throughput: the host's kernel-time storms worsen with thread
+        # count, so the parent probes two sizes and keeps the best
+        cpus = int(sys.argv[2])
+        spark = make_spark(cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "4096")
+        out = query_throughput_job(spark, SF_DIR, cpus=cpus)
+        spark.stop()
+        print(json.dumps(out))
+        return
+
     import __spark_entry__ as entry
 
     spark = make_spark(CPUS)
@@ -415,9 +450,24 @@ def main() -> None:
         per_query[name] = round(best, 3)
 
     tput = throughput_job(spark, SF_DIR)
-    qtput = query_throughput_job(spark, SF_DIR)
     errors = error_metrics(spark, SF_DIR)
     spark.stop()
+
+    # query-eval rate in fresh pinned-size children, best of two local sizes
+    # (the storm regime punishes high thread counts — same probe the audio
+    # metric uses; VERDICT r2 "What's wrong" #3)
+    qtput, qtput_n = None, None
+    for n in dict.fromkeys((min(8, CPUS), CPUS)):
+        try:
+            p = subprocess.run(
+                [sys.executable, __file__, "--qtput", str(n)],
+                capture_output=True, text=True, cwd=REPO, timeout=600)
+            got = json.loads([l for l in p.stdout.strip().splitlines()
+                              if l.startswith("{")][-1])
+        except (subprocess.TimeoutExpired, IndexError, ValueError):
+            continue
+        if qtput is None or got["queries_per_sec"] > qtput["queries_per_sec"]:
+            qtput, qtput_n = got, n
 
     # absolute audio throughput in FRESH child JVMs: (a) a long-lived session
     # that has run 13 headline queries measures its own accumulated state,
@@ -520,7 +570,12 @@ def main() -> None:
                                 "sequential": tput["rep_secs_sequential"],
                                 "sql": tput["rep_secs_sql"]},
             "events_storm_detected": tput["storm_detected"],
-            "queries_per_sec": round(qtput["queries_per_sec"]),
+            "queries_per_sec": (round(qtput["queries_per_sec"])
+                                if qtput else None),
+            "queries_per_sec_python": (round(qtput["queries_per_sec_python"])
+                                       if qtput else None),
+            "qtput_local_n": qtput_n,
+            "qtput_rep_secs": qtput["rep_secs"] if qtput else None,
             "audio_clips_per_sec": round(audio["clips_per_sec"]) if audio else None,
             "audio_local_n": audio_n,
         },
