@@ -57,10 +57,10 @@ def entry(spark: SparkSession) -> DataFrame:
     1-minute tumbling DDSketch(1%) RMS quantiles. Runs on 2,000
     deterministic synthetic clips (the sf0.001-scale smoke)."""
     from condor_spark import fixtures
-    from condor_spark.engine.audio import decode_features
+    from condor_spark.engine.audio import decode_features_arrow
 
     clips = fixtures.audio_clips(spark, 2000, num_partitions=8)
-    feats = decode_features(clips, passthrough=("ts",))
+    feats = decode_features_arrow(clips, passthrough=("ts",))
     spec = SynopsisSpec(kind="ddsketch", params=dict(relative_accuracy=0.01),
                         column="rms", ts_column="ts",
                         window=Tumbling("1 minute"), stratify_by="codec")
@@ -764,10 +764,10 @@ def q_ann_topk_lsh(spark, sf_dir):
 
 def q_audio_rms_quantiles(spark, sf_dir):
     from condor_spark import fixtures
-    from condor_spark.engine.audio import decode_features
+    from condor_spark.engine.audio import decode_features_arrow
 
     clips = fixtures.audio_clips(spark, 1000, num_partitions=8)
-    feats = decode_features(clips, passthrough=("ts",))
+    feats = decode_features_arrow(clips, passthrough=("ts",))
     spec = SynopsisSpec(kind="ddsketch", params=dict(relative_accuracy=0.01),
                         column="rms", stratify_by="codec", window=GlobalWindow())
     syn = build_batch(feats, spec)

@@ -350,13 +350,13 @@ def audio_throughput(spark, n_clips: int, cpus: int, reps: int = 2) -> dict:
     / page cache; best of ``reps`` timed passes is reported — the host VM's
     CPU availability is bursty (3x run-to-run swings measured), and best-of
     approximates unthrottled capability at each parallelism."""
-    from condor_spark.engine.audio import decode_features
+    from condor_spark.engine.audio import decode_features_arrow
     from condor_spark.engine.builder import SynopsisSpec, build_batch
     from condor_spark.engine.windows import Tumbling
 
     def run(src):
         clips = spark.read.parquet(src)
-        feats = decode_features(clips, passthrough=("ts",))
+        feats = decode_features_arrow(clips, passthrough=("ts",))
         spec = SynopsisSpec(kind="ddsketch", params=dict(relative_accuracy=0.01),
                             column="rms", ts_column="ts",
                             window=Tumbling("1 minute"), stratify_by="codec")

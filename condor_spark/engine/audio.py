@@ -205,3 +205,104 @@ def decode_features(df, n_frames: int = 20, passthrough: tuple[str, ...] = ()):
             yield pd.DataFrame(out)
 
     return df.mapInPandas(fn, schema=FEATURE_COLS + extra_schema)
+
+
+# ------------------------------------------------------- Arrow fast path
+def decode_features_arrow(df, n_frames: int = 20,
+                          passthrough: tuple[str, ...] = ()):
+    """``decode_features`` fed straight from Arrow buffers — no pandas, no
+    per-row ``bytes`` objects.
+
+    ``mapInArrow`` hands us the RecordBatch itself; the binary column's
+    Arrow layout is one contiguous data buffer plus an offsets vector, so
+    each clip's encoded bytes are a zero-copy numpy VIEW into the batch
+    (``data[off[i]:off[i+1]]``) — ``mapInPandas`` would instead materialize
+    one 60 KB Python ``bytes`` object per row plus object-dtype columns.
+    Features still compute per clip with the cache-resident kernels
+    (``clip_features`` — a 25k-sample clip fits in L2, so the per-clip loop
+    beats whole-batch vectorization, which is DRAM-bandwidth-bound across
+    12 M-element arrays: measured 0.11 s vs 0.63 s per 500 clips).
+    ``n_tokens`` uses Arrow's ``count_substring_regex(r"\\S+")``
+    (== ``len(s.split())``). Output is BIT-IDENTICAL to
+    ``decode_features`` (same kernels, same float paths).
+
+    Measured end to end the pipeline is Arrow-IPC bound either way (~0.4
+    GB/s of encoded bytes into the Python worker pool at local[8]; scan
+    alone is ~6x faster) — this path buys the pandas-materialization slice
+    back and drops allocator churn, and is the bench default. The honest
+    scale lever beyond it is architectural: materialize features once
+    (write the feature table; BASELINE.md "audio decomposition") so
+    downstream synopses never re-ship ``bytes``. Decoding inside JVM SQL
+    was measured and rejected: binary cells have no vectorized byte access
+    — hex()+aggregate() lambdas re-evaluate per element (no CSE) and run
+    interpreted, orders of magnitude slower than the IPC they avoid.
+
+    Null clips are not supported (the clips table is NOT NULL by
+    construction)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    in_dtypes = dict(df.dtypes)
+    extra_schema = "".join(f", {c} {in_dtypes[c]}" for c in passthrough)
+
+    _FKEYS = ("rms", "peak", "zcr", "e_q25", "e_q50", "e_q75", "e_q95")
+
+    def featurize(rb: pa.RecordBatch) -> pa.RecordBatch:
+        m = rb.num_rows
+        col = rb.schema.get_field_index
+        barr = rb.column(col("bytes"))
+        # offsets are relative to the array's own slice offset; data
+        # positions are absolute in the shared buffer
+        odt = np.int64 if pa.types.is_large_binary(barr.type) else np.int32
+        off = np.frombuffer(barr.buffers()[1], dtype=odt, count=m + 1,
+                            offset=np.dtype(odt).itemsize * barr.offset)
+        data = np.frombuffer(barr.buffers()[2], dtype=np.uint8)
+        cod = rb.column(col("codec")).to_pylist()
+
+        feats = {k: np.empty(m) for k in _FKEYS}
+        n_samples = np.empty(m, dtype=np.int64)
+        for i in range(m):
+            view = data[off[i]:off[i + 1]]
+            codec = cod[i]
+            if codec == "pcm_s16le":
+                # a preceding odd-length row can leave this view unaligned
+                # for int16; numpy handles unaligned views, but copy when it
+                # refuses (ndarray.view needs the first axis contiguous)
+                try:
+                    wave = view.view("<i2").astype(np.float32) / np.float32(32767.0)
+                except ValueError:
+                    wave = (np.frombuffer(view.tobytes(), dtype="<i2")
+                            .astype(np.float32) / np.float32(32767.0))
+            else:
+                lut = _BYTE_LUT.get(codec)
+                if lut is None:
+                    raise NotImplementedError(f"codec {codec!r} not supported")
+                wave = lut[view]
+            f = clip_features(wave, n_frames)
+            n_samples[i] = f["n_samples"]
+            for k in _FKEYS:
+                feats[k][i] = f[k]
+
+        n_tok = pc.count_substring_regex(rb.column(col("transcript")), r"\S+")
+        cols = {
+            "clip_id": rb.column(col("clip_id")),
+            "codec": rb.column(col("codec")),
+            # cast to the DECLARED schema: mapInArrow does no coercion, and
+            # a source built via createDataFrame infers int64 here
+            "sr_hz": rb.column(col("sr_hz")).cast(pa.int32()),
+            "dur_ms": rb.column(col("dur_ms")).cast(pa.int32()),
+            "n_samples": pa.array(n_samples, type=pa.int64()),
+            **{k: pa.array(feats[k], type=pa.float64()) for k in _FKEYS},
+            "n_tokens": n_tok.cast(pa.int32()),
+        }
+        for c in passthrough:
+            cols[c] = rb.column(col(c))
+        return pa.RecordBatch.from_arrays(list(cols.values()),
+                                          names=list(cols.keys()))
+
+    def fn(batches):
+        for rb in batches:
+            if rb.num_rows:
+                yield featurize(rb)
+
+    return df.mapInArrow(fn, schema=FEATURE_COLS + extra_schema)

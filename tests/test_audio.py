@@ -76,3 +76,36 @@ def test_skew_profile(spark):
     df = fixtures.audio_clips(spark, 1000, num_partitions=4)
     codecs = dict(df.groupBy("codec").count().collect())
     assert codecs["pcm_s16le"] / 1000 > 0.75
+
+
+def test_decode_features_arrow_bit_identical(spark):
+    """The Arrow-buffer fast path (mapInArrow, zero pandas/bytes objects)
+    must produce BIT-IDENTICAL features to the mapInPandas reference path —
+    same kernels fed from zero-copy views of the RecordBatch."""
+    import numpy as np
+
+    from condor_spark import fixtures
+    from condor_spark.engine.audio import decode_features, decode_features_arrow
+
+    clips = fixtures.audio_clips(spark, 600, num_partitions=4).cache()
+    a = (decode_features(clips, passthrough=("ts",)).toPandas()
+         .sort_values("clip_id").reset_index(drop=True))
+    b = (decode_features_arrow(clips, passthrough=("ts",)).toPandas()
+         .sort_values("clip_id").reset_index(drop=True))
+    clips.unpersist()
+    assert list(a.columns) == list(b.columns)
+    for c in a.columns:
+        if a[c].dtype.kind == "f":
+            assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
+        else:
+            assert (a[c] == b[c]).all(), c
+    # messy transcripts: n_tokens must still equal len(s.split())
+    import pandas as pd
+    pdf = fixtures.clips_pandas(8)
+    pdf["transcript"] = ["", " a  b ", "x", "a\tb\nc", "  ", "q w e r t",
+                         "one", "a b"]
+    messy = spark.createDataFrame(pdf)
+    got = (decode_features_arrow(messy).toPandas()
+           .sort_values("clip_id").reset_index(drop=True))
+    want = [len(s.split()) for s in pdf.sort_values("clip_id")["transcript"]]
+    assert list(got["n_tokens"]) == want
