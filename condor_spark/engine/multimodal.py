@@ -19,9 +19,13 @@ torchvision) would plug in — none exist in this environment, so:
   * ``rgb8_raw`` / ``yuv420_raw`` ("raw" packed arrays) are implemented for
     real in numpy and exercised by tests — they make the whole pipeline
     executable end-to-end with deterministic synthetic media;
-  * compressed codecs (jpeg, png, h264, …) raise ``NotImplementedError``
-    with a clear message — STUB: swap ``_decode_frames`` for a real decoder
-    to productionize; nothing else changes.
+  * ``png`` is implemented for real too — pure stdlib ``zlib`` + numpy
+    unfiltering (``decode_png``; 8-bit gray/RGB/RGBA, all five scanline
+    filters), with ``encode_png`` as the test/synthesis encoder;
+  * remaining compressed codecs (jpeg, h264, …) raise
+    ``NotImplementedError`` with a clear message — STUB: swap
+    ``_decode_frames`` for a real decoder to productionize; they genuinely
+    need external libraries (DCT/entropy coding) absent here.
 
 Scale posture: one row = one media object; frames never materialize as rows
 (a 30 s 30 fps clip stays ONE binary cell, features are computed inside the
@@ -69,10 +73,158 @@ def _decode_frames(blob: bytes, codec: str, width: int, height: int,
         g = y - 0.344136 * u - 0.714136 * v
         b = y + 1.772 * u
         return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+    if codec == "png":
+        if n_frames != 1:
+            raise ValueError("png carries a single frame per object")
+        img = decode_png(blob)
+        if img.shape[:2] != (height, width):
+            raise ValueError(f"png dims {img.shape[1]}x{img.shape[0]} != "
+                             f"metadata {width}x{height}")
+        return img[None]
     raise NotImplementedError(
         f"codec {codec!r}: compressed media decode requires an external "
         f"library not present in this environment; implement _decode_frames "
-        f"for it (raw codecs {RAW_CODECS} are built in)")
+        f"for it (raw codecs {RAW_CODECS} and png are built in)")
+
+
+# ------------------------------------------------------------ PNG (stdlib)
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """PNG → (height, width, 3) uint8 RGB, pure stdlib zlib + numpy.
+
+    Supports the cases a synthetic/training-data pipeline emits: bit depth
+    8, color types 0 (gray, replicated to RGB), 2 (RGB) and 6 (RGBA, alpha
+    dropped), no interlacing; all five scanline filters (None/Sub/Up/
+    Average/Paeth — RFC 2083 §6). Sub/Up unfilter vectorize per row; the
+    Average/Paeth predictors are sequential in the left neighbor by
+    definition, so those rows run a per-pixel loop — acceptable because
+    real encoders rarely exceed a few megapixels per object and each object
+    decodes inside one UDF call. Palette / 16-bit / interlaced images raise
+    NotImplementedError (out of pipeline scope, not silently wrong)."""
+    import struct
+    import zlib
+
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, idat, meta = 8, [], None
+    while pos + 8 <= len(blob):
+        (ln,) = struct.unpack(">I", blob[pos:pos + 4])
+        typ = blob[pos + 4:pos + 8]
+        data = blob[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # len + type + data + crc
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, inter = struct.unpack(
+                ">IIBBBBB", data)
+            if depth != 8 or ctype not in (0, 2, 6) or inter != 0:
+                raise NotImplementedError(
+                    f"png depth={depth} color_type={ctype} interlace={inter} "
+                    "not supported (8-bit gray/RGB/RGBA, non-interlaced only)")
+            meta = (w, h, ctype)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if meta is None:
+        raise ValueError("png without IHDR")
+    w, h, ctype = meta
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if raw.size != h * (stride + 1):
+        raise ValueError("png scanline payload size mismatch")
+    rows = raw.reshape(h, stride + 1)
+    ftypes = rows[:, 0]
+    recon = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = int(ftypes[y])
+        rec = rows[y, 1:].astype(np.int32)
+        if f == 0:
+            pass
+        elif f == 1:  # Sub: recon[x] = raw[x] + recon[x-ch] → per-channel
+            rec = np.cumsum(rec.reshape(w, ch), axis=0).ravel() & 255
+        elif f == 2:  # Up
+            rec = (rec + prev) & 255
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = rec[x - ch] if x >= ch else 0
+                rec[x] = (rec[x] + ((left + prev[x]) >> 1)) & 255
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pred) & 255
+        else:
+            raise ValueError(f"png filter type {f}")
+        recon[y] = rec
+        prev = rec
+    img = recon.astype(np.uint8).reshape(h, w, ch)
+    if ch == 1:
+        img = np.repeat(img, 3, axis=2)
+    elif ch == 4:
+        img = img[:, :, :3]
+    return img
+
+
+def encode_png(img: np.ndarray, filter_cycle: tuple[int, ...] = (0,),
+               color_type: int = 2, level: int = 6) -> bytes:
+    """(h, w, channels) uint8 → PNG bytes (stdlib zlib). The test/synthesis
+    encoder for ``decode_png``: ``filter_cycle`` picks the scanline filter
+    per row (cycled), so round-trip tests exercise every unfilter path."""
+    import struct
+    import zlib
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    want_ch = {0: 1, 2: 3, 6: 4}[color_type]
+    if ch != want_ch:
+        raise ValueError(f"color_type {color_type} wants {want_ch} channels")
+    flat = img.reshape(h, w * ch).astype(np.int32)
+    lines = []
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        f = int(filter_cycle[y % len(filter_cycle)])
+        cur = flat[y]
+        left = np.zeros_like(cur)
+        left[ch:] = cur[:-ch]
+        prev_left = np.zeros_like(prev)
+        prev_left[ch:] = prev[:-ch]
+        if f == 0:
+            out = cur
+        elif f == 1:
+            out = cur - left
+        elif f == 2:
+            out = cur - prev
+        elif f == 3:
+            out = cur - ((left + prev) >> 1)
+        elif f == 4:
+            p = left + prev - prev_left
+            pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                          np.abs(p - prev_left))
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, prev_left))
+            out = cur - pred
+        else:
+            raise ValueError(f"png filter type {f}")
+        lines.append(bytes([f]) + (out & 255).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(typ + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), level)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
 
 
 def encode_rgb8(frames: np.ndarray) -> bytes:
