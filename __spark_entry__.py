@@ -418,6 +418,33 @@ def q_query_latest_sql(spark, sf_dir):
     return out.select(F.col("key").cast("string").alias("key"), "est_count")
 
 
+def q_bucketed_join(spark, sf_dir):
+    """Co-located bucketed equi-join — the 100 TB shuffle-elimination
+    primitive (Catalog.write_bucketed/read_bucketed): both sides are
+    bucketed by user_id, so the join + keyed aggregation plan with ZERO
+    Exchange (asserted in tests/test_catalog.py; plan in PLANS.md §10).
+    Per-user rollup joined to a derived user dim; exact-count oracle."""
+    import tempfile
+
+    from condor_spark.engine.catalog import Catalog
+
+    df = _events(spark, sf_dir)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="condor_bj_"),
+                  namespace="condorq", force_parquet=True)
+    dim = (df.select("user_id").distinct()
+             .withColumn("segment", F.pmod(F.col("user_id"), F.lit(5))))
+    cat.write_bucketed(df, "events_b", ["user_id"], 8, sort_cols=["user_id"])
+    cat.write_bucketed(dim, "users_b", ["user_id"], 8, sort_cols=["user_id"])
+    out = (cat.read_bucketed("events_b")
+           .join(cat.read_bucketed("users_b"), "user_id")
+           .groupBy("user_id", "segment")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 6).alias("sum_value")))
+    return out.select(F.col("user_id").cast("long").alias("user_id"),
+                      F.col("segment").cast("long").alias("segment"),
+                      "n_events", "sum_value")
+
+
 # ---- documents / embeddings pipeline ops ----------------------------------
 
 def q_dedup_exact(spark, sf_dir):
@@ -1060,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_timestamped_stratified": q_query_timestamped_stratified,
         "query_latest_hist": q_query_latest_hist,
         "query_latest_sql": q_query_latest_sql,
+        "bucketed_join": q_bucketed_join,
         "cm_frequency_tree": q_cm_frequency_tree,
         "stream_stateful_frequency": q_stream_stateful_frequency,
         "stream_sketch_sql": q_stream_sketch_sql,
@@ -1795,6 +1823,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT b.q_batch, CAST(u.user_id AS VARCHAR) AS key,
                    COALESCE(c.cnt, 0) AS est_count
             FROM b CROSS JOIN u LEFT JOIN c USING (user_id)
+        """
+    oracles["bucketed_join"] = """
+            SELECT user_id, user_id % 5 AS segment, count(*) AS n_events,
+                   ROUND(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
         """
     oracles["query_latest_sql"] = """
             WITH last AS (SELECT max(time_bucket(INTERVAL '1 day', ts)) ws
