@@ -1063,66 +1063,92 @@ def q_stream_join(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver contract registry.
+
+    ORDER MATTERS: the driver verifies the FIRST 50 entries per round, so
+    the window is spent entirely on exact-oracle queries covering every
+    SURVEY §2 component (r2 ran slots 1-50 and left 9 exact-oracle queries
+    unverified). Entries 51-58 are ALSO exact-oracle but are twins of an
+    in-window sibling — same oracle AND same engine path (SQL-build /
+    stream-sink variants whose pipeline is already evidenced in-window by
+    cm_sql_frequency, stream_sketch_sql, hist4lt_sql_ranges et al.); they
+    stay verified by tests/test_entry.py every run and were driver-green in
+    round 2. The trailing block is the genuinely rows-only set (randomized
+    samplers, LSH/IVF approximations, media/audio feature pipelines)."""
     return {
-        # synopsis engine, oracle-backed
+        # ---- slots 1-50: exact-oracle, full component cover -------------
+        # synopsis kernels through the distributed build
         "cm_user_frequency": q_cm_user_frequency,
         "bloom_membership": q_bloom_membership,
+        "cuckoo_membership": q_cuckoo_membership,
         "equiwidth_hist": q_equiwidth_hist,
         "ddsketch_quantiles": q_ddsketch_quantiles,
         "fifo_latest": q_fifo_latest,
         "bottomk_sample": q_bottomk_sample,
-        "session_windows": q_session_windows,
+        "hll_distinct": q_hll_distinct,
+        "ams_f2": q_ams_f2,
+        "equidepth_exact": q_equidepth_exact,
+        "stratified_hist": q_stratified_hist,
+        # window kinds
+        "tumbling_counts": q_tumbling_counts,
         "sliding_counts": q_sliding_counts,
-        "concurrent_windows": q_concurrent_windows,
+        "session_windows": q_session_windows,
         "count_windows": q_count_windows,
+        "concurrent_windows": q_concurrent_windows,
+        # order-based (non-mergeable) + invertible eviction
         "wavelet_range_sums": q_wavelet_range_sums,
         "wavelet_stratified": q_wavelet_stratified,
         "stream_wavelet": q_stream_wavelet,
         "sliding_inversion": q_sliding_inversion,
         "sliding_inversion_stratified": q_sliding_inversion_stratified,
+        # query surface
+        "query_latest_hist": q_query_latest_hist,
         "query_latest_stratified": q_query_latest_stratified,
-        "stratified_hist": q_stratified_hist,
-        "tumbling_counts": q_tumbling_counts,
         "query_timestamped": q_query_timestamped,
         "query_timestamped_stratified": q_query_timestamped_stratified,
-        "query_latest_hist": q_query_latest_hist,
         "query_latest_sql": q_query_latest_sql,
-        "bucketed_join": q_bucketed_join,
-        "cm_frequency_tree": q_cm_frequency_tree,
-        "stream_stateful_frequency": q_stream_stateful_frequency,
+        # histogram extras
+        "equidepth_dd": q_equidepth_dd,
+        "splitmerge_dd_hist": q_splitmerge_dd_hist,
+        "hist4lt_ranges": q_hist4lt_ranges,
+        "hist4lt_sql_ranges": q_hist4lt_sql_ranges,
+        # pure-JVM SQL build path (batch + native streaming aggregation)
+        "cm_sql_frequency": q_cm_sql_frequency,
         "stream_sketch_sql": q_stream_sketch_sql,
-        "stream_sessions": q_stream_sessions,
+        # streaming engine
+        "stream_stateful_frequency": q_stream_stateful_frequency,
         "stream_sliding": q_stream_sliding,
         "stream_count_windows": q_stream_count_windows,
-        # pipeline ops, oracle-backed
+        "stream_query_latest": q_stream_query_latest,
+        # CEP sequence detection
+        "cep_sequence": q_cep_sequence,
+        "cep_sequence_first": q_cep_sequence_first,
+        "cep_chain3": q_cep_chain3,
+        "stream_cep_sequence": q_stream_cep_sequence,
+        # training-data pipeline ops
         "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "ngram_jaccard": q_ngram_jaccard,
+        "minhash_pairs": q_minhash_pairs,
         "ann_topk": q_ann_topk,
         "dedup_cosine": q_dedup_cosine,
-        "cm_sql_frequency": q_cm_sql_frequency,
-        "ams_sql_f2": q_ams_sql_f2,
-        "hll_sql_distinct": q_hll_sql_distinct,
-        "equiwidth_sql_hist": q_equiwidth_sql_hist,
-        "bloom_sql_membership": q_bloom_sql_membership,
+        "bucketed_join": q_bucketed_join,
+        # ---- slots 51-58: exact-oracle twins of in-window siblings ------
+        "cm_frequency_tree": q_cm_frequency_tree,
+        "stream_sessions": q_stream_sessions,
         "bottomk_sql_sample": q_bottomk_sql_sample,
         "fifo_sql_latest": q_fifo_sql_latest,
-        "hist4lt_sql_ranges": q_hist4lt_sql_ranges,
-        # approximate / randomized, rows-only
-        "hll_distinct": q_hll_distinct,
-        "ams_f2": q_ams_f2,
-        "cuckoo_membership": q_cuckoo_membership,
+        "bloom_sql_membership": q_bloom_sql_membership,
+        "equiwidth_sql_hist": q_equiwidth_sql_hist,
+        "ams_sql_f2": q_ams_sql_f2,
+        "hll_sql_distinct": q_hll_sql_distinct,
+        # ---- rows-only (genuinely randomized / approximate / media) -----
         "reservoir_sample": q_reservoir_sample,
         "biased_reservoir": q_biased_reservoir,
         "bash_equidepth": q_bash_equidepth,
-        "equidepth_exact": q_equidepth_exact,
-        "equidepth_dd": q_equidepth_dd,
-        "splitmerge_dd_hist": q_splitmerge_dd_hist,
-        "hist4lt_ranges": q_hist4lt_ranges,
-        "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -1130,12 +1156,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "audio_rms_quantiles": q_audio_rms_quantiles,
         "stream_join": q_stream_join,
-        "stream_query_latest": q_stream_query_latest,
-        # CEP sequence detection (exact operator, oracle-backed)
-        "cep_sequence": q_cep_sequence,
-        "cep_sequence_first": q_cep_sequence_first,
-        "stream_cep_sequence": q_stream_cep_sequence,
-        "cep_chain3": q_cep_chain3,
     }
 
 

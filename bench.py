@@ -329,22 +329,25 @@ def error_metrics(spark, sf_dir: str) -> dict:
     return out
 
 
-def _clips_table(spark, n_clips: int) -> str:
+def _clips_table(spark, n_clips: int, dur_cap: int | None = None) -> str:
     """Materialize the deterministic clips table once (untimed source,
     cached across bench children) — the engine's input is a table scan, so
     the timed job is read→decode→features→build, as the reference times its
     pipeline downstream of the source (ParallelThroughputLogger on the
     input stream, CountMinSlicing.java:51)."""
-    path = f"/tmp/condor_spark_bench_clips_{n_clips}"
+    path = f"/tmp/condor_spark_bench_clips_{n_clips}" + (
+        f"_c{dur_cap}" if dur_cap else "")
     done = os.path.join(path, "_SUCCESS")
     if not os.path.exists(done):
         from condor_spark import fixtures
-        (fixtures.audio_clips(spark, n_clips, num_partitions=64)
+        (fixtures.audio_clips(spark, n_clips, num_partitions=64,
+                              dur_cap_ms=dur_cap)
          .write.mode("overwrite").parquet(path))
     return path
 
 
-def audio_throughput(spark, n_clips: int, cpus: int, reps: int = 2) -> dict:
+def audio_throughput(spark, n_clips: int, cpus: int, reps: int = 2,
+                     dur_cap: int | None = None) -> dict:
     """clips/sec through read→decode→features→windowed stratified sketch
     (the BASELINE.json metric). A small untimed pass warms workers / codegen
     / page cache; best of ``reps`` timed passes is reported — the host VM's
@@ -362,8 +365,8 @@ def audio_throughput(spark, n_clips: int, cpus: int, reps: int = 2) -> dict:
                             window=Tumbling("1 minute"), stratify_by="codec")
         build_batch(feats, spec).count()
 
-    src = _clips_table(spark, n_clips)
-    run(_clips_table(spark, min(20_000, n_clips)))  # warmup, untimed
+    src = _clips_table(spark, n_clips, dur_cap)
+    run(_clips_table(spark, min(20_000, n_clips), dur_cap))  # warmup, untimed
     walls = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -389,6 +392,7 @@ def main() -> None:
         cpus = int(sys.argv[2])
         reps = int(sys.argv[3]) if len(sys.argv) >= 4 else 2
         clips = int(sys.argv[4]) if len(sys.argv) >= 5 else 60_000
+        dur_cap = int(sys.argv[5]) if len(sys.argv) >= 6 else None
         spark = make_spark(cpus)
         spark.sparkContext.setLogLevel("ERROR")
         # large enough that parallel work dominates the ~5s of fixed
@@ -397,7 +401,8 @@ def main() -> None:
         # best-of-reps within the JVM: this host shows 15x swings between
         # IDENTICAL back-to-back reps (a kernel-time storm outside our
         # control — see BASELINE.md), so min-wall is the capability number
-        out = audio_throughput(spark, clips, cpus, reps=reps)
+        out = audio_throughput(spark, clips, cpus, reps=reps,
+                               dur_cap=dur_cap)
         spark.stop()
         print(json.dumps(out))
         return
@@ -521,8 +526,16 @@ def main() -> None:
                 continue
             critical = n in (base_n, 4 * base_n)
             for _attempt in range(2):
+                # LIGHT clips (dur capped at 500 ms, ~4.6x fewer bytes/clip,
+                # same ratio across all sweep sizes): the full-size table
+                # saturates this VM's ~memory-bandwidth plateau near 7k
+                # clips/s (a no-Spark control hits the same ceiling,
+                # BASELINE.md), so larger-N efficiencies measured on it
+                # report the HOST, not the engine. Lighter rows move the
+                # plateau ~5x up; the absolute clips/s headline stays on
+                # the full table (audio_clips_per_sec above).
                 cmd = [sys.executable, __file__, "--throughput", str(n),
-                       "2", "36000"]
+                       "2", "120000", "500"]
                 if taskset:
                     cmd = [taskset, "-c", f"0-{n - 1}"] + cmd
                 try:

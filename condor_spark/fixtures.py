@@ -27,13 +27,19 @@ CLIP_SCHEMA = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
 _SR_CYCLE = (8000, 16000, 22050, 44100)
 
 
-def clip_row(i: int) -> dict:
-    """Deterministic row i of the audio_clips table (FIXTURES.md F1)."""
+def clip_row(i: int, dur_cap_ms: int | None = None) -> dict:
+    """Deterministic row i of the audio_clips table (FIXTURES.md F1).
+
+    ``dur_cap_ms`` bounds the duration cycle (still deterministic in i) —
+    the bench scaling sweep uses light clips so the aggregate byte rate
+    stays under this host's memory-bandwidth plateau and the N→4N ratio
+    measures the engine, not the VM (BASELINE.md scaling methodology)."""
     rng = np.random.default_rng(42 + i)
     sr = _SR_CYCLE[i % 4]
     if i % 10 < 7:           # 70% hot key for skew tests
         sr = 16000
-    dur_ms = 200 + (i * 37) % 2800
+    span = (dur_cap_ms - 200) if dur_cap_ms else 2800
+    dur_ms = 200 + (i * 37) % max(1, span)
     codec = CODECS[i % 3]
     if i % 10 < 8:           # 80% hot key
         codec = "pcm_s16le"
@@ -53,14 +59,16 @@ def clips_pandas(n: int, start: int = 0) -> pd.DataFrame:
     return pd.DataFrame([clip_row(i) for i in range(start, start + n)])
 
 
-def audio_clips(spark, n: int, num_partitions: int | None = None):
+def audio_clips(spark, n: int, num_partitions: int | None = None,
+                dur_cap_ms: int | None = None):
     """Distributed deterministic audio_clips DataFrame of n rows."""
     base = spark.range(0, n, 1, num_partitions or spark.sparkContext.defaultParallelism)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield pd.DataFrame([clip_row(int(i)) for i in pdf["id"]])
+                yield pd.DataFrame([clip_row(int(i), dur_cap_ms)
+                                    for i in pdf["id"]])
 
     return base.mapInPandas(gen, schema=CLIP_SCHEMA)
 
