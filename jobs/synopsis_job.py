@@ -25,6 +25,10 @@ Modes:
   --mode sql       pure-JVM streaming aggregation (sqlbuild; sketch cells as
                    native streaming state — countmin/ams/hll/equiwidth/bloom)
   --mode batch     one-shot batch build of the input table
+  --mode querylatest  maintain the snapshot from --input AND answer a point-
+                   query stream from --queries against the newest committed
+                   window (codegen answer plan, engine/pointquery.py);
+                   answers land under --sink/answers, batch-idempotent
 """
 
 from __future__ import annotations
@@ -47,8 +51,13 @@ def parse_args(argv):
     p.add_argument("--slide", default=None)
     p.add_argument("--stratify-by", default=None)
     p.add_argument("--watermark-delay", default="10 seconds")
-    p.add_argument("--mode", choices=("stream", "stateful", "sql", "batch"),
+    p.add_argument("--mode", choices=("stream", "stateful", "sql", "batch",
+                                      "querylatest"),
                    default="stream")
+    p.add_argument("--queries", default=None,
+                   help="query-stream table dir (querylatest mode); one "
+                        "integer column named by --query-key")
+    p.add_argument("--query-key", default="key")
     p.add_argument("--max-files-per-trigger", type=int, default=4)
     p.add_argument("--decode-audio", action="store_true",
                    help="input is the audio-clip table: decode + extract "
@@ -112,6 +121,19 @@ def main(argv=None) -> None:
         job = StatefulSynopsisStream(spec, watermark_delay=args.watermark_delay)
         q = job.start(spark, args.input, args.sink, args.checkpoint,
                       max_files_per_trigger=args.max_files_per_trigger)
+    elif args.mode == "querylatest":
+        if not args.queries:
+            raise SystemExit("--queries is required in querylatest mode")
+        from condor_spark.engine.streaming import QueryLatestStream
+        job = StreamingSynopsisJob(spec, sink_dir=f"{args.sink}/snapshot",
+                                   watermark_delay=args.watermark_delay)
+        job.start(spark, args.input, f"{args.checkpoint}/build",
+                  max_files_per_trigger=args.max_files_per_trigger
+                  ).awaitTermination()
+        ql = QueryLatestStream(job, out_dir=f"{args.sink}/answers",
+                               key_column=args.query_key)
+        q = ql.start(spark, args.queries, f"{args.checkpoint}/queries",
+                     max_files_per_trigger=args.max_files_per_trigger)
     else:
         job = StreamingSynopsisJob(spec, sink_dir=args.sink,
                                    watermark_delay=args.watermark_delay)

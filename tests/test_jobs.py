@@ -118,3 +118,64 @@ def test_spark_submit_sql_stream_job(tmp_path):
             for r2 in build_sketch_sql(df, spec).collect()}
     for k, v in got.items():
         assert want[k] == v, k
+
+
+@pytest.mark.slow
+def test_spark_submit_querylatest_job(tmp_path):
+    """Deployment surface for the query path: one spark-submit job maintains
+    the snapshot AND answers a point-query stream against the newest window
+    (codegen answer plan). Answers must equal the newest window's exact
+    counts."""
+    spark_submit = shutil.which("spark-submit")
+    assert spark_submit, "spark-submit not on PATH"
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from condor_spark import fixtures
+
+    spark = SparkSession.getActiveSession() or (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false").getOrCreate())
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    src = str(tmp_path / "src")
+    fixtures.replay_in_order(spark, events, src, n_chunks=3)
+    keys = sorted(r[0] for r in events.select("user_id").distinct().collect())
+    qsrc = str(tmp_path / "qsrc")
+    (spark.createDataFrame([(k,) for k in keys], "key long")
+     .coalesce(1).write.parquet(qsrc))
+    latest_ws = (events.groupBy(F.window("ts", "1 day").alias("w")).count()
+                 .orderBy(F.col("w.start").desc()).first())
+    exact = {str(r["user_id"]): r["c"] for r in
+             events.filter(F.col("ts") >= latest_ws["w"]["start"])
+             .groupBy("user_id").agg(F.count("*").alias("c")).collect()}
+
+    sink = str(tmp_path / "out")
+    cmd = [
+        spark_submit, "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--py-files", _make_zip(tmp_path),
+        os.path.join(REPO, "jobs", "synopsis_job.py"),
+        "--mode", "querylatest",
+        "--input", src, "--queries", qsrc,
+        "--sink", sink, "--checkpoint", str(tmp_path / "ckpt"),
+        "--kind", "countmin",
+        "--params", '{"width": 8192, "height": 5, "seed": 7}',
+        "--column", "user_id", "--ts-column", "ts", "--window", "1 day",
+        "--watermark-delay", "1 hour",
+    ]
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    r = subprocess.run(cmd, cwd=str(tmp_path), env=env,
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-4000:]
+
+    import glob as _glob
+    dirs = sorted(_glob.glob(os.path.join(sink, "answers", "batch=*")))
+    got = spark.read.option("basePath", f"{sink}/answers").parquet(*dirs)
+    pdf = got.toPandas()
+    assert len(pdf) == len(keys)
+    for _, row in pdf.iterrows():
+        assert row["est_count"] == exact.get(row["key"], 0), row["key"]
