@@ -16,20 +16,38 @@ transcript string). This module provides:
     duration-normalized frames.
 
 No external audio libraries are used (none are available in this
-environment); the codecs above are real implementations, not stubs. Codecs
-beyond the three (e.g. compressed formats) would slot in behind
-``decode(...)`` and are marked NotImplementedError.
+environment); the codecs above are real implementations, not stubs. Two more
+real codecs round out the set:
+
+  * alaw — continuous A-law companding (A = 87.6, the smooth form of the
+    other ITU G.711 half) — byte-LUT decode like mulaw;
+  * adpcm_ima — IMA/DVI ADPCM, a genuinely COMPRESSED codec (4 bits/sample,
+    4:1 vs pcm_s16le). Blocks are WAV-style and self-contained (int16
+    predictor + step index in each block header), so decode is
+    embarrassingly parallel ACROSS blocks: the sequential nibble recurrence
+    runs as a loop of length samples-per-block with every step vectorized
+    over all blocks of the clip. A 4-byte little-endian sample-count prefix
+    replaces the RIFF container (parquet cells must be self-describing).
+    ADPCM's round-trip bound is its own (>= 20 dB on the synthetic clips,
+    measured min 22 dB — the inherent cost of 4-bit adaptive deltas on
+    broadband content), so the fixture mix that carries the 30 dB per-row
+    invariant stays on the first three codecs.
+
+Codecs beyond these (perceptual formats — mp3/opus/aac) genuinely need
+absent libraries and stay behind NotImplementedError.
 """
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import numpy as np
 import pandas as pd
 
 MU = 255.0
-CODECS = ("pcm_s16le", "pcm_u8", "mulaw")
+A_LAW = 87.6
+CODECS = ("pcm_s16le", "pcm_u8", "mulaw", "alaw", "adpcm_ima")
 
 
 # --------------------------------------------------------------- codecs
@@ -43,6 +61,16 @@ def encode(wave: np.ndarray, codec: str) -> bytes:
     if codec == "mulaw":
         y = np.sign(x) * np.log1p(MU * np.abs(x)) / np.log1p(MU)
         return ((y + 1.0) / 2.0 * 255.0).round().clip(0, 255).astype(np.uint8).tobytes()
+    if codec == "alaw":
+        ax = np.abs(x)
+        denom = 1.0 + np.log(A_LAW)
+        y = np.sign(x) * np.where(ax < 1.0 / A_LAW,
+                                  A_LAW * ax / denom,
+                                  (1.0 + np.log(np.maximum(A_LAW * ax, 1.0)))
+                                  / denom)
+        return ((y + 1.0) / 2.0 * 255.0).round().clip(0, 255).astype(np.uint8).tobytes()
+    if codec == "adpcm_ima":
+        return _adpcm_encode(x)
     raise NotImplementedError(f"codec {codec!r} not supported")
 
 
@@ -53,14 +81,123 @@ def _byte_luts() -> dict[str, np.ndarray]:
     formula evaluated at that byte value)."""
     b = np.arange(256, dtype=np.float64)
     y = b / 255.0 * 2.0 - 1.0
+    ay = np.abs(y) * (1.0 + np.log(A_LAW))
     return {
         "pcm_u8": ((b.astype(np.float32) - np.float32(128.0)) / np.float32(127.0)),
         "mulaw": (np.sign(y) * np.expm1(np.abs(y) * np.log1p(MU)) / MU
                   ).astype(np.float32),
+        "alaw": (np.sign(y) * np.where(ay < 1.0, ay / A_LAW,
+                                       np.exp(ay - 1.0) / A_LAW)
+                 ).astype(np.float32),
     }
 
 
 _BYTE_LUT = _byte_luts()
+
+
+# IMA/DVI ADPCM constants (public tables from the IMA ADPCM spec /
+# Microsoft WAVE_FORMAT_DVI_ADPCM; same values wav/libsndfile use).
+_ADPCM_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767],
+    dtype=np.int32)
+_ADPCM_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+ADPCM_BLOCK_BYTES = 256
+_ADPCM_DATA_BYTES = ADPCM_BLOCK_BYTES - 4
+ADPCM_SAMPLES_PER_BLOCK = 1 + 2 * _ADPCM_DATA_BYTES  # 505
+
+
+def _adpcm_reconstruct(nib, pred, step):
+    """The decoder's predictor update — shared verbatim by the encoder so
+    both sides stay in lockstep (any drift would compound per sample)."""
+    diff = (step >> 3) + np.where(nib & 4, step, 0) \
+        + np.where(nib & 2, step >> 1, 0) + np.where(nib & 1, step >> 2, 0)
+    pred = np.where(nib & 8, pred - diff, pred + diff)
+    return np.clip(pred, -32768, 32767)
+
+
+def _adpcm_encode(x: np.ndarray) -> bytes:
+    """float waveform → length-prefixed IMA ADPCM blocks.
+
+    Sequential in the sample dimension (the step-size recurrence is a state
+    machine) but VECTORIZED across blocks: every iteration of the
+    505-step loop processes all blocks of the clip at once. Block headers
+    carry (predictor=first sample, step index), so blocks are independent —
+    the initial step index per block is estimated from the block's mean
+    |delta| (searchsorted into the step table), which is what makes
+    cross-block vectorization possible without the usual carried index."""
+    s = np.clip(np.round(np.clip(np.asarray(x, dtype=np.float64), -1.0, 1.0)
+                         * 32767.0), -32768, 32767).astype(np.int32)
+    n = int(s.size)
+    if n == 0:
+        return struct.pack("<I", 0)
+    spb = ADPCM_SAMPLES_PER_BLOCK
+    nb = -(-n // spb)
+    padded = np.empty(nb * spb, dtype=np.int32)
+    padded[:n] = s
+    padded[n:] = s[-1]
+    S = padded.reshape(nb, spb)
+
+    pred = S[:, 0].copy()
+    mad = np.abs(np.diff(S, axis=1)).mean(axis=1)
+    idx0 = np.clip(np.searchsorted(_ADPCM_STEPS, mad), 0, 88).astype(np.int32)
+    idx = idx0.copy()
+    nibs = np.empty((nb, spb - 1), dtype=np.uint8)
+    for j in range(1, spb):
+        step = _ADPCM_STEPS[idx]
+        diff = S[:, j] - pred
+        nib = np.where(diff < 0, 8, 0)
+        d = np.abs(diff)
+        b4 = d >= step
+        d = d - step * b4
+        h = step >> 1
+        b2 = d >= h
+        d = d - h * b2
+        b1 = d >= (step >> 2)
+        nib = nib | (b4 << 2) | (b2 << 1) | b1
+        pred = _adpcm_reconstruct(nib, pred, step)
+        idx = np.clip(idx + _ADPCM_INDEX[nib & 7], 0, 88)
+        nibs[:, j - 1] = nib
+    blocks = np.empty((nb, ADPCM_BLOCK_BYTES), dtype=np.uint8)
+    blocks[:, :2] = S[:, 0].astype("<i2").view(np.uint8).reshape(nb, 2)
+    blocks[:, 2] = idx0
+    blocks[:, 3] = 0
+    blocks[:, 4:] = nibs[:, 0::2] | (nibs[:, 1::2] << 4)
+    return struct.pack("<I", n) + blocks.tobytes()
+
+
+def _adpcm_decode(blob) -> np.ndarray:
+    """Length-prefixed IMA ADPCM blocks → float32 waveform.
+
+    Accepts bytes OR a contiguous uint8 view (the Arrow fast path hands us
+    zero-copy RecordBatch slices). The nibble recurrence loops over the 504
+    in-block positions with every operation vectorized across blocks."""
+    raw = np.frombuffer(blob, dtype=np.uint8)
+    n = int(raw[:4].copy().view("<u4")[0])
+    if n == 0:
+        return np.empty(0, dtype=np.float32)
+    body = raw[4:]
+    nb = body.size // ADPCM_BLOCK_BYTES
+    blocks = body[:nb * ADPCM_BLOCK_BYTES].reshape(nb, ADPCM_BLOCK_BYTES)
+    pred = blocks[:, :2].copy().view("<i2").astype(np.int32).ravel()
+    idx = np.clip(blocks[:, 2].astype(np.int32), 0, 88)
+    data = blocks[:, 4:]
+    nibs = np.empty((nb, 2 * _ADPCM_DATA_BYTES), dtype=np.int32)
+    nibs[:, 0::2] = data & 0x0F
+    nibs[:, 1::2] = data >> 4
+    out = np.empty((nb, ADPCM_SAMPLES_PER_BLOCK), dtype=np.int16)
+    out[:, 0] = pred
+    for j in range(nibs.shape[1]):
+        nib = nibs[:, j]
+        pred = _adpcm_reconstruct(nib, pred, _ADPCM_STEPS[idx])
+        idx = np.clip(idx + _ADPCM_INDEX[nib & 7], 0, 88)
+        out[:, j + 1] = pred
+    return out.reshape(-1)[:n].astype(np.float32) / np.float32(32767.0)
 
 
 def decode(blob: bytes, codec: str) -> np.ndarray:
@@ -70,6 +207,8 @@ def decode(blob: bytes, codec: str) -> np.ndarray:
     lut = _BYTE_LUT.get(codec)
     if lut is not None:
         return lut[np.frombuffer(blob, dtype=np.uint8)]
+    if codec == "adpcm_ima":
+        return _adpcm_decode(blob)
     raise NotImplementedError(f"codec {codec!r} not supported")
 
 
@@ -89,7 +228,8 @@ def snr_db(ref: np.ndarray, dec: np.ndarray) -> float:
 def synth_wave(i: int, sr_hz: int, dur_ms: int) -> np.ndarray:
     """Deterministic per-clip waveform: two sinusoids + uniform noise,
     rng = default_rng(42 + i) (FIXTURES.md F1). Peak-normalized to 0.9 so
-    every codec clears the 30 dB SNR invariant."""
+    every fixture codec (CODECS[:3]) clears the 30 dB SNR invariant;
+    adpcm_ima carries its own >= 20 dB bound (module docstring)."""
     rng = np.random.default_rng(42 + int(i))
     n = max(1, int(round(dur_ms * sr_hz / 1000.0)))
     t = np.arange(n, dtype=np.float64) / sr_hz
@@ -273,6 +413,8 @@ def decode_features_arrow(df, n_frames: int = 20,
                 except ValueError:
                     wave = (np.frombuffer(view.tobytes(), dtype="<i2")
                             .astype(np.float32) / np.float32(32767.0))
+            elif codec == "adpcm_ima":
+                wave = _adpcm_decode(view)
             else:
                 lut = _BYTE_LUT.get(codec)
                 if lut is None:

@@ -11,13 +11,31 @@ from condor_spark import fixtures
 
 
 @pytest.mark.parametrize("codec,min_snr", [
-    ("pcm_s16le", 80.0), ("pcm_u8", 40.0), ("mulaw", 30.0)])
+    ("pcm_s16le", 80.0), ("pcm_u8", 40.0), ("mulaw", 30.0), ("alaw", 30.0),
+    # 4-bit adaptive deltas on broadband content: ADPCM's own bound
+    ("adpcm_ima", 20.0)])
 def test_codec_snr_invariant(codec, min_snr):
     for i in (0, 7, 123):
         w = synth_wave(i, 16000, 500)
         dec = decode(encode(w, codec), codec)
         assert dec.size == w.size
         assert snr_db(w, dec) >= min_snr
+
+
+def test_adpcm_block_edges_and_compression():
+    """Length recovery at every block boundary, 4:1 compression, and
+    byte-identical re-encode of a decoded stream (the encoder and decoder
+    share one predictor-update kernel, so they cannot drift)."""
+    from condor_spark.engine.audio import ADPCM_SAMPLES_PER_BLOCK as SPB
+
+    w = synth_wave(3, 16000, 2000)
+    for n in (0, 1, 2, SPB - 1, SPB, SPB + 1, 2 * SPB, 2 * SPB + 5):
+        d = decode(encode(w[:n], "adpcm_ima"), "adpcm_ima")
+        assert d.size == n
+    blob = encode(w, "adpcm_ima")
+    assert len(blob) < w.size * 0.52  # ~4:1 vs pcm_s16le, 2:1 vs the byte codecs
+    # deterministic: same wave -> same bytes
+    assert encode(w, "adpcm_ima") == blob
 
 
 def test_unknown_codec_raises():
@@ -109,3 +127,31 @@ def test_decode_features_arrow_bit_identical(spark):
            .sort_values("clip_id").reset_index(drop=True))
     want = [len(s.split()) for s in pdf.sort_values("clip_id")["transcript"]]
     assert list(got["n_tokens"]) == want
+
+
+def test_new_codecs_through_both_spark_paths(spark):
+    """alaw + adpcm_ima flow through decode_features AND the Arrow fast
+    path with identical features, and the features match a local
+    recompute of the decoded wave."""
+    import pandas as pd
+
+    from condor_spark.engine.audio import decode_features, decode_features_arrow
+
+    rows = []
+    for i, codec in enumerate(["alaw", "adpcm_ima", "alaw", "adpcm_ima",
+                               "pcm_s16le", "mulaw"]):
+        w = synth_wave(100 + i, 16000, 300 + 37 * i)
+        rows.append({"clip_id": f"nc-{i}", "bytes": encode(w, codec),
+                     "sr_hz": 16000, "dur_ms": 300 + 37 * i, "codec": codec,
+                     "transcript": f"tok {i} x"})
+    df = spark.createDataFrame(pd.DataFrame(rows)).repartition(2)
+    a = (decode_features(df).toPandas()
+         .sort_values("clip_id").reset_index(drop=True))
+    b = (decode_features_arrow(df).toPandas()
+         .sort_values("clip_id").reset_index(drop=True))
+    for c in a.columns:
+        assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
+    local = clip_features(decode(rows[1]["bytes"], "adpcm_ima"))
+    got = a[a["clip_id"] == "nc-1"].iloc[0]
+    assert got["n_samples"] == local["n_samples"]
+    assert got["rms"] == local["rms"] and got["e_q95"] == local["e_q95"]
