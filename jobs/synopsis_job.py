@@ -29,6 +29,12 @@ Modes:
                    query stream from --queries against the newest committed
                    window (codegen answer plan, engine/pointquery.py);
                    answers land under --sink/answers, batch-idempotent
+  --mode features  materialize the decoded FEATURE TABLE once (the audio
+                   scale lever from BASELINE.md: downstream synopses read
+                   narrow numeric rows instead of re-shipping the 60 KB
+                   ``bytes`` column per job). Streaming append when
+                   --checkpoint is given (exactly-once file sink), one-shot
+                   batch otherwise. --kind/--column are not needed.
 """
 
 from __future__ import annotations
@@ -43,16 +49,18 @@ def parse_args(argv):
     p.add_argument("--input", required=True)
     p.add_argument("--sink", required=True)
     p.add_argument("--checkpoint", default=None)
-    p.add_argument("--kind", required=True)
+    p.add_argument("--kind", default=None,
+                   help="synopsis kind (required except --mode features)")
     p.add_argument("--params", default="{}", help="JSON synopsis params")
-    p.add_argument("--column", required=True)
+    p.add_argument("--column", default=None,
+                   help="input column (required except --mode features)")
     p.add_argument("--ts-column", default="ts")
     p.add_argument("--window", default="1 minute")
     p.add_argument("--slide", default=None)
     p.add_argument("--stratify-by", default=None)
     p.add_argument("--watermark-delay", default="10 seconds")
     p.add_argument("--mode", choices=("stream", "stateful", "sql", "batch",
-                                      "querylatest"),
+                                      "querylatest", "features"),
                    default="stream")
     p.add_argument("--queries", default=None,
                    help="query-stream table dir (querylatest mode); one "
@@ -94,6 +102,29 @@ def main(argv=None) -> None:
         .getOrCreate())
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
+    if args.mode == "features":
+        from condor_spark.engine.audio import decode_features_arrow
+        if args.checkpoint:
+            src = (spark.readStream
+                   .option("maxFilesPerTrigger", args.max_files_per_trigger)
+                   .schema(spark.read.parquet(args.input).schema)
+                   .parquet(args.input))
+            q = (decode_features_arrow(src, passthrough=(args.ts_column,))
+                 .writeStream.format("parquet")
+                 .option("path", args.sink)
+                 .option("checkpointLocation", args.checkpoint)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+        else:
+            (decode_features_arrow(spark.read.parquet(args.input),
+                                   passthrough=(args.ts_column,))
+             .write.mode("overwrite").parquet(args.sink))
+        spark.stop()
+        return
+
+    if not args.kind or not args.column:
+        raise SystemExit("--kind and --column are required in synopsis modes")
+
     window = (Sliding(args.window, args.slide) if args.slide
               else Tumbling(args.window))
     spec = SynopsisSpec(kind=args.kind, params=json.loads(args.params),
@@ -103,8 +134,8 @@ def main(argv=None) -> None:
     if args.mode == "batch":
         df = spark.read.parquet(args.input)
         if args.decode_audio:
-            from condor_spark.engine.audio import decode_features
-            df = decode_features(df, passthrough=(args.ts_column,))
+            from condor_spark.engine.audio import decode_features_arrow
+            df = decode_features_arrow(df, passthrough=(args.ts_column,))
         build_batch(df, spec).write.mode("overwrite").parquet(args.sink)
         spark.stop()
         return

@@ -121,6 +121,62 @@ def test_spark_submit_sql_stream_job(tmp_path):
 
 
 @pytest.mark.slow
+def test_spark_submit_features_job(tmp_path):
+    """--mode features materializes the decoded feature table (the audio
+    scale lever): streaming append with checkpoint, resumable and
+    idempotent — a second run with the same checkpoint adds no rows."""
+    spark_submit = shutil.which("spark-submit")
+    assert spark_submit, "spark-submit not on PATH"
+
+    from pyspark.sql import SparkSession
+
+    from condor_spark import fixtures
+    from condor_spark.engine.audio import decode_features_arrow
+
+    spark = SparkSession.getActiveSession() or (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false").getOrCreate())
+    src = str(tmp_path / "clips")
+    clips = fixtures.audio_clips(spark, 120, num_partitions=3)
+    clips.write.parquet(src)
+
+    sink = str(tmp_path / "features")
+    cmd = [
+        spark_submit, "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--py-files", _make_zip(tmp_path),
+        os.path.join(REPO, "jobs", "synopsis_job.py"),
+        "--mode", "features",
+        "--input", src, "--sink", sink,
+        "--checkpoint", str(tmp_path / "ckpt"),
+    ]
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    r = subprocess.run(cmd, cwd=str(tmp_path), env=env,
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-4000:]
+
+    got = (spark.read.parquet(sink).toPandas()
+           .sort_values("clip_id").reset_index(drop=True))
+    want = (decode_features_arrow(spark.read.parquet(src),
+                                  passthrough=("ts",)).toPandas()
+            .sort_values("clip_id").reset_index(drop=True))
+    assert len(got) == 120
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+    # resume with the same checkpoint: no new input files -> no new rows
+    r2 = subprocess.run(cmd, cwd=str(tmp_path), env=env,
+                        capture_output=True, text=True, timeout=600)
+    assert r2.returncode == 0, r2.stderr[-4000:]
+    assert spark.read.parquet(sink).count() == 120
+
+
+@pytest.mark.slow
 def test_spark_submit_querylatest_job(tmp_path):
     """Deployment surface for the query path: one spark-submit job maintains
     the snapshot AND answers a point-query stream against the newest window
