@@ -22,10 +22,14 @@ torchvision) would plug in — none exist in this environment, so:
   * ``png`` is implemented for real too — pure stdlib ``zlib`` + numpy
     unfiltering (``decode_png``; 8-bit gray/RGB/RGBA, all five scanline
     filters), with ``encode_png`` as the test/synthesis encoder;
-  * remaining compressed codecs (jpeg, h264, …) raise
+  * ``jpeg`` is implemented for real as well — baseline ITU-T T.81 in pure
+    numpy/stdlib (``jpeg.py``: Annex K tables, 4:4:4 / 4:2:0, restart
+    markers; vectorized DCT, per-block Huffman), with ``encode_jpeg`` as the
+    test/synthesis encoder;
+  * the remaining codecs (h264, mp3-era perceptual formats …) raise
     ``NotImplementedError`` with a clear message — STUB: swap
-    ``_decode_frames`` for a real decoder to productionize; they genuinely
-    need external libraries (DCT/entropy coding) absent here.
+    ``_decode_frames`` for a real decoder to productionize; motion
+    compensation / perceptual models genuinely need external libraries.
 
 Scale posture: one row = one media object; frames never materialize as rows
 (a 30 s 30 fps clip stays ONE binary cell, features are computed inside the
@@ -73,18 +77,22 @@ def _decode_frames(blob: bytes, codec: str, width: int, height: int,
         g = y - 0.344136 * u - 0.714136 * v
         b = y + 1.772 * u
         return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
-    if codec == "png":
+    if codec in ("png", "jpeg"):
         if n_frames != 1:
-            raise ValueError("png carries a single frame per object")
-        img = decode_png(blob)
+            raise ValueError(f"{codec} carries a single frame per object")
+        if codec == "png":
+            img = decode_png(blob)
+        else:
+            from condor_spark.engine.jpeg import decode_jpeg
+            img = decode_jpeg(bytes(blob))
         if img.shape[:2] != (height, width):
-            raise ValueError(f"png dims {img.shape[1]}x{img.shape[0]} != "
+            raise ValueError(f"{codec} dims {img.shape[1]}x{img.shape[0]} != "
                              f"metadata {width}x{height}")
         return img[None]
     raise NotImplementedError(
         f"codec {codec!r}: compressed media decode requires an external "
         f"library not present in this environment; implement _decode_frames "
-        f"for it (raw codecs {RAW_CODECS} and png are built in)")
+        f"for it (raw codecs {RAW_CODECS}, png and jpeg are built in)")
 
 
 # ------------------------------------------------------------ PNG (stdlib)

@@ -23,8 +23,9 @@ def test_yuv_rgb_roundtrip_grey():
 
 
 def test_compressed_codec_is_stubbed():
-    with pytest.raises(NotImplementedError, match="jpeg"):
-        mm._decode_frames(b"\xff\xd8\xff", "jpeg", 1, 1, 1)
+    # jpeg/png are real now; motion-compensated video stays an honest stub
+    with pytest.raises(NotImplementedError, match="h264"):
+        mm._decode_frames(b"\x00\x00\x01", "h264", 1, 1, 1)
 
 
 def test_media_features_and_transforms(spark):
@@ -122,3 +123,95 @@ class TestPNG:
         for m in ("mean_lum", "std_lum", "edge_energy"):
             assert np.allclose(piv[(m, "raw")], piv[(m, "png")], rtol=0,
                                atol=0)
+
+
+class TestJPEG:
+    """Baseline T.81 codec (pure numpy/stdlib): structural constants checked
+    against the standard's literals, round-trips bounded by PSNR, and the
+    Spark pipeline accepting mixed raw + jpeg rows."""
+
+    def _psnr(self, a, b):
+        mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+        return 99.0 if mse == 0 else 10 * np.log10(255 ** 2 / mse)
+
+    def test_zigzag_matches_standard_literal(self):
+        from condor_spark.engine.jpeg import ZIGZAG
+        lit = np.array([
+            0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+            12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+            35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+            58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+        assert (ZIGZAG == lit).all()
+
+    def test_dct_is_orthonormal(self):
+        from condor_spark.engine.jpeg import _M, _dct2, _idct2
+        assert np.allclose(_M @ _M.T, np.eye(8), atol=1e-12)
+        x = np.random.default_rng(0).uniform(-128, 127, (5, 8, 8))
+        assert np.allclose(_idct2(_dct2(x)), x, atol=1e-9)
+
+    def test_roundtrip_matrix(self):
+        """Every decoder path: 4:4:4, 4:2:0, restart intervals, quality
+        sweep, odd dimensions — PSNR-bounded against the source pixels."""
+        from condor_spark.engine.jpeg import decode_jpeg, encode_jpeg
+        rng = np.random.default_rng(7)
+        xx, yy = np.meshgrid(np.arange(48), np.arange(40))
+        base = (xx * 2.5 + yy * 3.1) % 256
+        img = np.clip(np.stack([base, 255 - base, base / 2], -1)
+                      + rng.integers(0, 8, (40, 48, 3)), 0,
+                      255).astype(np.uint8)
+        for q, sub, ri, floor in [(95, False, 0, 40.0), (90, True, 0, 36.0),
+                                  (75, True, 3, 34.0), (95, False, 2, 40.0),
+                                  (50, False, 0, 32.0)]:
+            dec = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub,
+                                          restart_interval=ri))
+            assert dec.shape == img.shape
+            assert self._psnr(img, dec) >= floor, (q, sub, ri)
+        odd = img[:33, :41]
+        dec = decode_jpeg(encode_jpeg(odd, quality=90, subsample=True))
+        assert dec.shape == odd.shape and self._psnr(odd, dec) >= 34.0
+
+    def test_flat_and_gray(self):
+        from condor_spark.engine.jpeg import decode_jpeg, encode_jpeg
+        flat = np.full((17, 23, 3), 130, np.uint8)
+        assert (decode_jpeg(encode_jpeg(flat, quality=90)) == 130).all()
+        g = ((np.arange(24 * 32) * 7) % 256).astype(np.uint8).reshape(24, 32)
+        dec = decode_jpeg(encode_jpeg(g, quality=95))
+        assert dec.shape == (24, 32, 3)
+        assert (dec[..., 0] == dec[..., 1]).all()
+        assert self._psnr(np.repeat(g[:, :, None], 3, 2), dec) >= 40.0
+
+    def test_unsupported_raises(self):
+        from condor_spark.engine.jpeg import decode_jpeg, encode_jpeg
+        with pytest.raises(ValueError, match="SOI"):
+            decode_jpeg(b"notajpeg")
+        blob = encode_jpeg(np.zeros((8, 8, 3), np.uint8))
+        prog = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
+        with pytest.raises(NotImplementedError, match="baseline"):
+            decode_jpeg(prog)
+
+    def test_media_features_over_jpeg_rows(self, spark):
+        """Mixed raw + jpeg rows in one table: lossy codec, so features
+        match within a quality-95 tolerance instead of exactly."""
+        from condor_spark.engine.jpeg import encode_jpeg
+        from condor_spark.engine.multimodal import (MEDIA_SCHEMA,
+                                                    media_features,
+                                                    synth_media)
+        rows = []
+        for i in range(6):
+            mid, blob, mt, codec, w, h, nf, fps = synth_media(
+                i, "image", width=24, height=16)
+            img = np.frombuffer(blob, dtype=np.uint8).reshape(h, w, 3)
+            rows.append((f"{mid}-raw", blob, mt, codec, w, h, nf, fps))
+            rows.append((f"{mid}-jpeg", encode_jpeg(img, quality=95,
+                                                    subsample=bool(i % 2)),
+                         mt, "jpeg", w, h, nf, fps))
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        got = media_features(df).toPandas()
+        got["base"] = got["media_id"].str.rsplit("-", n=1).str[0]
+        got["kind"] = got["media_id"].str.rsplit("-", n=1).str[1]
+        piv = got.pivot(index="base", columns="kind",
+                        values=["mean_lum", "std_lum"])
+        assert np.allclose(piv[("mean_lum", "raw")],
+                           piv[("mean_lum", "jpeg")], atol=1.5)
+        assert np.allclose(piv[("std_lum", "raw")],
+                           piv[("std_lum", "jpeg")], atol=3.0)
