@@ -215,3 +215,37 @@ class TestJPEG:
                            piv[("mean_lum", "jpeg")], atol=1.5)
         assert np.allclose(piv[("std_lum", "raw")],
                            piv[("std_lum", "jpeg")], atol=3.0)
+
+
+def test_mjpeg_video_pipeline(spark):
+    """Compressed VIDEO end-to-end: mjpeg rows flow through media_features
+    and frame_sample; per-frame PSNR bounded vs the raw source frames."""
+    from condor_spark.engine.multimodal import (MEDIA_SCHEMA, decode_mjpeg,
+                                                encode_mjpeg, frame_sample,
+                                                media_features, synth_media)
+
+    rows_raw, rows_mj = [], []
+    for i in range(4):
+        mid, blob, mt, codec, w, h, nf, fps = synth_media(
+            i, "video", width=32, height=24)
+        frames = np.frombuffer(blob, dtype=np.uint8).reshape(nf, h, w, 3)
+        rows_raw.append((f"{mid}-raw", blob, mt, codec, w, h, nf, fps))
+        rows_mj.append((f"{mid}-mjpeg", encode_mjpeg(frames, quality=95),
+                        mt, "mjpeg", w, h, nf, fps))
+        dec = decode_mjpeg(rows_mj[-1][1])
+        assert dec.shape == frames.shape
+        mse = np.mean((dec.astype(float) - frames.astype(float)) ** 2)
+        assert 10 * np.log10(255 ** 2 / mse) >= 32.0
+
+    df = spark.createDataFrame(rows_raw + rows_mj, MEDIA_SCHEMA)
+    feats = media_features(df).toPandas()
+    feats["base"] = feats["media_id"].str.rsplit("-", n=1).str[0]
+    feats["kind"] = feats["media_id"].str.rsplit("-", n=1).str[1]
+    piv = feats.pivot(index="base", columns="kind", values=["mean_lum"])
+    assert np.allclose(piv[("mean_lum", "raw")], piv[("mean_lum", "mjpeg")],
+                       atol=1.5)
+    # frame sampling decodes mjpeg and re-emits thinned raw payloads
+    sampled = frame_sample(
+        spark.createDataFrame(rows_mj, MEDIA_SCHEMA), every_k=4).toPandas()
+    assert sampled["n_frames"].eq(2).all()
+    assert sampled["codec"].eq("rgb8_raw").all()
