@@ -110,3 +110,151 @@ def test_stream_answer_modes_agree(spark, tmp_path):
             for r in ql.read_answers(spark).collect())
     assert answers["auto"] == answers["python"]
     assert len(answers["auto"]) == len(keys)
+
+
+def test_cuckoo_point_queries_bit_identical(spark):
+    """Codegen two-bucket probe == CuckooFilter.query for hits, misses and
+    negative keys (splitmix64 + alt-bucket-LUT parity end to end)."""
+    from condor_spark.synopsis.cuckoo import CuckooFilter
+
+    cf = CuckooFilter(bucket_size=4, num_buckets=512, seed=11)
+    inserted = np.array(list(range(0, 900, 3)) + [-5, -77, 10**12])
+    cf.update_batch(inserted)
+    keys = list(range(-100, 1200)) + [10**12, -(10**12)]
+    qdf = spark.createDataFrame([(k,) for k in keys], "key long")
+    got = {r["key"]: r["member"] for r in pq.cuckoo_point_queries(
+        qdf, "key", pq.cuckoo_table(cf), cf.bucket_size, cf.num_buckets,
+        cf.seed).collect()}
+    ref = cf.query(np.array(keys))
+    assert all(bool(got[k]) == bool(ref[i]) for i, k in enumerate(keys))
+    assert any(got.values()) and not all(got.values())
+
+
+def test_quantile_point_queries_bit_identical(spark):
+    """Unrolled codegen binary search == DDSketch.quantile on a real value
+    distribution, including q=0, q=1, sub-1/n quantiles and the zero
+    bucket."""
+    from condor_spark.synopsis.ddsketch import DDSketch
+
+    vals = spark.read.parquet(f"{SF}/events.parquet") \
+        .select("value").toPandas()["value"].to_numpy()
+    dd = DDSketch(relative_accuracy=0.01)
+    dd.update_batch(np.concatenate([vals, [0.0, 0.0, -3.0]]))
+    qs = [0.0, 1e-9, 0.001, 0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 0.999, 1.0]
+    qdf = spark.createDataFrame([(q,) for q in qs], "q double")
+    got = {r["q"]: r["quantile"] for r in pq.quantile_point_queries(
+        qdf, "q", pq.dd_quantile_state(dd)).collect()}
+    for q in qs:
+        assert got[q] == dd.quantile(q), (q, got[q], dd.quantile(q))
+    assert got[0.0] == 0.0  # rank 1 lands in the zero bucket
+
+
+def test_quantile_point_queries_degenerate(spark):
+    from condor_spark.synopsis.ddsketch import DDSketch
+
+    qdf = spark.createDataFrame([(0.5,)], "q double")
+    empty = DDSketch()
+    out = pq.quantile_point_queries(qdf, "q", pq.dd_quantile_state(empty))
+    assert np.isnan(out.collect()[0]["quantile"])  # n == 0 → NaN
+    zeros = DDSketch()
+    zeros.update_batch(np.zeros(10))
+    out = pq.quantile_point_queries(qdf, "q", pq.dd_quantile_state(zeros))
+    assert out.collect()[0]["quantile"] == 0.0  # empty bins, all zero bucket
+
+
+def test_range_point_queries_match_kernel(spark):
+    """O(1) prefix-sum range estimate == EquiWidthHistogram.range_query on
+    aligned, fractional, clipped, inverted and out-of-domain ranges."""
+    from condor_spark.synopsis.histograms import EquiWidthHistogram
+
+    vals = spark.read.parquet(f"{SF}/events.parquet") \
+        .select("value").toPandas()["value"].to_numpy()
+    h = EquiWidthHistogram(lower=0.0, upper=100.0, num_buckets=40)
+    h.update_batch(vals)
+    w = 2.5
+    ranges = ([(i * w, j * w) for i in range(0, 40, 7)
+               for j in range(i, 41, 9)]
+              + [(1.3, 1.9), (0.1, 99.9), (17.77, 18.0), (-50.0, 50.0),
+                 (50.0, 500.0), (-10.0, 200.0), (60.0, 20.0), (200.0, 300.0),
+                 (-5.0, -1.0), (33.333, 33.334)])
+    qdf = spark.createDataFrame(ranges, "lo double, hi double")
+    got = {(r["lo"], r["hi"]): r["est_count"]
+           for r in pq.range_point_queries(qdf, "lo", "hi",
+                                           pq.hist_state(h)).collect()}
+    for lo, hi in ranges:
+        ref = h.range_query(lo, hi)
+        assert np.isclose(got[(lo, hi)], ref, rtol=1e-12, atol=1e-9), \
+            (lo, hi, got[(lo, hi)], ref)
+
+
+def test_new_point_query_plans_are_pure_codegen(spark):
+    """None of the new kinds evaluate any Python node; the quantile search
+    must also avoid higher-order functions (CodegenFallback)."""
+    from condor_spark.synopsis.cuckoo import CuckooFilter
+    from condor_spark.synopsis.ddsketch import DDSketch
+    from condor_spark.synopsis.histograms import EquiWidthHistogram
+
+    cf = CuckooFilter(num_buckets=256, seed=3)
+    cf.update_batch(np.arange(200))
+    dd = DDSketch()
+    dd.update_batch(np.arange(1, 5000, dtype=np.float64))
+    h = EquiWidthHistogram(0.0, 1000.0, 50)
+    h.update_batch(np.arange(1000, dtype=np.float64))
+    qk = spark.range(0, 500).select(F.col("id").alias("key"))
+    qq = spark.range(1, 100).select((F.col("id") / 100).alias("q"))
+    qr = spark.range(0, 100).select(
+        (F.col("id") * 7 % 900).cast("double").alias("lo"),
+        (F.col("id") * 7 % 900 + 60).cast("double").alias("hi"))
+    outs = [
+        pq.cuckoo_point_queries(qk, "key", pq.cuckoo_table(cf),
+                                cf.bucket_size, cf.num_buckets, cf.seed),
+        pq.quantile_point_queries(qq, "q", pq.dd_quantile_state(dd)),
+        pq.range_point_queries(qr, "lo", "hi", pq.hist_state(h)),
+    ]
+    for out in outs:
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert "lambdafunction" not in plan.lower()
+
+
+def test_query_latest_dispatchers(spark):
+    """query_latest_{membership,quantile,range} decode the newest snapshot
+    row and agree with the snapshot kernels."""
+    from condor_spark.synopsis.base import Synopsis
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    for kind, params, mk_q, answer in [
+        ("cuckoo", dict(bucket_size=4, num_buckets=1024, seed=7),
+         lambda: spark.createDataFrame([(k,) for k in range(120)], "key long"),
+         lambda syn, df: {r["key"]: bool(r["member"]) for r in
+                          pq.query_latest_membership(df_syn, df).collect()}),
+        ("ddsketch", dict(relative_accuracy=0.02),
+         lambda: spark.createDataFrame([(q / 10,) for q in range(1, 10)],
+                                       "q double"),
+         lambda syn, df: {r["q"]: r["quantile"] for r in
+                          pq.query_latest_quantile(df_syn, df).collect()}),
+        ("equiwidth", dict(lower=0.0, upper=100.0, num_buckets=20),
+         lambda: spark.createDataFrame([(5.0, 55.0), (0.0, 100.0)],
+                                       "lo double, hi double"),
+         lambda syn, df: {(r["lo"], r["hi"]): r["est_count"] for r in
+                          pq.query_latest_range(df_syn, df).collect()}),
+    ]:
+        col = "user_id" if kind == "cuckoo" else "value"
+        spec = SynopsisSpec(kind=kind, params=params, column=col,
+                            ts_column="ts", window=Tumbling("30 day"))
+        df_syn = build_batch(events, spec)
+        row = (df_syn.orderBy(F.col("window_end").desc()).limit(1)
+               .collect())[0]
+        syn = Synopsis.from_bytes(bytes(row["state"]))
+        got = answer(syn, mk_q())
+        if kind == "cuckoo":
+            ref = syn.query(np.arange(120))
+            assert all(got[k] == bool(ref[k]) for k in range(120))
+        elif kind == "ddsketch":
+            for q in got:
+                assert got[q] == syn.quantile(q)
+        else:
+            for (lo, hi) in got:
+                assert np.isclose(got[(lo, hi)], syn.range_query(lo, hi),
+                                  rtol=1e-12)
