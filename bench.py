@@ -208,11 +208,33 @@ def query_throughput_job(spark, sf_dir: str, n_queries: int = 20_000_000,
 
     pwalls = timed(pyq.mapInPandas(answer, schema="est long"),
                    lambda f: f.agg(F.sum("est")).collect())
+
+    # quantile point queries (unrolled O(log bins) codegen binary search,
+    # PLANS.md §12) — the heaviest of the new kinds, measured at 1/4 volume
+    from condor_spark.engine.pointquery import (dd_quantile_state,
+                                                quantile_point_queries)
+
+    dspec = SynopsisSpec(kind="ddsketch",
+                         params=dict(relative_accuracy=0.01,
+                                     max_num_bins=4096),
+                         column="value", ts_column="ts",
+                         window=Tumbling("1 day"))
+    dsyn = build_batch(df.filter(F.col("value") > 0), dspec)
+    drow = dsyn.orderBy(F.col("window_end").desc()).limit(1).collect()
+    dstate = dd_quantile_state(Synopsis.from_bytes(bytes(drow[0]["state"])))
+    n_q = max(1, n_queries // 4)
+    qq = (spark.range(0, n_q, 1, cpus * 4)
+          .select(((F.col("id") % 1000) / 1000.0).alias("q")))
+    qout = quantile_point_queries(qq, "q", dstate, "quant")
+    qwalls = timed(qout, lambda f: f.agg(F.sum("quant")).collect())
+
     return {"queries": n_queries, "sec": min(walls),
             "queries_per_sec": n_queries / min(walls),
             "queries_per_sec_python": n_py / min(pwalls),
+            "quantile_queries_per_sec": n_q / min(qwalls),
             "rep_secs": [round(w, 2) for w in walls],
             "rep_secs_python": [round(w, 2) for w in pwalls],
+            "rep_secs_quantile": [round(w, 2) for w in qwalls],
             "storm_detected": bool(max(walls) > 3 * min(walls))}
 
 
@@ -587,6 +609,8 @@ def main() -> None:
                                 if qtput else None),
             "queries_per_sec_python": (round(qtput["queries_per_sec_python"])
                                        if qtput else None),
+            "quantile_queries_per_sec":
+                (round(qtput["quantile_queries_per_sec"]) if qtput else None),
             "qtput_local_n": qtput_n,
             "qtput_rep_secs": qtput["rep_secs"] if qtput else None,
             "audio_clips_per_sec": round(audio["clips_per_sec"]) if audio else None,
