@@ -395,8 +395,34 @@ def audio_throughput(spark, n_clips: int, cpus: int, reps: int = 2,
         run(src)
         walls.append(time.perf_counter() - t0)
     best = min(walls)
+
+    # steady-state regime (PLANS.md §13): at 10^12 clips the decode runs
+    # ONCE (jobs/synopsis_job.py --mode features materializes it resumably)
+    # and every synopsis/query workload scans the narrow feature table —
+    # time that table's build rate separately, decode amortized to zero
+    feat_path = src + "_features"
+    if not os.path.exists(os.path.join(feat_path, "_SUCCESS")):
+        (decode_features_arrow(spark.read.parquet(src), passthrough=("ts",))
+         .write.mode("overwrite").parquet(feat_path))
+
+    def run_mat():
+        spec = SynopsisSpec(kind="ddsketch",
+                            params=dict(relative_accuracy=0.01),
+                            column="rms", ts_column="ts",
+                            window=Tumbling("1 minute"), stratify_by="codec")
+        build_batch(spark.read.parquet(feat_path), spec).count()
+
+    run_mat()  # warm
+    mwalls = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run_mat()
+        mwalls.append(time.perf_counter() - t0)
+
     return {"clips": n_clips, "sec": best, "clips_per_sec": n_clips / best,
+            "clips_per_sec_materialized": n_clips / min(mwalls),
             "rep_secs": [round(w, 2) for w in walls],
+            "rep_secs_materialized": [round(w, 2) for w in mwalls],
             "storm_detected": bool(max(walls) > 3 * min(walls))}
 
 
@@ -614,6 +640,9 @@ def main() -> None:
             "qtput_local_n": qtput_n,
             "qtput_rep_secs": qtput["rep_secs"] if qtput else None,
             "audio_clips_per_sec": round(audio["clips_per_sec"]) if audio else None,
+            "audio_clips_per_sec_materialized":
+                (round(audio["clips_per_sec_materialized"])
+                 if audio and "clips_per_sec_materialized" in audio else None),
             "audio_local_n": audio_n,
         },
         "scaling": scaling,
