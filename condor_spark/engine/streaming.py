@@ -272,14 +272,16 @@ class QueryLatestStream:
     being considered consumed — a replayed batch re-answers exactly the
     pending set it answered the first time, never a different one.
 
-    Answer modes: "auto" (default) answers integer-keyed CountMin snapshots
-    JVM-side — the window's cell grid is decoded once per batch and every
-    query row is answered in whole-stage codegen via
-    ``pointquery.frequency_point_queries`` (~20x the Python path's rate;
-    closes the gap to the reference's ~1M q/s/core source cap) — and falls
-    back to the vectorized Python path for other kinds / key types;
-    "sql" requires the codegen path (raises if ineligible); "python"
-    forces the Arrow+numpy path (any synopsis kind with ``query``).
+    Answer modes: "auto" (default) answers JVM-side in whole-stage codegen
+    for every parametrized kind ``pointquery.py`` covers — CountMin
+    frequency, Bloom/Cuckoo membership (integer keys; est_count 1/0) and
+    DDSketch quantiles (numeric q column; answer column ``est_value``
+    double) — the snapshot is decoded once per batch and no query row
+    reaches Python (~20x the Python path's rate; closes the gap to the
+    reference's ~1M q/s/core source cap). Other kinds / key types fall back
+    to the vectorized Python path; "sql" requires the codegen path (raises
+    if ineligible); "python" forces the Arrow+numpy path (``query`` /
+    ``quantiles`` kernels).
     """
     job: StreamingSynopsisJob
     out_dir: str
@@ -324,6 +326,9 @@ class QueryLatestStream:
         target = os.path.join(self.out_dir, f"batch={int(batch_id)}")
         key_col = self.key_column
 
+        est_col, est_type = (("est_value", "double")
+                             if self.job.spec.kind == "ddsketch"
+                             else ("est_count", "long"))
         if not latest:
             # no synopsis yet: park this batch (idempotent per batch id)
             os.makedirs(pend_dir, exist_ok=True)
@@ -332,7 +337,7 @@ class QueryLatestStream:
              .parquet(os.path.join(pend_dir, f"p{int(batch_id)}")))
             batch_df.limit(0).select(
                 F.col(key_col).cast("string").alias("key"),
-                F.lit(0).cast("long").alias("est_count"),
+                F.lit(0).cast(est_type).alias(est_col),
                 F.lit(version).alias("snapshot_version"),
             ).write.mode("overwrite").parquet(target)
             return
@@ -361,25 +366,69 @@ class QueryLatestStream:
         int_types = {"tinyint", "smallint", "int", "bigint", "long",
                      "integer", "short", "byte"}
         syn0 = Synopsis.from_bytes(blob)  # driver decode: O(sketch), per batch
-        sql_ok = (syn0.KIND == "countmin"
-                  and dict(work.dtypes)[key_col] in int_types)
+        key_t = dict(work.dtypes)[key_col]
+        kind = syn0.KIND
+        # codegen eligibility per kind (pointquery.py): frequency and
+        # membership need integer keys (string keys hash in pandas);
+        # quantile takes a numeric q, always eligible
+        sql_ok = ((kind in ("countmin", "bloom", "cuckoo")
+                   and key_t in int_types)
+                  or kind == "ddsketch")
         if self.answer_mode == "sql" and not sql_ok:
             raise ValueError(
-                "answer_mode='sql' needs an integer-keyed countmin snapshot; "
-                f"got kind={syn0.KIND!r}, key type "
-                f"{dict(work.dtypes)[key_col]!r}")
+                "answer_mode='sql' needs an integer-keyed countmin/bloom/"
+                f"cuckoo or a ddsketch snapshot; got kind={kind!r}, "
+                f"key type {key_t!r}")
 
+        stamp = [F.col(key_col).cast("string").alias("key"),
+                 F.lit(version).cast("int").alias("snapshot_version")]
         if sql_ok and self.answer_mode in ("auto", "sql"):
-            # zero Python per query: 1-row cell-grid broadcast + codegen H3
-            from .pointquery import cm_cells, frequency_point_queries
+            # zero Python per query: 1-row broadcast + whole-stage codegen
+            from . import pointquery as pq
 
-            ans = (frequency_point_queries(
-                       work, key_col, cm_cells(syn0), syn0.width,
-                       syn0.height, syn0.seed)
-                   .select(F.col(key_col).cast("string").alias("key"),
-                           F.col("est_count").cast("long").alias("est_count"),
-                           F.lit(version).cast("int")
-                            .alias("snapshot_version")))
+            if kind == "countmin":
+                ans = (pq.frequency_point_queries(
+                           work, key_col, pq.cm_cells(syn0), syn0.width,
+                           syn0.height, syn0.seed)
+                       .select(stamp[0],
+                               F.col("est_count").cast("long")
+                                .alias("est_count"), stamp[1]))
+            elif kind == "bloom":
+                ans = (pq.membership_point_queries(
+                           work, key_col, pq.bloom_bits(syn0), syn0.n_bits,
+                           syn0.k, syn0.seed)
+                       .select(stamp[0],
+                               F.col("member").cast("long")
+                                .alias("est_count"), stamp[1]))
+            elif kind == "cuckoo":
+                ans = (pq.cuckoo_point_queries(
+                           work, key_col, pq.cuckoo_table(syn0),
+                           syn0.bucket_size, syn0.num_buckets, syn0.seed)
+                       .select(stamp[0],
+                               F.col("member").cast("long")
+                                .alias("est_count"), stamp[1]))
+            else:  # ddsketch quantile stream
+                ans = (pq.quantile_point_queries(
+                           work, key_col, pq.dd_quantile_state(syn0),
+                           "est_value")
+                       .select(stamp[0],
+                               F.col("est_value").cast("double")
+                                .alias("est_value"), stamp[1]))
+        elif kind == "ddsketch":
+            def answer_q(batches):
+                syn = Synopsis.from_bytes(blob)  # decode once per partition
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    est = syn.quantiles(pdf[key_col].astype(float))
+                    yield pd.DataFrame({
+                        "key": pdf[key_col].astype(str),
+                        "est_value": pd.Series(est).astype("float64"),
+                        "snapshot_version": version})
+
+            ans = work.mapInPandas(
+                answer_q,
+                schema="key string, est_value double, snapshot_version int")
         else:
             def answer(batches):
                 syn = Synopsis.from_bytes(blob)  # decode once per partition

@@ -258,3 +258,66 @@ def test_query_latest_dispatchers(spark):
             for (lo, hi) in got:
                 assert np.isclose(got[(lo, hi)], syn.range_query(lo, hi),
                                   rtol=1e-12)
+
+
+def test_stream_quantile_and_membership_kinds(spark, tmp_path):
+    """QueryLatestStream serves DDSketch quantile and Cuckoo membership
+    query streams: codegen 'auto' == forced 'python', and both equal the
+    snapshot kernel."""
+    from condor_spark import fixtures
+    from condor_spark.engine.streaming import (QueryLatestStream,
+                                               StreamingSynopsisJob)
+    from condor_spark.synopsis.base import Synopsis
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+
+    # ---- quantile stream over a DDSketch job -----------------------------
+    spec = SynopsisSpec(kind="ddsketch",
+                        params=dict(relative_accuracy=0.02),
+                        column="value", ts_column="ts", window=Tumbling("30 day"))
+    job = StreamingSynopsisJob(spec, sink_dir=str(tmp_path / "dsink"),
+                               watermark_delay="1 hour")
+    src = str(tmp_path / "dsrc")
+    fixtures.replay_in_order(spark, events.filter(F.col("value") > 0),
+                             src, n_chunks=2)
+    job.start(spark, src, str(tmp_path / "dckpt")).awaitTermination(300)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    qdf = spark.createDataFrame([(q,) for q in qs], "q double")
+    answers = {}
+    for mode in ("auto", "python"):
+        ql = QueryLatestStream(job, out_dir=str(tmp_path / f"dans_{mode}"),
+                               key_column="q", answer_mode=mode)
+        ql.process_batch(qdf, 0)
+        answers[mode] = sorted(
+            (r["key"], r["est_value"]) for r in ql.read_answers(spark).collect())
+    assert answers["auto"] == answers["python"] and len(answers["auto"]) == 4
+    state = job.read_state_df(spark)
+    syn = Synopsis.from_bytes(bytes(
+        state.orderBy(F.col("window_end").desc()).limit(1).collect()[0]["state"]))
+    got = dict(answers["auto"])
+    assert all(got[str(q)] == syn.quantile(q) for q in qs)
+
+    # ---- membership stream over a Cuckoo job ------------------------------
+    spec = SynopsisSpec(kind="cuckoo",
+                        params=dict(bucket_size=4, num_buckets=1024, seed=7),
+                        column="user_id", ts_column="ts", window=Tumbling("30 day"))
+    job = StreamingSynopsisJob(spec, sink_dir=str(tmp_path / "csink"),
+                               watermark_delay="1 hour")
+    src = str(tmp_path / "csrc")
+    fixtures.replay_in_order(spark, events, src, n_chunks=2)
+    job.start(spark, src, str(tmp_path / "cckpt")).awaitTermination(300)
+    kdf = spark.createDataFrame([(k,) for k in range(80)], "key long")
+    answers = {}
+    for mode in ("auto", "python"):
+        ql = QueryLatestStream(job, out_dir=str(tmp_path / f"cans_{mode}"),
+                               key_column="key", answer_mode=mode)
+        ql.process_batch(kdf, 0)
+        answers[mode] = sorted(
+            (r["key"], r["est_count"]) for r in ql.read_answers(spark).collect())
+    assert answers["auto"] == answers["python"] and len(answers["auto"]) == 80
+    syn = Synopsis.from_bytes(bytes(
+        job.read_state_df(spark).orderBy(F.col("window_end").desc())
+        .limit(1).collect()[0]["state"]))
+    ref = syn.query(np.arange(80))
+    got = dict(answers["auto"])
+    assert all(got[str(k)] == int(ref[k]) for k in range(80))
