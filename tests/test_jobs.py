@@ -235,3 +235,66 @@ def test_spark_submit_querylatest_job(tmp_path):
     assert len(pdf) == len(keys)
     for _, row in pdf.iterrows():
         assert row["est_count"] == exact.get(row["key"], 0), row["key"]
+
+
+def test_spark_submit_querylatest_quantile_job(tmp_path):
+    """The deployed query job serves QUANTILE streams too: --kind ddsketch
+    with a q-valued query table; answers must equal the committed snapshot
+    kernel's quantile() for every q."""
+    spark_submit = shutil.which("spark-submit")
+    assert spark_submit, "spark-submit not on PATH"
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from condor_spark import fixtures
+    from condor_spark.engine.streaming import StreamingSynopsisJob
+    from condor_spark.engine.builder import SynopsisSpec
+    from condor_spark.synopsis.base import Synopsis
+
+    spark = SparkSession.getActiveSession() or (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false").getOrCreate())
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    src = str(tmp_path / "src")
+    fixtures.replay_in_order(spark, events, src, n_chunks=2)
+    qs = [0.25, 0.5, 0.9]
+    qsrc = str(tmp_path / "qsrc")
+    (spark.createDataFrame([(q,) for q in qs], "q double")
+     .coalesce(1).write.parquet(qsrc))
+
+    sink = str(tmp_path / "out")
+    cmd = [
+        spark_submit, "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--py-files", _make_zip(tmp_path),
+        os.path.join(REPO, "jobs", "synopsis_job.py"),
+        "--mode", "querylatest",
+        "--input", src, "--queries", qsrc,
+        "--sink", sink, "--checkpoint", str(tmp_path / "ckpt"),
+        "--kind", "ddsketch", "--params", '{"relative_accuracy": 0.02}',
+        "--column", "value", "--ts-column", "ts", "--window", "1 day",
+        "--watermark-delay", "1 hour", "--query-key", "q",
+    ]
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    r = subprocess.run(cmd, cwd=str(tmp_path), env=env,
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-4000:]
+
+    import glob as _glob
+    dirs = sorted(_glob.glob(os.path.join(sink, "answers", "batch=*")))
+    got = (spark.read.option("basePath", f"{sink}/answers").parquet(*dirs)
+           .toPandas())
+    assert len(got) == len(qs)
+    spec = SynopsisSpec(kind="ddsketch", params=dict(relative_accuracy=0.02),
+                        column="value", ts_column="ts")
+    job = StreamingSynopsisJob(spec, sink_dir=f"{sink}/snapshot")
+    state = job.read_state_df(spark)
+    syn = Synopsis.from_bytes(bytes(
+        state.orderBy(F.col("window_end").desc()).limit(1)
+        .collect()[0]["state"]))
+    for _, row in got.iterrows():
+        assert row["est_value"] == syn.quantile(float(row["key"])), row["key"]
