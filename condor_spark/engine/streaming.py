@@ -274,14 +274,15 @@ class QueryLatestStream:
 
     Answer modes: "auto" (default) answers JVM-side in whole-stage codegen
     for every parametrized kind ``pointquery.py`` covers — CountMin
-    frequency, Bloom/Cuckoo membership (integer keys; est_count 1/0) and
+    frequency, Bloom/Cuckoo membership (integer keys; est_count 1/0),
     DDSketch quantiles (numeric q column; answer column ``est_value``
-    double) — the snapshot is decoded once per batch and no query row
-    reaches Python (~20x the Python path's rate; closes the gap to the
-    reference's ~1M q/s/core source cap). Other kinds / key types fall back
-    to the vectorized Python path; "sql" requires the codegen path (raises
-    if ineligible); "python" forces the Arrow+numpy path (``query`` /
-    ``quantiles`` kernels).
+    double) and equi-width range estimates (``key_column=('lo', 'hi')``;
+    echoed key is "lo:hi") — the snapshot is decoded once per batch and no
+    query row reaches Python (~20x the Python path's rate; closes the gap
+    to the reference's ~1M q/s/core source cap). Other kinds / key types
+    fall back to the vectorized Python path; "sql" requires the codegen
+    path (raises if ineligible); "python" forces the Arrow+numpy path
+    (``query`` / ``quantiles`` / ``range_query`` kernels).
     """
     job: StreamingSynopsisJob
     out_dir: str
@@ -324,19 +325,26 @@ class QueryLatestStream:
         os.makedirs(self.out_dir, exist_ok=True)
         pend_dir = os.path.join(self.out_dir, "pending")
         target = os.path.join(self.out_dir, f"batch={int(batch_id)}")
-        key_col = self.key_column
+        # two-parameter kinds (equi-width range: lo/hi) pass key_column as a
+        # tuple/list; the echoed "key" output column joins them with ":"
+        key_cols = ([self.key_column] if isinstance(self.key_column, str)
+                    else list(self.key_column))
+        key_col = key_cols[0]
+        key_echo = (F.col(key_col).cast("string") if len(key_cols) == 1
+                    else F.concat_ws(":", *[F.col(c).cast("string")
+                                            for c in key_cols]))
 
         est_col, est_type = (("est_value", "double")
-                             if self.job.spec.kind == "ddsketch"
+                             if self.job.spec.kind in ("ddsketch", "equiwidth")
                              else ("est_count", "long"))
         if not latest:
             # no synopsis yet: park this batch (idempotent per batch id)
             os.makedirs(pend_dir, exist_ok=True)
-            (batch_df.select(F.col(key_col))
+            (batch_df.select(*[F.col(c) for c in key_cols])
              .write.mode("overwrite")
              .parquet(os.path.join(pend_dir, f"p{int(batch_id)}")))
             batch_df.limit(0).select(
-                F.col(key_col).cast("string").alias("key"),
+                key_echo.alias("key"),
                 F.lit(0).cast(est_type).alias(est_col),
                 F.lit(version).alias("snapshot_version"),
             ).write.mode("overwrite").parquet(target)
@@ -355,11 +363,11 @@ class QueryLatestStream:
             mine = sorted(p for p in os.listdir(pend_dir)
                           if p not in qled["answered_pending"] and p != own) \
                 if os.path.isdir(pend_dir) else []
-        work = batch_df.select(F.col(key_col))
+        work = batch_df.select(*[F.col(c) for c in key_cols])
         for p in mine:
             work = work.unionByName(
                 spark.read.parquet(os.path.join(pend_dir, p))
-                .select(F.col(key_col)))
+                .select(*[F.col(c) for c in key_cols]))
 
         blob = bytes(latest[0]["state"])
 
@@ -370,17 +378,22 @@ class QueryLatestStream:
         kind = syn0.KIND
         # codegen eligibility per kind (pointquery.py): frequency and
         # membership need integer keys (string keys hash in pandas);
-        # quantile takes a numeric q, always eligible
+        # quantile takes a numeric q and range a numeric (lo, hi) pair —
+        # always eligible
         sql_ok = ((kind in ("countmin", "bloom", "cuckoo")
                    and key_t in int_types)
-                  or kind == "ddsketch")
+                  or kind == "ddsketch"
+                  or (kind == "equiwidth" and len(key_cols) == 2))
+        if kind == "equiwidth" and len(key_cols) != 2:
+            raise ValueError("equiwidth range streams need key_column="
+                             "('lo', 'hi')")
         if self.answer_mode == "sql" and not sql_ok:
             raise ValueError(
                 "answer_mode='sql' needs an integer-keyed countmin/bloom/"
-                f"cuckoo or a ddsketch snapshot; got kind={kind!r}, "
-                f"key type {key_t!r}")
+                f"cuckoo, a ddsketch, or an equiwidth snapshot; got "
+                f"kind={kind!r}, key type {key_t!r}")
 
-        stamp = [F.col(key_col).cast("string").alias("key"),
+        stamp = [key_echo.alias("key"),
                  F.lit(version).cast("int").alias("snapshot_version")]
         if sql_ok and self.answer_mode in ("auto", "sql"):
             # zero Python per query: 1-row broadcast + whole-stage codegen
@@ -407,13 +420,38 @@ class QueryLatestStream:
                        .select(stamp[0],
                                F.col("member").cast("long")
                                 .alias("est_count"), stamp[1]))
-            else:  # ddsketch quantile stream
+            elif kind == "ddsketch":  # quantile stream
                 ans = (pq.quantile_point_queries(
                            work, key_col, pq.dd_quantile_state(syn0),
                            "est_value")
                        .select(stamp[0],
                                F.col("est_value").cast("double")
                                 .alias("est_value"), stamp[1]))
+            else:  # equi-width range stream
+                ans = (pq.range_point_queries(
+                           work, key_cols[0], key_cols[1],
+                           pq.hist_state(syn0), "est_value")
+                       .select(stamp[0],
+                               F.col("est_value").cast("double")
+                                .alias("est_value"), stamp[1]))
+        elif kind == "equiwidth":
+            def answer_r(batches):
+                syn = Synopsis.from_bytes(blob)  # decode once per partition
+                lo_c, hi_c = key_cols
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    est = [syn.range_query(float(a), float(b))
+                           for a, b in zip(pdf[lo_c], pdf[hi_c])]
+                    yield pd.DataFrame({
+                        "key": (pdf[lo_c].astype(str) + ":"
+                                + pdf[hi_c].astype(str)),
+                        "est_value": pd.Series(est).astype("float64"),
+                        "snapshot_version": version})
+
+            ans = work.mapInPandas(
+                answer_r,
+                schema="key string, est_value double, snapshot_version int")
         elif kind == "ddsketch":
             def answer_q(batches):
                 syn = Synopsis.from_bytes(blob)  # decode once per partition

@@ -161,8 +161,10 @@ def main(argv=None) -> None:
         job.start(spark, args.input, f"{args.checkpoint}/build",
                   max_files_per_trigger=args.max_files_per_trigger
                   ).awaitTermination()
+        qkey = (tuple(args.query_key.split(","))  # "lo,hi" = range stream
+                if "," in args.query_key else args.query_key)
         ql = QueryLatestStream(job, out_dir=f"{args.sink}/answers",
-                               key_column=args.query_key)
+                               key_column=qkey)
         q = ql.start(spark, args.queries, f"{args.checkpoint}/queries",
                      max_files_per_trigger=args.max_files_per_trigger)
     else:

@@ -321,3 +321,52 @@ def test_stream_quantile_and_membership_kinds(spark, tmp_path):
     ref = syn.query(np.arange(80))
     got = dict(answers["auto"])
     assert all(got[str(k)] == int(ref[k]) for k in range(80))
+
+
+def test_stream_range_kind(spark, tmp_path):
+    """QueryLatestStream serves two-parameter equi-width RANGE streams
+    (key_column=('lo','hi')): codegen 'auto' == forced 'python' == kernel,
+    including a pre-snapshot parked batch."""
+    from condor_spark import fixtures
+    from condor_spark.engine.streaming import (QueryLatestStream,
+                                               StreamingSynopsisJob)
+    from condor_spark.synopsis.base import Synopsis
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    spec = SynopsisSpec(kind="equiwidth",
+                        params=dict(lower=0.0, upper=500.0, num_buckets=20),
+                        column="value", ts_column="ts", window=Tumbling("30 day"))
+    job = StreamingSynopsisJob(spec, sink_dir=str(tmp_path / "sink"),
+                               watermark_delay="1 hour")
+    ranges = [(0.0, 500.0), (12.5, 237.5), (-10.0, 50.0), (450.0, 900.0)]
+    rdf = spark.createDataFrame(ranges, "lo double, hi double")
+
+    # pre-snapshot batch parks with BOTH columns, then is adopted
+    ql0 = QueryLatestStream(job, out_dir=str(tmp_path / "ans_park"),
+                            key_column=("lo", "hi"))
+    ql0.process_batch(rdf, 0)
+
+    src = str(tmp_path / "src")
+    fixtures.replay_in_order(spark, events, src, n_chunks=2)
+    job.start(spark, src, str(tmp_path / "ckpt")).awaitTermination(300)
+
+    syn = Synopsis.from_bytes(bytes(
+        job.read_state_df(spark).orderBy(F.col("window_end").desc())
+        .limit(1).collect()[0]["state"]))
+    answers = {}
+    for mode in ("auto", "python"):
+        ql = QueryLatestStream(job, out_dir=str(tmp_path / f"ans_{mode}"),
+                               key_column=("lo", "hi"), answer_mode=mode)
+        ql.process_batch(rdf, 0)
+        answers[mode] = sorted(
+            (r["key"], r["est_value"]) for r in ql.read_answers(spark).collect())
+    assert answers["auto"] == answers["python"] and len(answers["auto"]) == 4
+    got = dict(answers["auto"])
+    for lo, hi in ranges:
+        assert np.isclose(got[f"{lo}:{hi}"], syn.range_query(lo, hi),
+                          rtol=1e-12)
+
+    # the parked batch is answered by the first post-snapshot batch
+    ql0.process_batch(rdf.limit(0), 1)
+    parked = ql0.read_answers(spark).toPandas()
+    assert len(parked) == 4 and (parked["est_value"] >= 0).all()
