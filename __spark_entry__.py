@@ -1100,6 +1100,38 @@ def q_stream_query_latest(spark, sf_dir):
                       "key", "est_count")
 
 
+def q_stream_quantile_latest(spark, sf_dir):
+    """Continuous QUANTILE query stream against the latest DDSketch window
+    (QueryLatestStream kind dispatch → codegen unrolled binary search,
+    PLANS.md §12). Oracle: the DD estimator on the newest day bucket —
+    rank = max(1, ceil(q·n)), representative of the rank-th value — the
+    same replay as ddsketch_quantiles restricted to the last window."""
+    import tempfile
+
+    from condor_spark import fixtures
+    from condor_spark.engine.streaming import (QueryLatestStream,
+                                               StreamingSynopsisJob)
+
+    df = _events(spark, sf_dir).filter(F.col("value") > 0)
+    tmp = tempfile.mkdtemp(prefix="condor_qlq_")
+    fixtures.replay_in_order(spark, df, f"{tmp}/src", n_chunks=4)
+    spec = SynopsisSpec(kind="ddsketch",
+                        params=dict(relative_accuracy=0.01, max_num_bins=4096),
+                        column="value", ts_column="ts", window=Tumbling(DAY))
+    job = StreamingSynopsisJob(spec, sink_dir=f"{tmp}/sink",
+                               watermark_delay="1 hour")
+    job.start(spark, f"{tmp}/src", f"{tmp}/ckpt").awaitTermination(600)
+
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    fixtures.replay_in_order(
+        spark, spark.createDataFrame([(q,) for q in qs], "q double"),
+        f"{tmp}/qsrc", n_chunks=1, ts_col="q")
+    ql = QueryLatestStream(job, out_dir=f"{tmp}/answers", key_column="q")
+    ql.start(spark, f"{tmp}/qsrc", f"{tmp}/qckpt").awaitTermination(600)
+    return (ql.read_answers(spark)
+            .select("key", F.round("est_value", 6).alias("est_value")))
+
+
 def q_stream_join(spark, sf_dir):
     """Stateful stream-stream clip⋈transcript join (watermarks + lag-bounded
     state), availableNow over ordered file replay; rows-only check (the
@@ -1130,16 +1162,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ORDER MATTERS: the driver verifies the FIRST 50 entries per round, so
     the window is spent entirely on exact-oracle queries covering every
     SURVEY §2 component (r2 ran slots 1-50 and left 9 exact-oracle queries
-    unverified). Entries 51-61 are ALSO exact-oracle: 51-58 are twins of an
+    unverified). Entries 51-62 are ALSO exact-oracle: 51-58 are twins of an
     in-window sibling — same oracle AND same engine path (SQL-build /
     stream-sink variants whose pipeline is already evidenced in-window by
     cm_sql_frequency, stream_sketch_sql, hist4lt_sql_ranges et al.) — and
-    59-61 are the codegen point-query kinds (DD quantile / cuckoo
-    membership / equi-width range) whose kernels are in-window via
-    ddsketch_quantiles, cuckoo_membership and equiwidth_hist; all stay
-    verified by tests/test_entry.py every run. The trailing block is the
-    genuinely rows-only set (randomized samplers, LSH/IVF approximations,
-    media/audio feature pipelines)."""
+    59-62 are the codegen point-query kinds (DD quantile / cuckoo
+    membership / equi-width range / streamed quantile) whose kernels are
+    in-window via ddsketch_quantiles, cuckoo_membership, equiwidth_hist
+    and stream_query_latest; all stay verified by tests/test_entry.py
+    every run. The trailing block is the genuinely rows-only set
+    (randomized samplers, LSH/IVF approximations, media/audio feature
+    pipelines)."""
     return {
         # ---- slots 1-50: exact-oracle, full component cover -------------
         # synopsis kernels through the distributed build
@@ -1213,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_quantile_pointquery": q_dd_quantile_pointquery,
         "cuckoo_pointquery": q_cuckoo_pointquery,
         "equiwidth_rangequery": q_equiwidth_rangequery,
+        "stream_quantile_latest": q_stream_quantile_latest,
         # ---- rows-only (genuinely randomized / approximate / media) -----
         "reservoir_sample": q_reservoir_sample,
         "biased_reservoir": q_biased_reservoir,
@@ -1910,6 +1944,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT qs.q,
                ROUND(2 * pow(1.01/0.99, ceil(ln(r.value) / ln(1.01/0.99)))
                      / (1.01/0.99 + 1), 6) AS quantile
+        FROM r JOIN qs ON r.rn = greatest(1, CAST(ceil(qs.q * r.n) AS BIGINT))
+    """
+    oracles["stream_quantile_latest"] = """
+        WITH last AS (SELECT max(time_bucket(INTERVAL '1 day', ts)) ws
+                      FROM events WHERE value > 0),
+             r AS (SELECT value, row_number() OVER (ORDER BY value) rn,
+                          count(*) OVER () n
+                   FROM events, last
+                   WHERE value > 0
+                     AND time_bucket(INTERVAL '1 day', ts) = last.ws),
+             qs AS (SELECT CAST(unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+                                AS DOUBLE) AS q)
+        SELECT CAST(qs.q AS VARCHAR) AS key,
+               ROUND(2 * pow(1.01/0.99, ceil(ln(r.value) / ln(1.01/0.99)))
+                     / (1.01/0.99 + 1), 6) AS est_value
         FROM r JOIN qs ON r.rn = greatest(1, CAST(ceil(qs.q * r.n) AS BIGINT))
     """
     oracles["cuckoo_pointquery"] = """
