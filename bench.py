@@ -348,6 +348,64 @@ def error_metrics(spark, sf_dir: str) -> dict:
                        # item; the sketch guarantees a value within α of an
                        # item whose rank differs by the bin rounding
                        "within_2_alpha": bool((rel <= 0.02).all())}
+
+    # Bloom FP rate vs the reference test oracle (BloomFilterTest.java:
+    # 32-56: observed FP rate ≤ (1 − e^(−kn/m))^k). merge_mode='union' so
+    # the distributed build equals one filter over all rows, which is what
+    # the reference's single-filter test measures (the default 'intersect'
+    # reproduces their AND-merge quirk, a different contract).
+    import math
+
+    import numpy as np
+
+    from condor_spark.engine.builder import SynopsisSpec, build_batch
+    from condor_spark.engine.windows import GlobalWindow
+    from condor_spark.synopsis.base import Synopsis
+
+    ev = spark.read.parquet(ev_pq)
+    spec = SynopsisSpec(
+        kind="bloom",
+        params=dict(n_bits=16384, max_elements=1500, seed=7,
+                    merge_mode="union"),
+        column="user_id", window=GlobalWindow())
+    bf = Synopsis.from_bytes(bytes(
+        build_batch(ev, spec).limit(1).collect()[0]["state"]))
+    present = con.sql(f"""
+        SELECT DISTINCT user_id FROM read_parquet('{ev_pq}')
+        """).df()["user_id"].to_numpy()
+    absent = np.arange(int(present.max()) + 501, int(present.max()) + 5501)
+    fp = float(bf.query(absent).mean())
+    bound = (1 - math.exp(-bf.k * len(present) / bf.n_bits)) ** bf.k
+    out["bloom"] = {
+        "fp_rate": round(fp, 5), "n": int(len(present)),
+        "m_bits": int(bf.n_bits), "k": int(bf.k),
+        "bound_1_minus_exp": round(bound, 5),
+        "within_bound": bool(fp <= bound),
+        "no_false_negatives": bool(bf.query(present).all())}
+
+    # Sample uniformity (the reference's sampler tests assert the sample
+    # tracks the input distribution): reservoir over the dense unique
+    # event_id domain; two-sided KS vs uniform at alpha=0.01
+    spec = SynopsisSpec(kind="reservoir",
+                        params=dict(sample_size=500, seed=7),
+                        column="event_id", window=GlobalWindow())
+    rs = Synopsis.from_bytes(bytes(
+        build_batch(ev, spec).limit(1).collect()[0]["state"]))
+    s = np.sort(np.asarray(rs.sample, dtype=float))
+    n_ids = int(con.sql(f"""
+        SELECT max(event_id) + 1 FROM read_parquet('{ev_pq}')
+        """).df().iloc[0, 0])
+    ecdf = np.arange(1, len(s) + 1) / len(s)
+    u = (s + 1) / n_ids
+    ks = float(np.max(np.maximum(np.abs(ecdf - u),
+                                 np.abs(ecdf - 1 / len(s) - u))))
+    ks_bound = 1.63 / math.sqrt(len(s))  # alpha = 0.01
+    out["sample_uniformity"] = {
+        "n_sample": int(len(s)), "ks_stat": round(ks, 4),
+        "ks_bound_alpha_0p01": round(ks_bound, 4),
+        "within_bound": bool(ks <= ks_bound),
+        "sample_mean": round(float(s.mean()), 1),
+        "uniform_mean": round((n_ids - 1) / 2, 1)}
     return out
 
 
