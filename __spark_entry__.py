@@ -424,13 +424,18 @@ def q_bucketed_join(spark, sf_dir):
     bucketed by user_id, so the join + keyed aggregation plan with ZERO
     Exchange (asserted in tests/test_catalog.py; plan in PLANS.md §10).
     Per-user rollup joined to a derived user dim; exact-count oracle."""
-    import tempfile
+    import os
 
     from condor_spark.engine.catalog import Catalog
 
     df = _events(spark, sf_dir)
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="condor_bj_"),
-                  namespace="condorq", force_parquet=True)
+    # deterministic warehouse dir per scale factor: write_bucketed mode
+    # 'overwrite' replaces the tables in place, so repeated runs (driver,
+    # bench reps) keep exactly ONE bucketed copy instead of leaking a fresh
+    # mkdtemp per call
+    wh = f"/tmp/condor_bj_{os.path.basename(sf_dir.rstrip('/'))}"
+    os.makedirs(wh, exist_ok=True)
+    cat = Catalog(spark, wh, namespace="condorq", force_parquet=True)
     dim = (df.select("user_id").distinct()
              .withColumn("segment", F.pmod(F.col("user_id"), F.lit(5))))
     cat.write_bucketed(df, "events_b", ["user_id"], 8, sort_cols=["user_id"])

@@ -427,7 +427,8 @@ def _clips_table(spark, n_clips: int, dur_cap: int | None = None) -> str:
 
 
 def audio_throughput(spark, n_clips: int, cpus: int, reps: int = 2,
-                     dur_cap: int | None = None) -> dict:
+                     dur_cap: int | None = None,
+                     materialized: bool = True) -> dict:
     """clips/sec through read→decode→features→windowed stratified sketch
     (the BASELINE.json metric). A small untimed pass warms workers / codegen
     / page cache; best of ``reps`` timed passes is reported — the host VM's
@@ -457,7 +458,15 @@ def audio_throughput(spark, n_clips: int, cpus: int, reps: int = 2,
     # steady-state regime (PLANS.md §13): at 10^12 clips the decode runs
     # ONCE (jobs/synopsis_job.py --mode features materializes it resumably)
     # and every synopsis/query workload scans the narrow feature table —
-    # time that table's build rate separately, decode amortized to zero
+    # time that table's build rate separately, decode amortized to zero.
+    # Scaling-sweep children skip this block (materialized=False): they
+    # consume only clips_per_sec, and the extra decode pass + reps would
+    # double their untimed work for a discarded number.
+    if not materialized:
+        return {"clips": n_clips, "sec": best,
+                "clips_per_sec": n_clips / best,
+                "rep_secs": [round(w, 2) for w in walls],
+                "storm_detected": bool(max(walls) > 3 * min(walls))}
     feat_path = src + "_features"
     if not os.path.exists(os.path.join(feat_path, "_SUCCESS")):
         (decode_features_arrow(spark.read.parquet(src), passthrough=("ts",))
@@ -507,8 +516,11 @@ def main() -> None:
         # best-of-reps within the JVM: this host shows 15x swings between
         # IDENTICAL back-to-back reps (a kernel-time storm outside our
         # control — see BASELINE.md), so min-wall is the capability number
+        # sweep children (they pass a dur_cap) read only clips_per_sec —
+        # skip the materialized-table block there
         out = audio_throughput(spark, clips, cpus, reps=reps,
-                               dur_cap=dur_cap)
+                               dur_cap=dur_cap,
+                               materialized=dur_cap is None)
         spark.stop()
         print(json.dumps(out))
         return

@@ -362,9 +362,12 @@ def decode_features_arrow(df, n_frames: int = 20,
     (``clip_features`` — a 25k-sample clip fits in L2, so the per-clip loop
     beats whole-batch vectorization, which is DRAM-bandwidth-bound across
     12 M-element arrays: measured 0.11 s vs 0.63 s per 500 clips).
-    ``n_tokens`` uses Arrow's ``count_substring_regex(r"\\S+")``
-    (== ``len(s.split())``). Output is BIT-IDENTICAL to
-    ``decode_features`` (same kernels, same float paths).
+    ``n_tokens`` is ``len(str(s).split())`` per row — the SAME Python
+    tokenizer as ``decode_features`` (RE2's ``\\S`` is ASCII-only, so
+    ``count_substring_regex`` would diverge on Unicode whitespace such as
+    NBSP or ``\\x0b``; transcripts are tiny next to the audio bytes, so the
+    per-row loop costs nothing). Output is BIT-IDENTICAL to
+    ``decode_features`` (same kernels, same float paths, same tokenizer).
 
     Measured end to end the pipeline is Arrow-IPC bound either way (~0.4
     GB/s of encoded bytes into the Python worker pool at local[8]; scan
@@ -380,7 +383,6 @@ def decode_features_arrow(df, n_frames: int = 20,
     Null clips are not supported (the clips table is NOT NULL by
     construction)."""
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     in_dtypes = dict(df.dtypes)
     extra_schema = "".join(f", {c} {in_dtypes[c]}" for c in passthrough)
@@ -425,7 +427,12 @@ def decode_features_arrow(df, n_frames: int = 20,
             for k in _FKEYS:
                 feats[k][i] = f[k]
 
-        n_tok = pc.count_substring_regex(rb.column(col("transcript")), r"\S+")
+        # parity with decode_features: Python str.split() (Unicode
+        # whitespace; None → "None" → 1), NOT RE2 \S+ (ASCII-only)
+        n_tok = pa.array(
+            [len(str(s).split()) for s in
+             rb.column(col("transcript")).to_pylist()],
+            type=pa.int32())
         cols = {
             "clip_id": rb.column(col("clip_id")),
             "codec": rb.column(col("codec")),

@@ -133,12 +133,7 @@ def frequency_point_queries(queries_df: DataFrame, key_col: str,
     ``cells[r*width + H3_r(key) % width]`` — bit-identical to
     ``CountMinSketch.query`` for integer keys (``CountMinSketch.java:
     96-113``). ``cells`` comes from ``cm_cells`` of the snapshot window."""
-    kt = dict(queries_df.dtypes).get(key_col)
-    if kt not in _INT_TYPES:
-        raise ValueError(
-            f"frequency_point_queries needs an integer key column; {key_col} "
-            f"is {kt!r} (string keys take the Python path — strings_to_ints "
-            "is a pandas hash)")
+    _require_int_key(queries_df, key_col, "frequency_point_queries")
     if len(cells) != width * height:
         raise ValueError(f"cells length {len(cells)} != width*height "
                          f"{width * height}")
@@ -162,10 +157,7 @@ def membership_point_queries(queries_df: DataFrame, key_col: str,
     """Bloom membership in pure codegen: AND over ``bits[H3_j(key) %
     n_bits]`` — bit-identical to ``BloomFilter.query`` for integer keys
     (``BloomFilter.java`` k-probe semantics)."""
-    kt = dict(queries_df.dtypes).get(key_col)
-    if kt not in _INT_TYPES:
-        raise ValueError(f"membership_point_queries needs an integer key "
-                         f"column; {key_col} is {kt!r}")
+    _require_int_key(queries_df, key_col, "membership_point_queries")
     if len(bits) != n_bits:
         raise ValueError(f"bits length {len(bits)} != n_bits {n_bits}")
     q = _attach(queries_df, bits, "boolean")

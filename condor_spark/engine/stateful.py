@@ -441,6 +441,14 @@ class StatefulOrderedStream:
     slice flushes (a per-key sentinel row could only ever flush its own
     stratum). Without a cutoff the stream is treated as endless and the
     trailing partial slice stays open in state.
+
+    CHECKPOINT COMPATIBILITY: the reorder buffer widened the GroupState
+    row from 3 fields (blob, open_n, next_slice) to 6 (+ pending, max_ts,
+    n_disordered). Spark state rows carry no version tag, so a checkpoint
+    written by the 3-field schema CANNOT be resumed by this code (the
+    first batch fails on the state unpack) — restart such jobs with a
+    fresh checkpoint directory and replay the source (the sink is
+    idempotent, so a replay converges to the same output).
     """
     spec: SynopsisSpec
     slice_count: int

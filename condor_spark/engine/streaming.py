@@ -371,8 +371,8 @@ class QueryLatestStream:
 
         blob = bytes(latest[0]["state"])
 
-        int_types = {"tinyint", "smallint", "int", "bigint", "long",
-                     "integer", "short", "byte"}
+        from .pointquery import _INT_TYPES as int_types
+
         syn0 = Synopsis.from_bytes(blob)  # driver decode: O(sketch), per batch
         key_t = dict(work.dtypes)[key_col]
         kind = syn0.KIND

@@ -119,14 +119,20 @@ def test_decode_features_arrow_bit_identical(spark):
             assert (a[c] == b[c]).all(), c
     # messy transcripts: n_tokens must still equal len(s.split())
     import pandas as pd
-    pdf = fixtures.clips_pandas(8)
+    pdf = fixtures.clips_pandas(12)
+    # includes whitespace only Python str.split() knows (\x0b VT, \xa0
+    # NBSP, \x1d GS): ASCII-only tokenizers (RE2 \S+) and even Unicode
+    # White_Space (no \x1c-\x1f) diverge here — both Spark paths must
+    # match Python split exactly
     pdf["transcript"] = ["", " a  b ", "x", "a\tb\nc", "  ", "q w e r t",
-                         "one", "a b"]
+                         "one", "a b", "a\x0bb", "a\xa0b c", " z ",
+                         "m\x1dn"]
     messy = spark.createDataFrame(pdf)
-    got = (decode_features_arrow(messy).toPandas()
-           .sort_values("clip_id").reset_index(drop=True))
     want = [len(s.split()) for s in pdf.sort_values("clip_id")["transcript"]]
-    assert list(got["n_tokens"]) == want
+    for path in (decode_features_arrow, decode_features):
+        got = (path(messy).toPandas()
+               .sort_values("clip_id").reset_index(drop=True))
+        assert list(got["n_tokens"]) == want, path.__name__
 
 
 def test_new_codecs_through_both_spark_paths(spark):

@@ -237,6 +237,7 @@ def test_spark_submit_querylatest_job(tmp_path):
         assert row["est_count"] == exact.get(row["key"], 0), row["key"]
 
 
+@pytest.mark.slow
 def test_spark_submit_querylatest_quantile_job(tmp_path):
     """The deployed query job serves QUANTILE streams too: --kind ddsketch
     with a q-valued query table; answers must equal the committed snapshot
