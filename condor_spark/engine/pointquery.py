@@ -99,6 +99,19 @@ def hist_state(syn) -> dict:
             "num_buckets": int(syn.num_buckets)}
 
 
+def hist4lt_state(syn) -> dict:
+    """An EquiWidth4LTHistogram snapshot through its LOSSY compressed view
+    (``decoded_frequency()`` — the bins a reader of the 4LT encoding sees):
+    with these bins, ``range_point_queries`` answers exactly
+    ``range_query_compressed`` (``EquiWidthHistogram4LT.rangeQuery``)."""
+    dec = syn.decoded_frequency()
+    prefix = np.concatenate([[0], np.cumsum(dec)]).astype(np.int64)
+    return {"freqs": [int(v) for v in dec],
+            "prefix": [int(v) for v in prefix],
+            "lower": float(syn.lower), "upper": float(syn.upper),
+            "num_buckets": int(syn.num_buckets)}
+
+
 def _attach(queries_df: DataFrame, cells: list, cells_type: str) -> DataFrame:
     spark = queries_df.sparkSession
     one = spark.createDataFrame([(cells,)], f"__cells array<{cells_type}>")
@@ -396,10 +409,15 @@ def query_latest_range(syn_df: DataFrame, queries_df: DataFrame,
                        lo_col: str = "lo", hi_col: str = "hi",
                        out_col: str = "est_count") -> DataFrame:
     """``queryLatest`` range estimates against the newest equi-width
-    histogram snapshot, answered JVM-side in O(1) per query."""
+    histogram snapshot, answered JVM-side in O(1) per query. A 4LT-
+    compressed snapshot answers through its lossy decoded view
+    (= ``range_query_compressed``)."""
+    from ..synopsis.histograms import EquiWidth4LTHistogram
+
     syn = _latest(syn_df)
     if syn is None:
         return (queries_df.limit(0)
                 .withColumn(out_col, F.lit(0.0).cast("double")))
-    return range_point_queries(queries_df, lo_col, hi_col,
-                               hist_state(syn), out_col)
+    state = (hist4lt_state(syn) if isinstance(syn, EquiWidth4LTHistogram)
+             else hist_state(syn))
+    return range_point_queries(queries_df, lo_col, hi_col, state, out_col)

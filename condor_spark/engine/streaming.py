@@ -335,7 +335,8 @@ class QueryLatestStream:
                                             for c in key_cols]))
 
         est_col, est_type = (("est_value", "double")
-                             if self.job.spec.kind in ("ddsketch", "equiwidth")
+                             if self.job.spec.kind in
+                             ("ddsketch", "equiwidth", "equiwidth4lt")
                              else ("est_count", "long"))
         if not latest:
             # no synopsis yet: park this batch (idempotent per batch id)
@@ -383,8 +384,9 @@ class QueryLatestStream:
         sql_ok = ((kind in ("countmin", "bloom", "cuckoo")
                    and key_t in int_types)
                   or kind == "ddsketch"
-                  or (kind == "equiwidth" and len(key_cols) == 2))
-        if kind == "equiwidth" and len(key_cols) != 2:
+                  or (kind in ("equiwidth", "equiwidth4lt")
+                      and len(key_cols) == 2))
+        if kind in ("equiwidth", "equiwidth4lt") and len(key_cols) != 2:
             raise ValueError("equiwidth range streams need key_column="
                              "('lo', 'hi')")
         if self.answer_mode == "sql" and not sql_ok:
@@ -427,21 +429,25 @@ class QueryLatestStream:
                        .select(stamp[0],
                                F.col("est_value").cast("double")
                                 .alias("est_value"), stamp[1]))
-            else:  # equi-width range stream
+            else:  # equi-width range stream (4LT: lossy decoded view)
+                hstate = (pq.hist4lt_state(syn0) if kind == "equiwidth4lt"
+                          else pq.hist_state(syn0))
                 ans = (pq.range_point_queries(
                            work, key_cols[0], key_cols[1],
-                           pq.hist_state(syn0), "est_value")
+                           hstate, "est_value")
                        .select(stamp[0],
                                F.col("est_value").cast("double")
                                 .alias("est_value"), stamp[1]))
-        elif kind == "equiwidth":
+        elif kind in ("equiwidth", "equiwidth4lt"):
             def answer_r(batches):
                 syn = Synopsis.from_bytes(blob)  # decode once per partition
+                rq = (syn.range_query_compressed if kind == "equiwidth4lt"
+                      else syn.range_query)
                 lo_c, hi_c = key_cols
                 for pdf in batches:
                     if pdf.empty:
                         continue
-                    est = [syn.range_query(float(a), float(b))
+                    est = [rq(float(a), float(b))
                            for a, b in zip(pdf[lo_c], pdf[hi_c])]
                     yield pd.DataFrame({
                         "key": (pdf[lo_c].astype(str) + ":"

@@ -370,3 +370,50 @@ def test_stream_range_kind(spark, tmp_path):
     ql0.process_batch(rdf.limit(0), 1)
     parked = ql0.read_answers(spark).toPandas()
     assert len(parked) == 4 and (parked["est_value"] >= 0).all()
+
+
+def test_query_latest_range_4lt(spark, tmp_path):
+    """A 4LT-compressed snapshot answers range queries through its lossy
+    decoded view — query_latest_range and the range STREAM both equal
+    range_query_compressed."""
+    from condor_spark import fixtures
+    from condor_spark.engine.streaming import (QueryLatestStream,
+                                               StreamingSynopsisJob)
+    from condor_spark.synopsis.base import Synopsis
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    spec = SynopsisSpec(kind="equiwidth4lt",
+                        params=dict(lower=0.0, upper=500.0, num_buckets=16),
+                        column="value", ts_column="ts", window=Tumbling("30 day"))
+    syn_df = build_batch(events, spec)
+    syn = Synopsis.from_bytes(bytes(
+        syn_df.orderBy(F.col("window_end").desc()).limit(1)
+        .collect()[0]["state"]))
+    ranges = [(0.0, 500.0), (31.25, 250.0), (100.0, 300.0), (-5.0, 62.5)]
+    rdf = spark.createDataFrame(ranges, "lo double, hi double")
+    got = {(r["lo"], r["hi"]): r["est_count"] for r in
+           pq.query_latest_range(syn_df, rdf).collect()}
+    for lo, hi in ranges:
+        assert np.isclose(got[(lo, hi)], syn.range_query_compressed(lo, hi),
+                          rtol=1e-12), (lo, hi)
+
+    job = StreamingSynopsisJob(spec, sink_dir=str(tmp_path / "sink"),
+                               watermark_delay="1 hour")
+    src = str(tmp_path / "src")
+    fixtures.replay_in_order(spark, events, src, n_chunks=2)
+    job.start(spark, src, str(tmp_path / "ckpt")).awaitTermination(300)
+    answers = {}
+    for mode in ("auto", "python"):
+        ql = QueryLatestStream(job, out_dir=str(tmp_path / f"ans_{mode}"),
+                               key_column=("lo", "hi"), answer_mode=mode)
+        ql.process_batch(rdf, 0)
+        answers[mode] = sorted(
+            (r["key"], r["est_value"]) for r in ql.read_answers(spark).collect())
+    assert answers["auto"] == answers["python"] and len(answers["auto"]) == 4
+    ssyn = Synopsis.from_bytes(bytes(
+        job.read_state_df(spark).orderBy(F.col("window_end").desc())
+        .limit(1).collect()[0]["state"]))
+    got = dict(answers["auto"])
+    for lo, hi in ranges:
+        assert np.isclose(got[f"{lo}:{hi}"],
+                          ssyn.range_query_compressed(lo, hi), rtol=1e-12)
