@@ -31,6 +31,22 @@ from condor_spark.engine.windows import (CountTumbling, GlobalWindow, Session,
 DAY = "1 day"
 NTZ = "timestamp_ntz"
 
+def _fresh_tmp(name: str, sf_dir: str) -> str:
+    """One deterministic scratch dir per (query, scale factor), WIPED on
+    entry: streaming queries need virgin checkpoint/sink/ledger state (a
+    stale exactly-once ledger would replay-short-circuit their batches),
+    but a fresh mkdtemp per call leaks an events-sized directory into /tmp
+    on every driver/bench/test run — wipe-and-reuse bounds the footprint
+    to one live copy per query."""
+    import os
+    import shutil
+
+    path = f"/tmp/condor_q_{name}_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    return path
+
+
 
 def _events(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -242,7 +258,6 @@ def q_stream_wavelet(spark, sf_dir):
     elements; emitted slices unify by concatenation, so a full replay
     answers range sums identically to the batch build (shares the
     wavelet_range_sums oracle)."""
-    import tempfile
 
     from condor_spark import fixtures
     from condor_spark.engine.stateful import StatefulOrderedStream
@@ -250,7 +265,7 @@ def q_stream_wavelet(spark, sf_dir):
     df = _events(spark, sf_dir)
     max_ts = df.agg(F.max("ts")).collect()[0][0]
     cutoff = pd.Timestamp(max_ts) + pd.Timedelta(days=1)
-    tmp = tempfile.mkdtemp(prefix="condor_ow_")
+    tmp = _fresh_tmp("ow", sf_dir)
     fixtures.replay_in_order(spark, df, f"{tmp}/src", n_chunks=5,
                              flush_ts=[cutoff + pd.Timedelta(days=1),
                                        cutoff + pd.Timedelta(days=2)])
@@ -907,13 +922,12 @@ def q_cep_chain3(spark, sf_dir):
 def q_stream_cep_sequence(spark, sf_dir):
     """CEP streaming: keyed pending-event state; pairs emit exactly once at
     the later element's arrival, so a full replay equals the batch join."""
-    import tempfile
 
     from condor_spark import fixtures
     from condor_spark.engine.cep import StatefulSequenceStream
 
     df = _events(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="condor_cep_")
+    tmp = _fresh_tmp("cep", sf_dir)
     src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
     fixtures.replay_in_order(spark, df, src, n_chunks=5)
 
@@ -930,7 +944,6 @@ def q_stream_stateful_frequency(spark, sf_dir):
     """The applyInPandasWithState streaming path, end-to-end: ordered file
     replay → watermark → keyed sketch state → event-time-timeout emission.
     Closed windows must match the exact batch oracle (cm_user_frequency)."""
-    import tempfile
 
     from condor_spark import fixtures
     from condor_spark.engine.stateful import StatefulSynopsisStream
@@ -938,7 +951,7 @@ def q_stream_stateful_frequency(spark, sf_dir):
     df = _events(spark, sf_dir)
     max_ts = df.agg(F.max("ts")).collect()[0][0]
     cutoff = pd.Timestamp(max_ts) + pd.Timedelta(days=1)
-    tmp = tempfile.mkdtemp(prefix="condor_stateful_")
+    tmp = _fresh_tmp("stateful", sf_dir)
     src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
     fixtures.replay_in_order(
         spark, df, src, n_chunks=5,
@@ -962,7 +975,6 @@ def q_stream_sketch_sql(spark, sf_dir):
     windowed cell counts in append mode, blobs assembled per closed window
     in foreachBatch. Closed windows are byte-identical to the batch build,
     so this shares cm_user_frequency's exact oracle."""
-    import tempfile
 
     from condor_spark import fixtures
     from condor_spark.engine.sqlbuild import StreamingSketchSQLJob
@@ -970,7 +982,7 @@ def q_stream_sketch_sql(spark, sf_dir):
     df = _events(spark, sf_dir)
     max_ts = df.agg(F.max("ts")).collect()[0][0]
     cutoff = pd.Timestamp(max_ts) + pd.Timedelta(days=1)
-    tmp = tempfile.mkdtemp(prefix="condor_sqlstream_")
+    tmp = _fresh_tmp("sqlstream", sf_dir)
     src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
     fixtures.replay_in_order(
         spark, df, src, n_chunks=5,
@@ -993,7 +1005,6 @@ def q_stream_sessions(spark, sf_dir):
     """Streaming session windows (gap-merge in applyInPandasWithState);
     closed sessions must equal the batch sessionization → shares the exact
     session_windows oracle."""
-    import tempfile
 
     from condor_spark import fixtures
     from condor_spark.engine.stateful import StatefulSessionStream
@@ -1001,7 +1012,7 @@ def q_stream_sessions(spark, sf_dir):
     df = _events(spark, sf_dir)
     max_ts = df.agg(F.max("ts")).collect()[0][0]
     cutoff = pd.Timestamp(max_ts) + pd.Timedelta(days=1)
-    tmp = tempfile.mkdtemp(prefix="condor_sessions_")
+    tmp = _fresh_tmp("sessions", sf_dir)
     fixtures.replay_in_order(
         spark, df, f"{tmp}/src", n_chunks=5,
         flush_ts=[cutoff + pd.Timedelta(days=40), cutoff + pd.Timedelta(days=80)])
@@ -1025,7 +1036,6 @@ def q_stream_sliding(spark, sf_dir):
     expanded into their windows JVM-side, keyed state merges them, windows
     fire on event-time timeout. Every closed window must match the batch
     sliding build → shares the exact sliding_counts oracle."""
-    import tempfile
 
     from condor_spark import fixtures
     from condor_spark.engine.stateful import StatefulSynopsisStream
@@ -1033,7 +1043,7 @@ def q_stream_sliding(spark, sf_dir):
     df = _events(spark, sf_dir)
     max_ts = df.agg(F.max("ts")).collect()[0][0]
     cutoff = pd.Timestamp(max_ts) + pd.Timedelta(days=2)
-    tmp = tempfile.mkdtemp(prefix="condor_sliding_")
+    tmp = _fresh_tmp("sliding", sf_dir)
     fixtures.replay_in_order(
         spark, df, f"{tmp}/src", n_chunks=5,
         flush_ts=[cutoff + pd.Timedelta(days=40), cutoff + pd.Timedelta(days=80)])
@@ -1053,7 +1063,6 @@ def q_stream_sliding(spark, sf_dir):
 def q_stream_count_windows(spark, sf_dir):
     """Streaming count windows (applyInPandasWithState counter); emitted
     full windows match the batch global-order routing exactly."""
-    import tempfile
 
     from condor_spark import fixtures
     from condor_spark.engine.stateful import StatefulCountWindowStream
@@ -1062,7 +1071,7 @@ def q_stream_count_windows(spark, sf_dir):
     spec = SynopsisSpec(kind="hll", params=dict(log_reg_num=4, seed=7),
                         column="event_id", ts_column="ts",
                         window=CountTumbling(1000), tiebreak_column="event_id")
-    tmp = tempfile.mkdtemp(prefix="condor_cw_")
+    tmp = _fresh_tmp("cw", sf_dir)
     fixtures.replay_in_order(spark, df, f"{tmp}/src", n_chunks=5)
     q = StatefulCountWindowStream(spec, count=1000).start(
         spark, f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt", max_files_per_trigger=1)
@@ -1077,14 +1086,13 @@ def q_stream_query_latest(spark, sf_dir):
     per micro-batch against the newest committed window (broadcast blob,
     vectorized answers, no shuffle). CM at this width is exact, so every
     answer matches the newest window's true counts."""
-    import tempfile
 
     from condor_spark import fixtures
     from condor_spark.engine.streaming import (QueryLatestStream,
                                                StreamingSynopsisJob)
 
     df = _events(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="condor_qls_")
+    tmp = _fresh_tmp("qls", sf_dir)
     fixtures.replay_in_order(spark, df, f"{tmp}/src", n_chunks=5)
     spec = SynopsisSpec(kind="countmin", params=dict(width=8192, height=5, seed=7),
                         column="user_id", ts_column="ts", window=Tumbling(DAY))
@@ -1111,14 +1119,13 @@ def q_stream_quantile_latest(spark, sf_dir):
     PLANS.md §12). Oracle: the DD estimator on the newest day bucket —
     rank = max(1, ceil(q·n)), representative of the rank-th value — the
     same replay as ddsketch_quantiles restricted to the last window."""
-    import tempfile
 
     from condor_spark import fixtures
     from condor_spark.engine.streaming import (QueryLatestStream,
                                                StreamingSynopsisJob)
 
     df = _events(spark, sf_dir).filter(F.col("value") > 0)
-    tmp = tempfile.mkdtemp(prefix="condor_qlq_")
+    tmp = _fresh_tmp("qlq", sf_dir)
     fixtures.replay_in_order(spark, df, f"{tmp}/src", n_chunks=4)
     spec = SynopsisSpec(kind="ddsketch",
                         params=dict(relative_accuracy=0.01, max_num_bins=4096),
@@ -1141,14 +1148,13 @@ def q_stream_join(spark, sf_dir):
     """Stateful stream-stream clip⋈transcript join (watermarks + lag-bounded
     state), availableNow over ordered file replay; rows-only check (the
     joined table's own invariants are asserted in tests/test_stateful.py)."""
-    import tempfile
 
     from condor_spark import fixtures
     from condor_spark.engine.joins import run_join_to_parquet, split_streams
 
     clips = fixtures.audio_clips(spark, 400, num_partitions=4)
     audio, txt = split_streams(clips, lag="5 seconds")
-    tmp = tempfile.mkdtemp(prefix="condor_join_")
+    tmp = _fresh_tmp("join", sf_dir)
     a_dir, t_dir = f"{tmp}/audio", f"{tmp}/text"
     audio.repartitionByRange(3, "audio_ts").write.parquet(a_dir)
     txt.repartitionByRange(3, "txt_ts").write.parquet(t_dir)
