@@ -1167,23 +1167,102 @@ def q_stream_join(spark, sf_dir):
             .orderBy("clip_id"))
 
 
+def q_stream_join_events(spark, sf_dir):
+    """Stateful stream-stream join with an EXACT oracle (the north-rule
+    "stateful join" surface over the driver's own table): events is split
+    at the producer into a head stream (event_id, ts, user_id, event_type,
+    value) and a detail stream (event_id, props) whose arrival lags the
+    head by lag(event_id) = (event_id*7919 mod 8s) — deterministic, so
+    DuckDB replays the whole pipeline as a relational join. The watermarked
+    lag-bounded inner join (max_lag = 5s < the 8s lag domain) keeps exactly
+    the rows whose derived lag fits the bound — the range predicate
+    genuinely filters AND bounds the state store — and each side replays as
+    4 mtime-ordered file batches (maxFilesPerTrigger=1), so unmatched rows
+    carry across micro-batch boundaries in the symmetric-hash-join state."""
+    from condor_spark import fixtures
+    from condor_spark.engine.joins import lag_bounded_join
+
+    df = _events(spark, sf_dir)
+    # watermarks demand TIMESTAMP (not the parquet NTZ); the session TZ is
+    # UTC, so the cast is lossless and the result casts back to NTZ below
+    head = df.select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+                     "user_id", "event_type", "value")
+    detail = df.select(
+        "event_id", "props",
+        F.timestamp_micros(F.unix_micros(F.col("ts").cast("timestamp"))
+                           + F.pmod(F.col("event_id") * 7919,
+                                    F.lit(8_000_000))).alias("d_ts"))
+    tmp = _fresh_tmp("joinev", sf_dir)
+    fixtures.replay_in_order(spark, head, f"{tmp}/head", n_chunks=4,
+                             ts_col="ts")
+    fixtures.replay_in_order(spark, detail, f"{tmp}/detail", n_chunks=4,
+                             ts_col="d_ts")
+    h = (spark.readStream.schema(head.schema)
+         .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/head"))
+    d = (spark.readStream.schema(detail.schema)
+         .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/detail"))
+    joined = lag_bounded_join(h, d, key="event_id", left_ts="ts",
+                              right_ts="d_ts", max_lag="5 seconds",
+                              watermark_delay="60 seconds")
+    q = (joined.writeStream.format("parquet").option("path", f"{tmp}/out")
+         .option("checkpointLocation", f"{tmp}/ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    got = spark.read.parquet(f"{tmp}/out")
+    return got.select("event_id", "user_id", "event_type", "value", "props",
+                      F.col("ts").cast(NTZ).alias("ts"),
+                      F.col("d_ts").cast(NTZ).alias("d_ts"))
+
+
+def q_skew_salted_agg(spark, sf_dir):
+    """North-rule skew remedy #1 (engine/skew.py): a holistic per-key pass
+    over a hot-key distribution, run as per-(key, salt-lane) applyInPandas
+    partials + an algebraic merge across lanes, so no task ever receives a
+    whole hot key's rows (event_type is the hot key). The per-lane partial
+    sums integer cents (order-independent), so the 8-way lane split is
+    bitwise-invisible and the result equals the plain GROUP BY oracle."""
+    from condor_spark.engine.skew import with_salt
+
+    df = _events(spark, sf_dir).select("event_type", "value")
+    salted = with_salt(df, buckets=8)
+
+    def lane_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        # HALF_UP cents (floor(x+0.5) == DuckDB round() away from the
+        # exact-.5 boundary, unreachable from 2-dp doubles)
+        cents = np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+        return pd.DataFrame({"event_type": [pdf["event_type"].iloc[0]],
+                             "n": [len(pdf)], "cents": [int(cents.sum())]})
+
+    partial = (salted.groupBy("event_type", "__salt")
+               .applyInPandas(lane_partial,
+                              schema="event_type string, n long, cents long"))
+    return (partial.groupBy("event_type")
+            .agg(F.sum("n").alias("n_events"),
+                 (F.sum("cents") / F.lit(100.0)).alias("sum_value"))
+            .orderBy("event_type"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract registry.
 
     ORDER MATTERS: the driver verifies the FIRST 50 entries per round, so
     the window is spent entirely on exact-oracle queries covering every
     SURVEY §2 component (r2 ran slots 1-50 and left 9 exact-oracle queries
-    unverified). Entries 51-62 are ALSO exact-oracle: 51-58 are twins of an
+    unverified). Entries past slot 50 are ALSO exact-oracle twins of an
     in-window sibling — same oracle AND same engine path (SQL-build /
     stream-sink variants whose pipeline is already evidenced in-window by
-    cm_sql_frequency, stream_sketch_sql, hist4lt_sql_ranges et al.) — and
-    59-62 are the codegen point-query kinds (DD quantile / cuckoo
-    membership / equi-width range / streamed quantile) whose kernels are
-    in-window via ddsketch_quantiles, cuckoo_membership, equiwidth_hist
-    and stream_query_latest; all stay verified by tests/test_entry.py
-    every run. The trailing block is the genuinely rows-only set
-    (randomized samplers, LSH/IVF approximations, media/audio feature
-    pipelines)."""
+    cm_sql_frequency, stream_sketch_sql, hist4lt_sql_ranges et al.;
+    query_timestamped_stratified = query_timestamped's evaluate path +
+    query_latest_stratified's stratum key; cep_sequence_first =
+    cep_sequence with match_mode='first') — plus the codegen point-query
+    kinds (DD quantile / cuckoo membership / equi-width range / streamed
+    quantile) whose kernels are in-window via ddsketch_quantiles,
+    cuckoo_membership, equiwidth_hist and stream_query_latest; all stay
+    verified by tests/test_entry.py every run. The trailing block is the
+    genuinely rows-only set (randomized samplers, LSH/IVF approximations,
+    media/audio feature pipelines)."""
     return {
         # ---- slots 1-50: exact-oracle, full component cover -------------
         # synopsis kernels through the distributed build
@@ -1214,7 +1293,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_latest_hist": q_query_latest_hist,
         "query_latest_stratified": q_query_latest_stratified,
         "query_timestamped": q_query_timestamped,
-        "query_timestamped_stratified": q_query_timestamped_stratified,
         "query_latest_sql": q_query_latest_sql,
         # histogram extras
         "equidepth_dd": q_equidepth_dd,
@@ -1231,9 +1309,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_query_latest": q_stream_query_latest,
         # CEP sequence detection
         "cep_sequence": q_cep_sequence,
-        "cep_sequence_first": q_cep_sequence_first,
         "cep_chain3": q_cep_chain3,
         "stream_cep_sequence": q_stream_cep_sequence,
+        # stateful stream-stream join + explicit skew handling
+        "stream_join_events": q_stream_join_events,
+        "skew_salted_agg": q_skew_salted_agg,
         # training-data pipeline ops
         "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
@@ -1245,7 +1325,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "dedup_cosine": q_dedup_cosine,
         "bucketed_join": q_bucketed_join,
-        # ---- slots 51-58: exact-oracle twins of in-window siblings ------
+        # ---- slots 51+: exact-oracle twins of in-window siblings --------
+        "query_timestamped_stratified": q_query_timestamped_stratified,
+        "cep_sequence_first": q_cep_sequence_first,
         "cm_frequency_tree": q_cm_frequency_tree,
         "stream_sessions": q_stream_sessions,
         "bottomk_sql_sample": q_bottomk_sql_sample,
@@ -1873,6 +1955,26 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.4
+        """,
+        # the deterministic producer split (lag = event_id*7919 mod 8s) makes
+        # the stream-stream join a pure relational join: inner matches are
+        # exactly the rows whose lag fits the 5s bound
+        "stream_join_events": """
+            WITH d AS (SELECT event_id, props,
+                              ts + to_microseconds((event_id * 7919) % 8000000)
+                                AS d_ts
+                       FROM events)
+            SELECT h.event_id, h.user_id, h.event_type, h.value,
+                   d.props, h.ts, d.d_ts
+            FROM events h JOIN d ON h.event_id = d.event_id
+            WHERE d.d_ts >= h.ts AND d.d_ts <= h.ts + INTERVAL 5 SECOND
+        """,
+        # the salted two-phase pass is bitwise-invisible: integer-cent sums
+        # are order-independent, so lanes == plain GROUP BY
+        "skew_salted_agg": """
+            SELECT event_type, count(*) AS n_events,
+                   sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+            FROM events GROUP BY event_type
         """,
     }
     # alternate execution strategies over the same logical query share its

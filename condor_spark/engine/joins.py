@@ -59,24 +59,39 @@ def split_streams(clips: DataFrame, lag: str = "5 seconds",
     return audio, text
 
 
+def lag_bounded_join(left: DataFrame, right: DataFrame, key: str,
+                     left_ts: str, right_ts: str,
+                     max_lag: str = "5 seconds",
+                     watermark_delay: str = "10 seconds",
+                     how: str = "inner") -> DataFrame:
+    """Watermarked, state-bounded stream-stream equi-join on ``key`` with
+    the event-time range predicate ``right_ts ∈ [left_ts, left_ts+max_lag]``.
+
+    The range predicate is what bounds the join state (module docstring);
+    works identically on batch DataFrames (Catalyst plans a regular join;
+    the range predicate then only asserts the lag bound), so batch oracles
+    can validate the same plan the stream runs.
+    """
+    is_streaming = left.isStreaming or right.isStreaming
+    l = left.withWatermark(left_ts, watermark_delay) if is_streaming else left
+    r = right.withWatermark(right_ts, watermark_delay) if is_streaming else right
+    r_key = f"__r_{key}"
+    r = r.withColumnsRenamed({key: r_key})
+    cond = ((l[key] == r[r_key])
+            & (r[right_ts] >= l[left_ts])
+            & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {max_lag}")))
+    return l.join(r, cond, how).drop(r_key)
+
+
 def clip_transcript_join(audio: DataFrame, text: DataFrame,
                          max_lag: str = "5 seconds",
                          watermark_delay: str = "10 seconds",
                          how: str = "inner") -> DataFrame:
-    """Watermarked, state-bounded stream-stream join on clip_id.
-
-    Works identically on batch DataFrames (Catalyst plans a regular join;
-    the range predicate then only asserts the lag bound), so batch oracles
-    can validate the same plan the stream runs.
-    """
-    is_streaming = audio.isStreaming or text.isStreaming
-    a = audio.withWatermark("audio_ts", watermark_delay) if is_streaming else audio
-    t = text.withWatermark("txt_ts", watermark_delay) if is_streaming else text
-    t = t.withColumnsRenamed({"clip_id": "t_clip_id"})
-    cond = ((a["clip_id"] == t["t_clip_id"])
-            & (t["txt_ts"] >= a["audio_ts"])
-            & (t["txt_ts"] <= a["audio_ts"] + F.expr(f"INTERVAL {max_lag}")))
-    joined = a.join(t, cond, how)
+    """Watermarked, state-bounded stream-stream join on clip_id."""
+    joined = lag_bounded_join(audio, text, key="clip_id",
+                              left_ts="audio_ts", right_ts="txt_ts",
+                              max_lag=max_lag, watermark_delay=watermark_delay,
+                              how=how)
     return joined.select(*AUDIO_COLS, "transcript", "audio_ts", "txt_ts")
 
 

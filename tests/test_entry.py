@@ -72,6 +72,17 @@ def test_rows_only_runs(spark, name):
     assert len(pdf) >= 0 and len(pdf.columns) > 0
 
 
+def test_driver_window_all_oracle():
+    """The driver verifies only the FIRST 50 registry entries per round —
+    every one of those slots must carry an exact oracle (a reorder that
+    strands an oracle query outside the window silently downgrades it to
+    unverified, which is what cost round 2 nine green rows)."""
+    names = list(entrymod.queries())
+    oracles = entrymod.oracle_sql()
+    missing = [n for n in names[:50] if n not in oracles]
+    assert missing == [], f"non-oracle queries inside the driver window: {missing}"
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     pdf = df.toPandas()
