@@ -37,14 +37,26 @@ def _fresh_tmp(name: str, sf_dir: str) -> str:
     stale exactly-once ledger would replay-short-circuit their batches),
     but a fresh mkdtemp per call leaks an events-sized directory into /tmp
     on every driver/bench/test run — wipe-and-reuse bounds the footprint
-    to one live copy per query."""
+    to one live copy per query. Assumes one runner at a time per (query,
+    sf): two concurrent executions of the SAME query at the SAME scale
+    would wipe each other's live stream state (the driver, pytest and
+    bench never overlap in this harness)."""
     import os
     import shutil
 
     path = f"/tmp/condor_q_{name}_{os.path.basename(sf_dir.rstrip('/'))}"
     shutil.rmtree(path, ignore_errors=True)
-    os.makedirs(path)
+    os.makedirs(path, exist_ok=True)
     return path
+
+
+def _await(q, secs: int = 600) -> None:
+    """Block until the streaming query terminates; a timeout is an error,
+    never a partial read (the sink dir would be incomplete and the orphan
+    stream would keep writing into a path the next run wipes)."""
+    if not q.awaitTermination(secs):
+        q.stop()
+        raise TimeoutError(f"streaming query did not finish within {secs}s")
 
 
 
@@ -275,7 +287,7 @@ def q_stream_wavelet(spark, sf_dir):
                                 flush_cutoff_us=int(cutoff.value // 1000))
     q = job.start(spark, f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt",
                   max_files_per_trigger=1)
-    q.awaitTermination(600)
+    _await(q)
     slices = spark.read.parquet(f"{tmp}/out")
     res = ev.wavelet_range_sums(slices, [(0, 1000), (1000, 5000), (0, 1 << 40)])
     return res.select("lo_idx", F.round("range_sum", 3).alias("range_sum"))
@@ -933,7 +945,7 @@ def q_stream_cep_sequence(spark, sf_dir):
 
     job = StatefulSequenceStream(within="3 days", watermark_delay="1 hour")
     q = job.start(spark, src, out, ckpt, max_files_per_trigger=1)
-    q.awaitTermination(600)
+    _await(q)
     res = spark.read.parquet(out)
     return res.select("key",
                       F.col("first_ts").cast(NTZ).alias("first_ts"),
@@ -961,7 +973,7 @@ def q_stream_stateful_frequency(spark, sf_dir):
                         column="user_id", ts_column="ts", window=Tumbling(DAY))
     job = StatefulSynopsisStream(spec, watermark_delay="1 hour")
     q = job.start(spark, src, out, ckpt, max_files_per_trigger=1)
-    q.awaitTermination(600)
+    _await(q)
 
     syn = spark.read.parquet(out).filter(F.col("window_end") <= F.lit(cutoff))
     res = ev.frequency_estimates(syn, _user_keys(df))
@@ -992,7 +1004,7 @@ def q_stream_sketch_sql(spark, sf_dir):
                         column="user_id", ts_column="ts", window=Tumbling(DAY))
     job = StreamingSketchSQLJob(spec, watermark_delay="1 hour")
     q = job.start(spark, src, out, ckpt, max_files_per_trigger=1)
-    q.awaitTermination(600)
+    _await(q)
 
     syn = (job.read_output(spark, out).drop("spec_id")
            .filter(F.col("window_end") <= F.lit(cutoff)))
@@ -1022,7 +1034,7 @@ def q_stream_sessions(spark, sf_dir):
     job = StatefulSessionStream(spec, gap="30 minutes", watermark_delay="1 hour")
     q = job.start(spark, f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt",
                   max_files_per_trigger=1)
-    q.awaitTermination(600)
+    _await(q)
     syn = (spark.read.parquet(f"{tmp}/out")
            .filter(F.col("window_start") < F.lit(cutoff)))
     return syn.select(F.col("stratum"),
@@ -1053,7 +1065,7 @@ def q_stream_sliding(spark, sf_dir):
     job = StatefulSynopsisStream(spec, watermark_delay="1 hour")
     q = job.start(spark, f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt",
                   max_files_per_trigger=1)
-    q.awaitTermination(600)
+    _await(q)
     syn = spark.read.parquet(f"{tmp}/out").filter(
         F.col("window_start") < F.lit(cutoff))
     return syn.select(F.col("window_start").cast(NTZ).alias("window_start"),
@@ -1075,7 +1087,7 @@ def q_stream_count_windows(spark, sf_dir):
     fixtures.replay_in_order(spark, df, f"{tmp}/src", n_chunks=5)
     q = StatefulCountWindowStream(spec, count=1000).start(
         spark, f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt", max_files_per_trigger=1)
-    q.awaitTermination(600)
+    _await(q)
     return spark.read.parquet(f"{tmp}/out").select("window_id", "n")
 
 
@@ -1098,7 +1110,7 @@ def q_stream_query_latest(spark, sf_dir):
                         column="user_id", ts_column="ts", window=Tumbling(DAY))
     job = StreamingSynopsisJob(spec, sink_dir=f"{tmp}/sink",
                                watermark_delay="1 hour")
-    job.start(spark, f"{tmp}/src", f"{tmp}/ckpt").awaitTermination(600)
+    _await(job.start(spark, f"{tmp}/src", f"{tmp}/ckpt"))
 
     keys = _user_keys(df)
     qdf = spark.createDataFrame([(b, k) for b in range(3) for k in keys],
@@ -1106,7 +1118,7 @@ def q_stream_query_latest(spark, sf_dir):
     fixtures.replay_in_order(spark, qdf, f"{tmp}/qsrc", n_chunks=3,
                              ts_col="q_batch")
     ql = QueryLatestStream(job, out_dir=f"{tmp}/answers", key_column="key")
-    ql.start(spark, f"{tmp}/qsrc", f"{tmp}/qckpt").awaitTermination(600)
+    _await(ql.start(spark, f"{tmp}/qsrc", f"{tmp}/qckpt"))
 
     res = ql.read_answers(spark)
     return res.select(F.col("batch").cast("long").alias("q_batch"),
@@ -1132,14 +1144,14 @@ def q_stream_quantile_latest(spark, sf_dir):
                         column="value", ts_column="ts", window=Tumbling(DAY))
     job = StreamingSynopsisJob(spec, sink_dir=f"{tmp}/sink",
                                watermark_delay="1 hour")
-    job.start(spark, f"{tmp}/src", f"{tmp}/ckpt").awaitTermination(600)
+    _await(job.start(spark, f"{tmp}/src", f"{tmp}/ckpt"))
 
     qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
     fixtures.replay_in_order(
         spark, spark.createDataFrame([(q,) for q in qs], "q double"),
         f"{tmp}/qsrc", n_chunks=1, ts_col="q")
     ql = QueryLatestStream(job, out_dir=f"{tmp}/answers", key_column="q")
-    ql.start(spark, f"{tmp}/qsrc", f"{tmp}/qckpt").awaitTermination(600)
+    _await(ql.start(spark, f"{tmp}/qsrc", f"{tmp}/qckpt"))
     return (ql.read_answers(spark)
             .select("key", F.round("est_value", 6).alias("est_value")))
 
@@ -1160,7 +1172,7 @@ def q_stream_join(spark, sf_dir):
     txt.repartitionByRange(3, "txt_ts").write.parquet(t_dir)
     q = run_join_to_parquet(spark, a_dir, t_dir, f"{tmp}/out", f"{tmp}/ckpt",
                             max_lag="5 seconds", watermark_delay="60 seconds")
-    q.awaitTermination(600)
+    _await(q)
     got = spark.read.parquet(f"{tmp}/out")
     return (got.select("clip_id", "codec", "sr_hz",
                        F.length("transcript").alias("transcript_len"))
@@ -1207,7 +1219,7 @@ def q_stream_join_events(spark, sf_dir):
     q = (joined.writeStream.format("parquet").option("path", f"{tmp}/out")
          .option("checkpointLocation", f"{tmp}/ckpt")
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(600)
+    _await(q)
     got = spark.read.parquet(f"{tmp}/out")
     return got.select("event_id", "user_id", "event_type", "value", "props",
                       F.col("ts").cast(NTZ).alias("ts"),

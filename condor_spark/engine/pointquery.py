@@ -89,24 +89,20 @@ def dd_quantile_state(syn) -> dict:
 
 
 def hist_state(syn) -> dict:
-    """An EquiWidthHistogram snapshot for ``range_point_queries``: the bin
+    """An equi-width histogram snapshot for ``range_point_queries``: the bin
     counts plus their exclusive prefix sums (``prefix[i] = Σ freq[0..i-1]``,
-    length num_buckets+1 — interior spans become one subtraction)."""
-    prefix = np.concatenate([[0], np.cumsum(syn.frequency)]).astype(np.int64)
-    return {"freqs": [int(v) for v in syn.frequency],
-            "prefix": [int(v) for v in prefix],
-            "lower": float(syn.lower), "upper": float(syn.upper),
-            "num_buckets": int(syn.num_buckets)}
+    length num_buckets+1 — interior spans become one subtraction).
 
-
-def hist4lt_state(syn) -> dict:
-    """An EquiWidth4LTHistogram snapshot through its LOSSY compressed view
-    (``decoded_frequency()`` — the bins a reader of the 4LT encoding sees):
-    with these bins, ``range_point_queries`` answers exactly
+    A 4LT-compressed histogram is snapshotted through its LOSSY compressed
+    view (``decoded_frequency()`` — the bins a reader of the 4LT encoding
+    sees), so ``range_point_queries`` answers exactly
     ``range_query_compressed`` (``EquiWidthHistogram4LT.rangeQuery``)."""
-    dec = syn.decoded_frequency()
-    prefix = np.concatenate([[0], np.cumsum(dec)]).astype(np.int64)
-    return {"freqs": [int(v) for v in dec],
+    from ..synopsis.histograms import EquiWidth4LTHistogram
+
+    freqs = (syn.decoded_frequency()
+             if isinstance(syn, EquiWidth4LTHistogram) else syn.frequency)
+    prefix = np.concatenate([[0], np.cumsum(freqs)]).astype(np.int64)
+    return {"freqs": [int(v) for v in freqs],
             "prefix": [int(v) for v in prefix],
             "lower": float(syn.lower), "upper": float(syn.upper),
             "num_buckets": int(syn.num_buckets)}
@@ -412,12 +408,9 @@ def query_latest_range(syn_df: DataFrame, queries_df: DataFrame,
     histogram snapshot, answered JVM-side in O(1) per query. A 4LT-
     compressed snapshot answers through its lossy decoded view
     (= ``range_query_compressed``)."""
-    from ..synopsis.histograms import EquiWidth4LTHistogram
-
     syn = _latest(syn_df)
     if syn is None:
         return (queries_df.limit(0)
                 .withColumn(out_col, F.lit(0.0).cast("double")))
-    state = (hist4lt_state(syn) if isinstance(syn, EquiWidth4LTHistogram)
-             else hist_state(syn))
-    return range_point_queries(queries_df, lo_col, hi_col, state, out_col)
+    return range_point_queries(queries_df, lo_col, hi_col, hist_state(syn),
+                               out_col)

@@ -430,11 +430,9 @@ class QueryLatestStream:
                                F.col("est_value").cast("double")
                                 .alias("est_value"), stamp[1]))
             else:  # equi-width range stream (4LT: lossy decoded view)
-                hstate = (pq.hist4lt_state(syn0) if kind == "equiwidth4lt"
-                          else pq.hist_state(syn0))
                 ans = (pq.range_point_queries(
                            work, key_cols[0], key_cols[1],
-                           hstate, "est_value")
+                           pq.hist_state(syn0), "est_value")
                        .select(stamp[0],
                                F.col("est_value").cast("double")
                                 .alias("est_value"), stamp[1]))
