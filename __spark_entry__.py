@@ -1256,6 +1256,45 @@ def q_skew_salted_agg(spark, sf_dir):
             .orderBy("event_type"))
 
 
+def q_asof_join_events(spark, sf_dir):
+    """As-of join (engine/joins.py asof_join): every event picks up the
+    user's most recent purchase at-or-before its own timestamp — the
+    time-series lookup Spark has no builtin for, planned as ONE shuffle
+    (union merge + running window), no range-join explosion. (user_id, ts)
+    is unique in the fixture, so the match is deterministic and DuckDB's
+    native ASOF JOIN is an exact oracle. Inner flavor here — no-match
+    rows would carry NULL timestamps, which the value-hash compare can't
+    order stably; the left-outer flavor is pinned by tests/test_asof.py
+    against pandas merge_asof."""
+    from condor_spark.engine.joins import asof_join
+
+    df = _events(spark, sf_dir)
+    left = df.select("event_id", "user_id", "event_type", "value", "ts")
+    right = (df.filter(F.col("event_type") == "purchase")
+             .select("user_id", F.col("ts").alias("p_ts"),
+                     F.col("value").alias("last_purchase_value")))
+    out = asof_join(left, right, on="user_id", left_ts="ts",
+                    right_ts="p_ts", how="inner")
+    return out.select("event_id", "user_id", "event_type", "value",
+                      F.col("ts").cast(NTZ).alias("ts"),
+                      "last_purchase_value",
+                      F.col("p_ts").cast(NTZ).alias("p_ts"))
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive near-dup clustering (engine/graph.py): ngram-Jaccard
+    pairs → alternating large-star/small-star connected components → one
+    canonical doc per cluster (component = min doc_id, keep = canonical).
+    The oracle replays the pair pipeline and closes it transitively with a
+    recursive CTE, so the distributed star contraction is checked exactly
+    — including singletons, which never enter the edge set."""
+    from condor_spark.engine.graph import dedup_clusters
+
+    docs = _docs(spark, sf_dir)
+    pairs = text.ngram_jaccard_pairs(docs, shingle=3, threshold=0.6)
+    return dedup_clusters(docs, pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract registry.
 
@@ -1265,10 +1304,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     unverified). Entries past slot 50 are ALSO exact-oracle twins of an
     in-window sibling — same oracle AND same engine path (SQL-build /
     stream-sink variants whose pipeline is already evidenced in-window by
-    cm_sql_frequency, stream_sketch_sql, hist4lt_sql_ranges et al.;
+    cm_sql_frequency and stream_sketch_sql; hist4lt_sql_ranges = the same
+    oracle as the in-window hist4lt_ranges over that same SQL-build path;
     query_timestamped_stratified = query_timestamped's evaluate path +
-    query_latest_stratified's stratum key; cep_sequence_first =
-    cep_sequence with match_mode='first') — plus the codegen point-query
+    query_latest_stratified's stratum key; cep_sequence_first / cep_chain3
+    = cep_sequence's NFA with match_mode='first' / a longer stage chain)
+    — plus the codegen point-query
     kinds (DD quantile / cuckoo membership / equi-width range / streamed
     quantile) whose kernels are in-window via ddsketch_quantiles,
     cuckoo_membership, equiwidth_hist and stream_query_latest; all stay
@@ -1310,7 +1351,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equidepth_dd": q_equidepth_dd,
         "splitmerge_dd_hist": q_splitmerge_dd_hist,
         "hist4lt_ranges": q_hist4lt_ranges,
-        "hist4lt_sql_ranges": q_hist4lt_sql_ranges,
         # pure-JVM SQL build path (batch + native streaming aggregation)
         "cm_sql_frequency": q_cm_sql_frequency,
         "stream_sketch_sql": q_stream_sketch_sql,
@@ -1321,10 +1361,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_query_latest": q_stream_query_latest,
         # CEP sequence detection
         "cep_sequence": q_cep_sequence,
-        "cep_chain3": q_cep_chain3,
         "stream_cep_sequence": q_stream_cep_sequence,
-        # stateful stream-stream join + explicit skew handling
+        # stateful joins (stream-stream + as-of) + explicit skew handling
         "stream_join_events": q_stream_join_events,
+        "asof_join_events": q_asof_join_events,
         "skew_salted_agg": q_skew_salted_agg,
         # training-data pipeline ops
         "dedup_exact": q_dedup_exact,
@@ -1333,12 +1373,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "minhash_pairs": q_minhash_pairs,
         "ann_topk": q_ann_topk,
         "dedup_cosine": q_dedup_cosine,
         "bucketed_join": q_bucketed_join,
         # ---- slots 51+: exact-oracle twins of in-window siblings --------
         "query_timestamped_stratified": q_query_timestamped_stratified,
+        "hist4lt_sql_ranges": q_hist4lt_sql_ranges,
+        "cep_chain3": q_cep_chain3,
         "cep_sequence_first": q_cep_sequence_first,
         "cm_frequency_tree": q_cm_frequency_tree,
         "stream_sessions": q_stream_sessions,
@@ -1987,6 +2030,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n_events,
                    sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
             FROM events GROUP BY event_type
+        """,
+        # (user_id, ts) is unique in the fixture → the as-of match is
+        # deterministic and DuckDB's native ASOF JOIN is an exact oracle
+        # for the union-merge window plan
+        "asof_join_events": """
+            WITH p AS (SELECT user_id, ts AS p_ts,
+                              value AS last_purchase_value
+                       FROM events WHERE event_type = 'purchase')
+            SELECT e.event_id, e.user_id, e.event_type, e.value, e.ts,
+                   p.last_purchase_value, p.p_ts
+            FROM events e ASOF JOIN p
+              ON e.user_id = p.user_id AND e.ts >= p.p_ts
+        """,
+        # replay the ngram-Jaccard pair pipeline, then close it
+        # transitively: reach enumerates (node, reachable anc) over the
+        # symmetric edge set, min(anc) is the component's min id — exactly
+        # what star contraction converges to; singletons come from the
+        # documents base rows
+        "dedup_clusters": f"""
+            WITH RECURSIVE sh AS (SELECT doc_id,
+                   list_distinct([substring({_NORM}, i, 3)
+                                  for i in range(1, greatest(length({_NORM}) - 2, 1) + 1)]) s
+                                  FROM documents),
+            pr AS (SELECT a.doc_id da, b.doc_id db
+                   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                   WHERE len(list_intersect(a.s, b.s))
+                         / greatest(len(a.s) + len(b.s)
+                                    - len(list_intersect(a.s, b.s)), 1) >= 0.6),
+            e AS (SELECT da s, db d FROM pr
+                  UNION ALL SELECT db da, da d FROM pr),
+            reach(id, anc) AS (SELECT doc_id, doc_id FROM documents
+                               UNION
+                               SELECT r.id, e.d FROM reach r
+                               JOIN e ON e.s = r.anc)
+            SELECT id AS doc_id, min(anc) AS component,
+                   CAST(id = min(anc) AS BIGINT) AS keep
+            FROM reach GROUP BY id
         """,
     }
     # alternate execution strategies over the same logical query share its

@@ -95,6 +95,90 @@ def clip_transcript_join(audio: DataFrame, text: DataFrame,
     return joined.select(*AUDIO_COLS, "transcript", "audio_ts", "txt_ts")
 
 
+def asof_join(left: DataFrame, right: DataFrame, on,
+              left_ts: str = "ts", right_ts: str = "ts",
+              direction: str = "backward", tolerance=None,
+              strict: bool = False, how: str = "left") -> DataFrame:
+    """As-of join: for each left row, the single right row with the nearest
+    ``right_ts`` at-or-before (``backward``) / at-or-after (``forward``)
+    ``left_ts``, per join key — the time-series lookup Spark has no builtin
+    for (pandas ``merge_asof`` / DuckDB ``ASOF JOIN`` semantics; the
+    reference has no data-data join at all, its only join is the broadcast
+    query-join in ``evaluator/ApproximateDataAnalytics.java:39-51``).
+
+    Spark-first plan — a union merge, not a join: both sides are unioned
+    with a side marker, shuffled ONCE on the key, sorted within partitions
+    by (ts, side), and each left row picks up the running
+    ``last(right payload, ignorenulls)`` window value. That is exactly a
+    merge-join as-of: one Exchange + one sort, no range-join explosion, no
+    per-row Python, state streamed by the sort (never materialized per
+    key), so a 10^12-row side costs the same shuffle a groupBy on the key
+    would. A hot key serializes into one task's sort — pre-aggregate the
+    right side or split the key upstream if that bites (skew.py patterns).
+
+    ``on`` may be a column name or list of names; right payload columns
+    must not collide with left columns (the matched right timestamp is
+    emitted under its ``right_ts`` name, so that must differ from
+    ``left_ts`` too). ``tolerance`` (an INTERVAL string for timestamps, or
+    a numeric for numeric ts columns) nulls out matches farther than the
+    bound; ``strict=True`` excludes ties (``<`` instead of ``<=``).
+    ``how='inner'`` drops unmatched left rows instead of keeping them with
+    null payload.
+    """
+    from pyspark.sql.window import Window
+
+    keys = [on] if isinstance(on, str) else list(on)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward: {direction}")
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be left/inner: {how}")
+    payload = [c for c in right.columns if c not in (*keys, right_ts)]
+    clash = set(payload + [right_ts]) & set(left.columns)
+    if clash:
+        raise ValueError(f"right columns collide with left: {sorted(clash)} "
+                         "— rename before joining")
+    left_only = [c for c in left.columns if c not in keys and c != left_ts]
+
+    # side ordering at equal ts decides tie semantics: the window scans
+    # rows ≤ current, so a right row sorting BEFORE the left row is
+    # visible to it (inclusive match) and one sorting AFTER is not
+    r_side, l_side = (2, 1) if strict else (0, 1)
+    l2 = left.select(
+        *keys, F.col(left_ts).alias("__ts"), F.lit(l_side).alias("__side"),
+        F.col(left_ts).alias("__lts"), *left_only,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c)
+          for c in payload],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__rts"))
+    r2 = right.select(
+        *keys, F.col(right_ts).alias("__ts"), F.lit(r_side).alias("__side"),
+        F.lit(None).cast(left.schema[left_ts].dataType).alias("__lts"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left_only],
+        *payload, F.col(right_ts).alias("__rts"))
+    ts_ord = F.col("__ts").asc() if direction == "backward" \
+        else F.col("__ts").desc()
+    w = (Window.partitionBy(*keys).orderBy(ts_ord, F.col("__side").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = l2.unionByName(r2).select(
+        *keys, "__ts", "__side", "__lts", *left_only,
+        *[F.last(c, ignorenulls=True).over(w).alias(c)
+          for c in (*payload, "__rts")])
+    out = matched.filter(F.col("__side") == l_side)
+    if tolerance is not None:
+        tol = (F.expr(f"INTERVAL {tolerance}") if isinstance(tolerance, str)
+               else F.lit(tolerance))
+        gap = (F.col("__ts") - F.col("__rts") if direction == "backward"
+               else F.col("__rts") - F.col("__ts"))
+        ok = F.col("__rts").isNotNull() & (gap <= tol)
+        out = out.select(
+            *keys, "__ts", "__lts", *left_only,
+            *[F.when(ok, F.col(c)).alias(c) for c in (*payload, "__rts")])
+    if how == "inner":
+        out = out.filter(F.col("__rts").isNotNull())
+    return out.select(*keys, F.col("__lts").alias(left_ts), *left_only,
+                      *payload, F.col("__rts").alias(right_ts))
+
+
 def run_join_to_parquet(spark, audio_dir: str, text_dir: str, out_dir: str,
                         checkpoint_dir: str, max_lag: str = "5 seconds",
                         watermark_delay: str = "10 seconds",
