@@ -86,16 +86,105 @@ class StreamingSynopsisJob:
                             f"w{int(window_us)}_v{version}.parquet")
 
     # ---------------- state access ------------------------------------------
-    def read_state(self, spark: SparkSession) -> DataFrame:
-        """Current committed windowed-synopsis table (manifest assembly)."""
-        paths = sorted(self._read_ledger().get("manifest", {}).values())
+    def read_state(self, spark: SparkSession,
+                   as_of_version: int | None = None) -> DataFrame:
+        """Committed windowed-synopsis table (manifest assembly).
+
+        ``as_of_version`` is Iceberg-style snapshot time travel: every
+        batch commit writes new per-(window, version) state files and
+        leaves prior versions in place, so the table AS OF any committed
+        version is reconstructible — per window bucket, the newest file
+        with version ≤ the requested one, ignoring versions above the
+        ledger head (orphans of a crashed uncommitted attempt). Costs the
+        write path nothing; ``expire_snapshots`` reclaims history."""
+        if as_of_version is None:
+            paths = sorted(self._read_ledger().get("manifest", {}).values())
+        else:
+            paths = sorted(self._manifest_asof(int(as_of_version)).values())
         if not paths:
             return spark.createDataFrame([], _STATE_SCHEMA)
         return spark.read.parquet(*paths)
 
-    def read_state_df(self, spark: SparkSession) -> DataFrame:
+    def _state_files(self) -> list[tuple[int, int, str]]:
+        """(window_us, version, path) for every state file on disk."""
+        import re
+
+        state_dir = os.path.join(self.sink_dir, "state")
+        if not os.path.isdir(state_dir):
+            return []
+        out = []
+        for name in os.listdir(state_dir):
+            m = re.fullmatch(r"w(-?\d+)_v(\d+)\.parquet", name)
+            if m:
+                out.append((int(m.group(1)), int(m.group(2)),
+                            os.path.join(state_dir, name)))
+        return out
+
+    def _manifest_asof(self, version: int) -> dict:
+        led = self._read_ledger()
+        head = led["version"]
+        if not 0 < version <= head:
+            raise ValueError(f"version {version} not in committed range "
+                             f"1..{head}")
+        floor = led.get("min_travel_version", 1)
+        if version < floor:
+            # expiration may have removed SOME of this snapshot's files
+            # while keeping others a newer snapshot still needs — a partial
+            # read would be silently wrong, so the floor is a hard wall
+            raise ValueError(f"snapshot v{version} has been expired "
+                             f"(time travel floor is v{floor})")
+        best: dict[int, tuple[int, str]] = {}
+        for w, v, path in self._state_files():
+            if v <= version and (w not in best or v > best[w][0]):
+                best[w] = (v, path)
+        return {str(w): p for w, (_, p) in best.items()}
+
+    def snapshots(self) -> list[dict]:
+        """Committed snapshot history, oldest first: one entry per batch
+        commit with its ledger version — the Iceberg snapshot-list
+        analogue (feed a ``version`` to ``read_state(as_of_version=…)``)."""
+        led = self._read_ledger()
+        return sorted(({"batch_id": int(b), "version": int(v)}
+                       for b, v in led.get("committed", {}).items()),
+                      key=lambda s: s["version"])
+
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """Drop state files only needed by snapshots older than the newest
+        ``keep_last`` committed versions; returns the number of files
+        removed. A file survives if it is the per-window newest at ANY
+        kept version — exactly-once replay never needs expired files (a
+        replayed committed batch short-circuits on the ledger), so this
+        only narrows how far back time travel reaches."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        versions = sorted({s["version"] for s in self.snapshots()})
+        keep_versions = versions[-keep_last:]
+        needed = set()
+        files = self._state_files()
+        for kv in keep_versions:
+            best: dict[int, tuple[int, str]] = {}
+            for w, v, path in files:
+                if v <= kv and (w not in best or v > best[w][0]):
+                    best[w] = (v, path)
+            needed.update(p for _, p in best.values())
+        removed = 0
+        for _, v, path in files:
+            if path not in needed and v <= max(versions, default=0):
+                shutil.rmtree(path, ignore_errors=True)
+                removed += 1
+        if keep_versions:
+            led = self._read_ledger()
+            led["min_travel_version"] = max(keep_versions[0],
+                                            led.get("min_travel_version", 1))
+            self._write_ledger(led)
+        return removed
+
+    def read_state_df(self, spark: SparkSession,
+                      as_of_version: int | None = None) -> DataFrame:
         """State with timestamp columns — feeds the evaluate layer."""
-        st = self.read_state(spark)
+        st = self.read_state(spark, as_of_version=as_of_version)
         return st.select(
             (F.col("window_start").cast("double") / 1e6).cast("timestamp")
             .alias("window_start"),

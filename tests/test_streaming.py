@@ -213,3 +213,75 @@ def test_query_stream_replayed_park_not_double_answered(spark, source_dir,
     ql.process_batch(qdf2, 8)
     got = ql.read_answers(spark).toPandas()
     assert len(got) == len(keys) + 1
+
+
+# -------------------------------------------------------- snapshot history
+def test_time_travel_matches_prefix_batch_builds(spark, tmp_path):
+    """Iceberg-style time travel: the state AS OF committed version k must
+    equal a batch build over exactly the first k replayed chunks."""
+    from condor_spark import fixtures
+
+    df = spark.read.parquet(f"{SF}/events.parquet")
+    src = str(tmp_path / "src")
+    fixtures.replay_in_order(spark, df, src, n_chunks=4, ts_col="ts")
+    sink = str(tmp_path / "sink")
+    job = StreamingSynopsisJob(spec=_spec(), sink_dir=sink,
+                               watermark_delay="40 days")
+    q = job.start(spark, src, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    snaps = job.snapshots()
+    assert [s["version"] for s in snaps] == [1, 2, 3, 4]
+    # FileStreamSource replays in mtime order == replay_in_order chunk order
+    files = sorted(glob.glob(os.path.join(src, "*.parquet")),
+                   key=os.path.getmtime)
+    keys = list(range(150))
+    for k in (1, 2, 3, 4):
+        prefix = spark.read.parquet(*files[:k])
+        batch = build_batch(prefix, _spec())
+        want = sorted((str(r["window_start"]), r["key"], r["est_count"])
+                      for r in ev.frequency_estimates(batch, keys).collect())
+        got = sorted(
+            (str(r["window_start"]), r["key"], r["est_count"])
+            for r in ev.frequency_estimates(
+                job.read_state_df(spark, as_of_version=k), keys).collect())
+        assert got == want, f"snapshot v{k} != prefix batch build"
+    # head read unchanged by time travel
+    assert job.read_state(spark).count() == \
+        job.read_state(spark, as_of_version=4).count()
+    with pytest.raises(ValueError):
+        job.read_state(spark, as_of_version=5)
+
+
+def test_expire_snapshots_keeps_recent_history(spark, tmp_path):
+    from condor_spark import fixtures
+
+    df = spark.read.parquet(f"{SF}/events.parquet")
+    src = str(tmp_path / "src")
+    fixtures.replay_in_order(spark, df, src, n_chunks=4, ts_col="ts")
+    sink = str(tmp_path / "sink")
+    job = StreamingSynopsisJob(spec=_spec(), sink_dir=sink,
+                               watermark_delay="40 days")
+    q = job.start(spark, src, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    keys = list(range(150))
+    before_v3 = sorted(
+        (str(r["window_start"]), r["key"], r["est_count"])
+        for r in ev.frequency_estimates(
+            job.read_state_df(spark, as_of_version=3), keys).collect())
+    removed = job.expire_snapshots(keep_last=2)
+    assert removed > 0
+    # kept snapshots still read exactly; expired ones fail loudly
+    after_v3 = sorted(
+        (str(r["window_start"]), r["key"], r["est_count"])
+        for r in ev.frequency_estimates(
+            job.read_state_df(spark, as_of_version=3), keys).collect())
+    assert after_v3 == before_v3
+    assert job.read_state(spark, as_of_version=4).count() > 0
+    for dead in (1, 2):
+        with pytest.raises(ValueError, match="expired"):
+            job.read_state(spark, as_of_version=dead)
+    # expiration is idempotent and never touches the head
+    assert job.expire_snapshots(keep_last=2) == 0
+    assert job._read_ledger()["version"] == 4
