@@ -60,8 +60,14 @@ def parse_args(argv):
     p.add_argument("--stratify-by", default=None)
     p.add_argument("--watermark-delay", default="10 seconds")
     p.add_argument("--mode", choices=("stream", "stateful", "sql", "batch",
-                                      "querylatest", "features"),
+                                      "querylatest", "features", "snapshots"),
                    default="stream")
+    p.add_argument("--as-of-version", type=int, default=None,
+                   help="snapshots mode: export the state AS OF this "
+                        "committed version to --sink (time travel)")
+    p.add_argument("--expire-keep-last", type=int, default=None,
+                   help="snapshots mode: expire history, keeping the "
+                        "newest N committed snapshots")
     p.add_argument("--queries", default=None,
                    help="query-stream table dir (querylatest mode); one "
                         "integer column named by --query-key")
@@ -119,6 +125,21 @@ def main(argv=None) -> None:
             (decode_features_arrow(spark.read.parquet(args.input),
                                    passthrough=(args.ts_column,))
              .write.mode("overwrite").parquet(args.sink))
+        spark.stop()
+        return
+
+    if args.mode == "snapshots":
+        # table maintenance on an existing stream sink: list committed
+        # snapshots, optionally export one (time travel) and/or expire
+        # history — spec-agnostic, the manifest carries everything
+        job = StreamingSynopsisJob(spec=None, sink_dir=args.input)
+        print(json.dumps(job.snapshots()))
+        if args.as_of_version is not None:
+            (job.read_state(spark, as_of_version=args.as_of_version)
+             .write.mode("overwrite").parquet(args.sink))
+        if args.expire_keep_last is not None:
+            removed = job.expire_snapshots(keep_last=args.expire_keep_last)
+            print(json.dumps({"expired_files": removed}))
         spark.stop()
         return
 

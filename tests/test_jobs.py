@@ -299,3 +299,62 @@ def test_spark_submit_querylatest_quantile_job(tmp_path):
         .collect()[0]["state"]))
     for _, row in got.iterrows():
         assert row["est_value"] == syn.quantile(float(row["key"])), row["key"]
+
+
+@pytest.mark.slow
+def test_spark_submit_snapshots_mode(tmp_path):
+    """Table maintenance ships too: time-travel export + history expiry on
+    an existing sink, from the same --py-files artifact."""
+    # build a 3-batch sink in-process first
+    from pyspark.sql import SparkSession
+    from condor_spark import fixtures
+    from condor_spark.engine.builder import SynopsisSpec
+    from condor_spark.engine.streaming import StreamingSynopsisJob
+    from condor_spark.engine.windows import Tumbling
+
+    spark = SparkSession.getActiveSession() or (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false").getOrCreate())
+    df = spark.read.parquet(f"{SF}/events.parquet")
+    src = str(tmp_path / "src")
+    fixtures.replay_in_order(spark, df, src, n_chunks=3, ts_col="ts")
+    sink = str(tmp_path / "sink")
+    spec = SynopsisSpec(kind="countmin",
+                        params=dict(width=2048, height=5, seed=7),
+                        column="user_id", ts_column="ts",
+                        window=Tumbling("1 day"))
+    job = StreamingSynopsisJob(spec=spec, sink_dir=sink,
+                               watermark_delay="40 days")
+    q = job.start(spark, src, str(tmp_path / "ckpt"),
+                  max_files_per_trigger=1)
+    assert q.awaitTermination(300)
+
+    spark_submit = shutil.which("spark-submit")
+    assert spark_submit, "spark-submit not on PATH"
+    export = str(tmp_path / "asof2")
+    cmd = [
+        spark_submit, "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--py-files", _make_zip(tmp_path),
+        os.path.join(REPO, "jobs", "synopsis_job.py"),
+        "--mode", "snapshots",
+        "--input", sink, "--sink", export,
+        "--as-of-version", "2", "--expire-keep-last", "2",
+    ]
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    r = subprocess.run(cmd, cwd=str(tmp_path), env=env,
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-4000:]
+    assert '"version": 3' in r.stdout and '"expired_files"' in r.stdout
+
+    # exported snapshot == in-process time travel to v2
+    got = spark.read.parquet(export)
+    want = job.read_state(spark, as_of_version=2)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    # v1 expired by the CLI run (floor recorded in the shared ledger)
+    with pytest.raises(ValueError, match="expired"):
+        job.read_state(spark, as_of_version=1)
