@@ -952,6 +952,47 @@ def q_stream_cep_sequence(spark, sf_dir):
                       F.col("second_ts").cast(NTZ).alias("second_ts"))
 
 
+def q_cep_absence(spark, sf_dir):
+    """CEP negation batch: every signup with NO purchase of the same user
+    within 3 days (pushed-filter anti-join, codegen range predicate)."""
+    from condor_spark.engine.cep import absence_matches
+    return absence_matches(_events(spark, sf_dir), within="3 days")
+
+
+def q_cep_kleene(spark, sf_dir):
+    """CEP Kleene-plus batch: signup → view+ → purchase within 3 days,
+    with the view count per endpoint pair."""
+    from condor_spark.engine.cep import kleene_matches
+    return kleene_matches(_events(spark, sf_dir), within="3 days")
+
+
+def q_stream_cep_absence(spark, sf_dir):
+    """CEP negation streaming: timer-driven emission — a signup emits in
+    the micro-batch whose watermark first passes signup_ts + within,
+    uncancelled; full replay equals the batch anti-join exactly. The flush
+    sentinels are far-future purchases of key -1 (they survive the kind
+    filter ahead of the watermark node without touching real keys)."""
+
+    from condor_spark import fixtures
+    from condor_spark.engine.cep import StatefulAbsenceStream
+
+    df = _events(spark, sf_dir)
+    max_ts = df.agg(F.max("ts")).collect()[0][0]
+    cutoff = pd.Timestamp(max_ts) + pd.Timedelta(days=1)
+    tmp = _fresh_tmp("cepabs", sf_dir)
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    fixtures.replay_in_order(
+        spark, df, src, n_chunks=5,
+        flush_ts=[cutoff + pd.Timedelta(days=40), cutoff + pd.Timedelta(days=80)],
+        flush_mutate=lambda r: r.assign(event_type="purchase", user_id=-1))
+
+    job = StatefulAbsenceStream(within="3 days", watermark_delay="1 hour")
+    q = job.start(spark, src, out, ckpt, max_files_per_trigger=1)
+    _await(q)
+    return (spark.read.parquet(out)
+            .select("key", F.col("first_ts").cast(NTZ).alias("first_ts")))
+
+
 def q_stream_stateful_frequency(spark, sf_dir):
     """The applyInPandasWithState streaming path, end-to-end: ordered file
     replay → watermark → keyed sketch state → event-time-timeout emission.
@@ -1308,7 +1349,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle as the in-window hist4lt_ranges over that same SQL-build path;
     query_timestamped_stratified = query_timestamped's evaluate path +
     query_latest_stratified's stratum key; cep_sequence_first / cep_chain3
-    = cep_sequence's NFA with match_mode='first' / a longer stage chain)
+    = cep_sequence's NFA with match_mode='first' / a longer stage chain;
+    sliding_inversion_stratified = sliding_inversion's eviction + the
+    stratified key already in-window via stratified_hist;
+    stream_count_windows = count_windows' assembly over the stateful
+    stream path in-window via stream_stateful_frequency;
+    stream_cep_absence = cep_absence's oracle over the timer-driven
+    applyInPandasWithState path in-window via stream_cep_sequence)
     — plus the codegen point-query
     kinds (DD quantile / cuckoo membership / equi-width range / streamed
     quantile) whose kernels are in-window via ddsketch_quantiles,
@@ -1341,7 +1388,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wavelet_stratified": q_wavelet_stratified,
         "stream_wavelet": q_stream_wavelet,
         "sliding_inversion": q_sliding_inversion,
-        "sliding_inversion_stratified": q_sliding_inversion_stratified,
         # query surface
         "query_latest_hist": q_query_latest_hist,
         "query_latest_stratified": q_query_latest_stratified,
@@ -1357,11 +1403,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming engine
         "stream_stateful_frequency": q_stream_stateful_frequency,
         "stream_sliding": q_stream_sliding,
-        "stream_count_windows": q_stream_count_windows,
         "stream_query_latest": q_stream_query_latest,
-        # CEP sequence detection
+        # CEP: sequence, negation (timer-driven absence), Kleene-plus
         "cep_sequence": q_cep_sequence,
         "stream_cep_sequence": q_stream_cep_sequence,
+        "cep_absence": q_cep_absence,
+        "cep_kleene": q_cep_kleene,
         # stateful joins (stream-stream + as-of) + explicit skew handling
         "stream_join_events": q_stream_join_events,
         "asof_join_events": q_asof_join_events,
@@ -1379,6 +1426,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cosine": q_dedup_cosine,
         "bucketed_join": q_bucketed_join,
         # ---- slots 51+: exact-oracle twins of in-window siblings --------
+        "sliding_inversion_stratified": q_sliding_inversion_stratified,
+        "stream_count_windows": q_stream_count_windows,
+        "stream_cep_absence": q_stream_cep_absence,
         "query_timestamped_stratified": q_query_timestamped_stratified,
         "hist4lt_sql_ranges": q_hist4lt_sql_ranges,
         "cep_chain3": q_cep_chain3,
@@ -2250,6 +2300,29 @@ def oracle_sql() -> dict[str, str]:
     # the streaming CEP operator emits each pair exactly once at its later
     # element's arrival, so full replay reproduces the batch join verbatim
     oracles["stream_cep_sequence"] = oracles["cep_sequence"]
+    oracles["cep_absence"] = """
+            SELECT a.user_id AS key, a.ts AS first_ts
+            FROM events a
+            WHERE a.event_type = 'signup' AND NOT EXISTS (
+                  SELECT 1 FROM events b
+                  WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
+                    AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 3 DAY)
+        """
+    # absence decides by time passing: the streaming twin emits each first
+    # exactly once when the watermark clears first_ts + within, so a full
+    # replay reproduces the batch anti-join verbatim
+    oracles["stream_cep_absence"] = oracles["cep_absence"]
+    oracles["cep_kleene"] = """
+            SELECT a.user_id AS key, a.ts AS first_ts, b.ts AS second_ts,
+                   count(*) AS n_mid
+            FROM events a
+            JOIN events b ON a.user_id = b.user_id
+             AND a.event_type = 'signup' AND b.event_type = 'purchase'
+             AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 3 DAY
+            JOIN events m ON m.user_id = a.user_id
+             AND m.event_type = 'view' AND m.ts > a.ts AND m.ts < b.ts
+            GROUP BY 1, 2, 3
+        """
     oracles["stream_count_windows"] = """
             WITH o AS (SELECT row_number() OVER (ORDER BY ts, event_id) - 1 AS idx
                        FROM events)

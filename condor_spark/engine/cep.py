@@ -69,6 +69,67 @@ def sequence_matches(df: DataFrame, key_col: str = "user_id",
                         F.col("second_ts").cast(_NTZ).alias("second_ts"))
 
 
+def absence_matches(df: DataFrame, key_col: str = "user_id",
+                    ts_col: str = "ts", event_col: str = "event_type",
+                    first: str = "signup", second: str = "purchase",
+                    within: str = "7 days") -> DataFrame:
+    """CEP negation — every *first* event with NO *second* event of the same
+    key in ``(first_ts, first_ts + within]`` (the "absence within timeout"
+    pattern, the complement of ``sequence_matches``).
+
+    Spark-first: a LEFT ANTI join of the two filtered projections — the
+    event-kind filters push to the scan, the anti join shuffles only the
+    filtered sides on the key, and the time-range predicate evaluates as the
+    join's secondary condition in codegen. Same single-keyed-shuffle shape
+    as the sequence join, so the 10^12-row posture is identical.
+    """
+    w_us = duration_us(within)
+    ts = F.col(ts_col).cast("timestamp")
+    a = (df.filter(F.col(event_col) == first)
+           .select(F.col(key_col).alias("key"), ts.alias("first_ts")))
+    b = (df.filter(F.col(event_col) == second)
+           .select(F.col(key_col).alias("__bk"), ts.alias("second_ts")))
+    out = a.join(
+        b, (F.col("key") == F.col("__bk"))
+           & (F.col("second_ts") > F.col("first_ts"))
+           & (F.unix_micros("second_ts")
+              <= F.unix_micros("first_ts") + F.lit(w_us)),
+        "left_anti")
+    return out.select("key", F.col("first_ts").cast(_NTZ).alias("first_ts"))
+
+
+def kleene_matches(df: DataFrame, key_col: str = "user_id",
+                   ts_col: str = "ts", event_col: str = "event_type",
+                   first: str = "signup", mid: str = "view",
+                   second: str = "purchase",
+                   within: str = "7 days") -> DataFrame:
+    """Kleene-plus — the ``A B+ C`` pattern: every (first, second) pair
+    within the chain bound that has at least one *mid* event strictly
+    between them, with the match count ``n_mid`` (CEP ``oneOrMore``
+    semantics under, in Flink terms, skip-till-any-match: B occurrences are
+    counted per (A, C) endpoint pair, not enumerated as subsets).
+
+    Spark-first: the sequence join produces the endpoint pairs, then one
+    more keyed equi-join attaches mids (the time predicates stay codegen
+    secondary conditions) and a groupBy over the pair counts them —
+    Kleene-plus's ≥1 constraint is the inner join itself. Three shuffles
+    total, all on the key / pair columns, never an all-pairs product.
+    """
+    w_us = duration_us(within)
+    ts = F.col(ts_col).cast("timestamp")
+    pairs = sequence_matches(df, key_col, ts_col, event_col, first, second,
+                             within)
+    m = (df.filter(F.col(event_col) == mid)
+           .select(F.col(key_col).alias("__mk"), ts.cast(_NTZ).alias("mid_ts")))
+    j = pairs.join(
+        m, (F.col("key") == F.col("__mk"))
+           & (F.col("mid_ts") > F.col("first_ts"))
+           & (F.col("mid_ts") < F.col("second_ts")))
+    return (j.groupBy("key", "first_ts", "second_ts")
+             .agg(F.count(F.lit(1)).alias("n_mid"))
+             .select("key", "first_ts", "second_ts", "n_mid"))
+
+
 def sequence_chain(df: DataFrame, key_col: str = "user_id",
                    ts_col: str = "ts", event_col: str = "event_type",
                    steps: tuple = ("signup", "view", "purchase"),
@@ -105,6 +166,10 @@ _OUT_SCHEMA = StructType([
     StructField("key", LongType()),
     StructField("first_ts", TimestampType()),
     StructField("second_ts", TimestampType()),
+])
+_ABS_OUT_SCHEMA = StructType([
+    StructField("key", LongType()),
+    StructField("first_ts", TimestampType()),
 ])
 _STATE_SCHEMA = StructType([StructField("blob", BinaryType())])
 
@@ -188,6 +253,111 @@ class StatefulSequenceStream:
 
         return work.groupBy("key").applyInPandasWithState(
             update, _OUT_SCHEMA, _STATE_SCHEMA, "append",
+            GroupStateTimeout.EventTimeTimeout)
+
+    def start(self, spark, source_dir: str, out_dir: str, checkpoint_dir: str,
+              schema=None, max_files_per_trigger: int = 1,
+              available_now: bool = True):
+        if schema is None:
+            schema = spark.read.parquet(source_dir).schema
+        reader = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", max_files_per_trigger)
+                  .parquet(source_dir))
+        out = self.transform(reader)
+        writer = (out.writeStream.format("parquet")
+                  .option("path", out_dir)
+                  .option("checkpointLocation", checkpoint_dir)
+                  .outputMode("append"))
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
+@dataclass
+class StatefulAbsenceStream:
+    """Streaming twin of ``absence_matches`` — the timer-driven CEP shape.
+
+    Unlike the sequence stream (which emits in-band, at the later element's
+    arrival), an absence can only be decided by the PASSAGE OF TIME: a first
+    event emits exactly once, in the micro-batch whose watermark first
+    exceeds ``first_ts + within`` with no admissible second having cancelled
+    it (event-time timeouts make that batch happen even with no new data —
+    Spark's no-data micro-batches fire the pending timers).
+
+    Per-key state holds (pending first µs, remembered second µs) lists.
+    Cancellation is permanent and vectorized (binary search of each pending
+    first against the sorted seconds). Retention mirrors the sequence
+    stream's horizon: a first lives until the watermark passes
+    ``first_ts + within`` (then it EMITS instead of evicting); a second
+    lives until the watermark passes ``second_ts`` (an admissibly-late first
+    it could still cancel must carry ``first_ts < second_ts``, and anything
+    older than the watermark is dropped upstream).
+    """
+    key_col: str = "user_id"
+    ts_col: str = "ts"
+    event_col: str = "event_type"
+    first: str = "signup"
+    second: str = "purchase"
+    within: str = "7 days"
+    watermark_delay: str = "10 seconds"
+
+    def transform(self, stream_df: DataFrame) -> DataFrame:
+        import numpy as np
+
+        w_us = duration_us(self.within)
+        first_kind, second_kind = self.first, self.second
+
+        work = (stream_df
+                .filter(F.col(self.event_col).isin(first_kind, second_kind))
+                .select(F.col(self.key_col).cast("long").alias("key"),
+                        F.col(self.ts_col).cast("timestamp").alias("__evt"),
+                        F.col(self.event_col).alias("kind"))
+                .withWatermark("__evt", self.watermark_delay))
+
+        def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+            firsts: list[int] = []
+            seconds: list[int] = []
+            if state.exists:
+                firsts, seconds = pickle.loads(state.get[0])
+
+            if not state.hasTimedOut:
+                rows = [p for p in pdfs if not p.empty]
+                if rows:
+                    pdf = pd.concat(rows, ignore_index=True)
+                    us = (pdf["__evt"].astype("datetime64[us]").astype("int64")
+                          .to_numpy())
+                    is_first = (pdf["kind"] == first_kind).to_numpy()
+                    firsts.extend(int(t) for t in us[is_first])
+                    seconds.extend(int(t) for t in us[~is_first])
+                    seconds.sort()
+            if firsts and seconds:
+                fa = np.asarray(firsts, dtype=np.int64)
+                sa = np.asarray(seconds, dtype=np.int64)
+                idx = np.searchsorted(sa, fa, side="right")
+                nxt = sa[np.minimum(idx, len(sa) - 1)]
+                cancelled = (idx < len(sa)) & (nxt <= fa + w_us)
+                firsts = [int(f) for f in fa[~cancelled]]
+
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            emit = sorted(f for f in firsts if f + w_us < wm_us)
+            firsts = [f for f in firsts if f + w_us >= wm_us]
+            seconds = [s for s in seconds if s >= wm_us]
+
+            if firsts or seconds:
+                state.update((pickle.dumps((firsts, seconds)),))
+                horizon = min([f + w_us for f in firsts] + seconds)
+                state.setTimeoutTimestamp(max(horizon, wm_us + 1_000) // 1000)
+            elif state.exists:
+                state.remove()
+
+            if emit:
+                yield pd.DataFrame({
+                    "key": [int(key[0])] * len(emit),
+                    "first_ts": [pd.Timestamp(f, unit="us") for f in emit]})
+
+        return work.groupBy("key").applyInPandasWithState(
+            update, _ABS_OUT_SCHEMA, _STATE_SCHEMA, "append",
             GroupStateTimeout.EventTimeTimeout)
 
     def start(self, spark, source_dir: str, out_dir: str, checkpoint_dir: str,

@@ -80,7 +80,8 @@ def ground_truth_wave(i: int) -> np.ndarray:
 
 
 def replay_in_order(spark, df, src_dir: str, n_chunks: int,
-                    ts_col: str = "ts", flush_ts: list | None = None) -> None:
+                    ts_col: str = "ts", flush_ts: list | None = None,
+                    flush_mutate=None) -> None:
     """File-replay stream source in event-time order (the analogue of the
     reference's gzip replay sources, ``NYCTaxiRideSource.java:36-55``).
 
@@ -91,7 +92,10 @@ def replay_in_order(spark, df, src_dir: str, n_chunks: int,
     Optional ``flush_ts`` rows (clones of the first row at the given
     timestamps) are appended as final batches to push the watermark past
     every real window so event-time timeouts fire before an availableNow
-    run terminates.
+    run terminates. ``flush_mutate`` (pd.DataFrame -> pd.DataFrame) edits
+    each flush clone — needed when the consuming operator filters by a
+    column (e.g. event kind) BEFORE its watermark node, so the sentinel
+    must survive that filter without interacting with real keys.
     """
     import glob as _glob
     import os as _os
@@ -102,6 +106,8 @@ def replay_in_order(spark, df, src_dir: str, n_chunks: int,
     for t in (flush_ts or []):
         row = pdf.iloc[[0]].copy()
         row[ts_col] = pd.Timestamp(t)
+        if flush_mutate is not None:
+            row = flush_mutate(row)
         chunks.append(row)
     base = 1_000_000_000
     for i, chunk in enumerate(chunks):

@@ -92,3 +92,72 @@ def test_chain_degenerates_to_pairs(spark):
     a = a[cols].sort_values(cols).reset_index(drop=True)
     b = b[cols].sort_values(cols).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_absence_batch_is_complement_of_sequence(spark):
+    """absence ∪ (firsts of sequence pairs) partitions the signup set."""
+    from condor_spark.engine.cep import absence_matches
+    df = spark.read.parquet(f"{SF}/events.parquet")
+    absent = absence_matches(df, within="3 days").toPandas()
+    paired = (sequence_matches(df, within="3 days").toPandas()
+              [["key", "first_ts"]].drop_duplicates())
+    signups = (df.filter(F.col("event_type") == "signup")
+               .select(F.col("user_id").alias("key"),
+                       F.col("ts").alias("first_ts")).toPandas())
+    a = set(map(tuple, absent.itertuples(index=False)))
+    p = set(map(tuple, paired.itertuples(index=False)))
+    s = set(map(tuple, signups.itertuples(index=False)))
+    assert a | p == s and not (a & p)
+
+
+def test_stream_absence_matches_batch_out_of_order(spark, tmp_path):
+    """Timer-driven emission: a signup emits exactly once when the watermark
+    clears signup_ts + within — including when its cancelling purchase
+    arrives in an EARLIER micro-batch than the (out-of-order) signup."""
+    from condor_spark.engine.cep import StatefulAbsenceStream, absence_matches
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    rows = pd.DataFrame({
+        "event_id": range(7),
+        "ts": pd.to_datetime([
+            "2024-01-02 00:30",                      # u1 purchase (file 1)
+            "2024-01-02 00:00",                      # u1 signup (file 2 — late)
+            "2024-01-03 00:00",                      # u2 signup, no purchase
+            "2024-01-04 00:00", "2024-01-09 00:00",  # u3 signup, too-late purch
+            "2024-01-05 00:00", "2024-01-05 00:00",  # u4 purchase==signup ts
+            ]),
+        "user_id": [1, 1, 2, 3, 3, 4, 4],
+        "event_type": ["purchase", "signup", "signup", "signup", "purchase",
+                       "signup", "purchase"],
+        "value": [0.0] * 7, "props": ["{}"] * 7,
+    })
+    sentinel = pd.DataFrame({
+        "event_id": [99], "ts": [pd.Timestamp("2024-02-01")],
+        "user_id": [-1], "event_type": ["purchase"],
+        "value": [0.0], "props": ["{}"]})
+    schema = spark.read.parquet(f"{SF}/events.parquet").schema
+    base = 1_000_000_000
+    parts = (rows.drop(index=1), rows.loc[[1]], sentinel)
+    for i, part in enumerate(parts):
+        before = set(glob.glob(os.path.join(src, "*.parquet")))
+        (spark.createDataFrame(part, schema=schema)
+         .coalesce(1).write.mode("append").parquet(src))
+        for f in set(glob.glob(os.path.join(src, "*.parquet"))) - before:
+            os.utime(f, (base + i, base + i))
+
+    job = StatefulAbsenceStream(within="3 days", watermark_delay="2 days")
+    q = job.start(spark, src, str(tmp_path / "out"), str(tmp_path / "ck"))
+    q.awaitTermination(300)
+    got = (spark.read.parquet(str(tmp_path / "out")).toPandas()
+           .sort_values(["key", "first_ts"]).reset_index(drop=True))
+    batch = (absence_matches(spark.read.parquet(src), within="3 days")
+             .toPandas().sort_values(["key", "first_ts"])
+             .reset_index(drop=True))
+    got["first_ts"] = got["first_ts"].astype("datetime64[us]")
+    batch["first_ts"] = batch["first_ts"].astype("datetime64[us]")
+    assert got.equals(batch)
+    # u1 cancelled by the earlier-arriving purchase; u2 absent; u3's
+    # purchase is outside `within` → absent; u4 equal-ts is no match →
+    # absent. Key -1's sentinel purchase emits nothing.
+    assert set(got["key"]) == {2, 3, 4}
