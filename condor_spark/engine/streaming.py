@@ -96,14 +96,45 @@ class StreamingSynopsisJob:
         version is reconstructible — per window bucket, the newest file
         with version ≤ the requested one, ignoring versions above the
         ledger head (orphans of a crashed uncommitted attempt). Costs the
-        write path nothing; ``expire_snapshots`` reclaims history."""
+        write path nothing; ``expire_snapshots`` reclaims history and
+        ``compact_snapshots`` bin-packs the live manifest."""
         if as_of_version is None:
-            paths = sorted(self._read_ledger().get("manifest", {}).values())
+            mapping = {int(w): p
+                       for w, p in self._read_ledger().get("manifest",
+                                                           {}).items()}
         else:
-            paths = sorted(self._manifest_asof(int(as_of_version)).values())
-        if not paths:
+            mapping = self._manifest_asof(int(as_of_version))
+        return self._read_mapping(spark, mapping)
+
+    def _read_mapping(self, spark: SparkSession,
+                      mapping: dict[int, str]) -> DataFrame:
+        """Read a {window → path} manifest as one DataFrame.
+
+        Per-window files are read in a SINGLE multi-path scan (each
+        contributes exactly its window). A compacted file may also carry
+        windows that newer per-window files supersede, so each compacted
+        path gets its own scan filtered to the windows still mapped to it
+        — ≤ (1 + #live compactions) scan nodes total, never one per
+        window."""
+        if not mapping:
             return spark.createDataFrame([], _STATE_SCHEMA)
-        return spark.read.parquet(*paths)
+        comp_paths = {c["path"]
+                      for c in self._read_ledger().get("compactions", [])}
+        plain = sorted({p for p in mapping.values() if p not in comp_paths})
+        parts = []
+        if plain:
+            parts.append(spark.read.parquet(*plain))
+        by_comp: dict[str, list[int]] = {}
+        for w, p in mapping.items():
+            if p in comp_paths:
+                by_comp.setdefault(p, []).append(int(w))
+        for p, ws in sorted(by_comp.items()):
+            parts.append(spark.read.parquet(p)
+                         .filter(F.col("window_start").isin(ws)))
+        out = parts[0]
+        for d in parts[1:]:
+            out = out.unionByName(d)
+        return out
 
     def _state_files(self) -> list[tuple[int, int, str]]:
         """(window_us, version, path) for every state file on disk."""
@@ -137,48 +168,114 @@ class StreamingSynopsisJob:
         for w, v, path in self._state_files():
             if v <= version and (w not in best or v > best[w][0]):
                 best[w] = (v, path)
-        return {str(w): p for w, (_, p) in best.items()}
+        # a compacted file provides ALL its windows at the compaction
+        # version (its rows are byte-identical to the per-window files it
+        # bin-packed, so version order alone decides)
+        for comp in led.get("compactions", []):
+            cv = int(comp["version"])
+            if cv <= version:
+                for w in comp["windows"]:
+                    w = int(w)
+                    if w not in best or cv > best[w][0]:
+                        best[w] = (cv, comp["path"])
+        return {int(w): p for w, (_, p) in best.items()}
 
     def snapshots(self) -> list[dict]:
         """Committed snapshot history, oldest first: one entry per batch
-        commit with its ledger version — the Iceberg snapshot-list
-        analogue (feed a ``version`` to ``read_state(as_of_version=…)``)."""
+        commit with its ledger version, plus one per compaction (batch_id
+        None) — the Iceberg snapshot-list analogue (feed a ``version`` to
+        ``read_state(as_of_version=…)``)."""
         led = self._read_ledger()
-        return sorted(({"batch_id": int(b), "version": int(v)}
-                       for b, v in led.get("committed", {}).items()),
-                      key=lambda s: s["version"])
+        snaps = [{"batch_id": int(b), "version": int(v)}
+                 for b, v in led.get("committed", {}).items()]
+        snaps += [{"batch_id": None, "version": int(c["version"]),
+                   "compaction": True}
+                  for c in led.get("compactions", [])]
+        return sorted(snaps, key=lambda s: s["version"])
+
+    def compact_snapshots(self, spark: SparkSession,
+                          target_files: int = 1) -> dict:
+        """Bin-pack the LIVE manifest into ``target_files`` consolidated
+        state files and commit the result as a new snapshot version — the
+        Iceberg ``rewriteDataFiles`` analogue. The steady-state sink holds
+        one small file per touched window; at 10^5 windows that is 10^5
+        files per scan, so maintenance compaction keeps the read path at
+        O(target_files + windows touched since last compaction) scans.
+
+        Rows are byte-identical to the inputs (pure rewrite, no merge), so
+        time travel to pre-compaction versions keeps working from the old
+        per-window files until ``expire_snapshots`` reclaims them, and
+        exactly-once replay is unaffected (the batch ledger's ``committed``
+        map is untouched). Batches AFTER a compaction write per-window
+        files again, which supersede the compacted file window-by-window
+        via version order. Crash-safe: the consolidated file is written
+        before the ledger commit point; an orphan from a crashed attempt
+        is overwritten by the retry.
+
+        The per-compaction window list lives in the ledger JSON here; at
+        warehouse scale it would live in a manifest file next to the data
+        (as Iceberg's manifests do), not in one driver-side JSON.
+        """
+        led = self._read_ledger()
+        manifest = {int(w): p for w, p in led.get("manifest", {}).items()}
+        n_before = len(set(manifest.values()))
+        if n_before <= max(int(target_files), 1):
+            return {"compacted": False, "files_before": n_before,
+                    "files_after": n_before, "version": led["version"]}
+        version = led["version"] + 1
+        dest = os.path.join(self.sink_dir, "state", f"c{version}.parquet")
+        (self._read_mapping(spark, manifest)
+         .repartitionByRange(max(int(target_files), 1), "window_start")
+         .write.mode("overwrite").parquet(dest))
+        windows = sorted(manifest)
+        led["version"] = version
+        led["manifest"] = {str(w): dest for w in windows}
+        led.setdefault("compactions", []).append(
+            {"version": version, "path": dest, "windows": windows})
+        self._write_ledger(led)  # commit point
+        return {"compacted": True, "files_before": n_before,
+                "files_after": 1, "version": version}
 
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Drop state files only needed by snapshots older than the newest
-        ``keep_last`` committed versions; returns the number of files
-        removed. A file survives if it is the per-window newest at ANY
-        kept version — exactly-once replay never needs expired files (a
-        replayed committed batch short-circuits on the ledger), so this
-        only narrows how far back time travel reaches."""
+        ``keep_last`` versions (batch commits and compactions alike);
+        returns the number of files removed. A file survives if it is the
+        per-window newest at ANY kept version — exactly-once replay never
+        needs expired files (a replayed committed batch short-circuits on
+        the ledger), so this only narrows how far back time travel
+        reaches. Compacted files whose every window is superseded at all
+        kept versions are reclaimed too, with their ledger entries."""
         import shutil
 
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         versions = sorted({s["version"] for s in self.snapshots()})
         keep_versions = versions[-keep_last:]
+        floor = self._read_ledger().get("min_travel_version", 1)
         needed = set()
-        files = self._state_files()
         for kv in keep_versions:
-            best: dict[int, tuple[int, str]] = {}
-            for w, v, path in files:
-                if v <= kv and (w not in best or v > best[w][0]):
-                    best[w] = (v, path)
-            needed.update(p for _, p in best.values())
+            if kv >= floor:  # below the floor was already partially expired
+                needed.update(self._manifest_asof(kv).values())
         removed = 0
+        files = self._state_files()
         for _, v, path in files:
             if path not in needed and v <= max(versions, default=0):
                 shutil.rmtree(path, ignore_errors=True)
                 removed += 1
+        led = self._read_ledger()
+        kept_comps = []
+        for comp in led.get("compactions", []):
+            if comp["path"] in needed:
+                kept_comps.append(comp)
+            else:
+                shutil.rmtree(comp["path"], ignore_errors=True)
+                removed += 1
+        if led.get("compactions"):
+            led["compactions"] = kept_comps
         if keep_versions:
-            led = self._read_ledger()
             led["min_travel_version"] = max(keep_versions[0],
                                             led.get("min_travel_version", 1))
-            self._write_ledger(led)
+        self._write_ledger(led)
         return removed
 
     def read_state_df(self, spark: SparkSession,
@@ -253,8 +350,10 @@ class StreamingSynopsisJob:
         manifest = dict(ledger.get("manifest", {}))
         touched = (sorted({int(w) for w in delta["window_start"]})
                    if len(delta) else [])
-        old_paths = [manifest[str(w)] for w in touched if str(w) in manifest]
-        cur = (spark.read.parquet(*old_paths).toPandas() if old_paths else
+        old_map = {w: manifest[str(w)] for w in touched if str(w) in manifest}
+        # mapping-aware read: a touched window may live inside a compacted
+        # file — read only the touched windows' rows, never its siblings
+        cur = (self._read_mapping(spark, old_map).toPandas() if old_map else
                pd.DataFrame(columns=["window_start", "window_end", "stratum",
                                      "state", "n"]))
         merged_rows = []

@@ -68,6 +68,10 @@ def parse_args(argv):
     p.add_argument("--expire-keep-last", type=int, default=None,
                    help="snapshots mode: expire history, keeping the "
                         "newest N committed snapshots")
+    p.add_argument("--compact", type=int, default=None, metavar="N",
+                   help="snapshots mode: bin-pack the live manifest into "
+                        "N consolidated state files (rewriteDataFiles "
+                        "analogue); runs before any expire")
     p.add_argument("--queries", default=None,
                    help="query-stream table dir (querylatest mode); one "
                         "integer column named by --query-key")
@@ -137,6 +141,9 @@ def main(argv=None) -> None:
         if args.as_of_version is not None:
             (job.read_state(spark, as_of_version=args.as_of_version)
              .write.mode("overwrite").parquet(args.sink))
+        if args.compact is not None:
+            print(json.dumps(job.compact_snapshots(spark,
+                                                   target_files=args.compact)))
         if args.expire_keep_last is not None:
             removed = job.expire_snapshots(keep_last=args.expire_keep_last)
             print(json.dumps({"expired_files": removed}))

@@ -285,3 +285,69 @@ def test_expire_snapshots_keeps_recent_history(spark, tmp_path):
     # expiration is idempotent and never touches the head
     assert job.expire_snapshots(keep_last=2) == 0
     assert job._read_ledger()["version"] == 4
+
+
+def test_compact_snapshots_rewrite_and_resume(spark, tmp_path):
+    """Compaction (rewriteDataFiles analogue): bin-packs the live manifest
+    into one file without changing a row, preserves pre-compaction time
+    travel, and batches landing AFTER it supersede windows correctly."""
+    from condor_spark import fixtures
+
+    df = spark.read.parquet(f"{SF}/events.parquet")
+    pdf = df.toPandas().sort_values("ts").reset_index(drop=True)
+    head_n = int(len(pdf) * 0.75)
+    df1 = spark.createDataFrame(pdf.iloc[:head_n], schema=df.schema)
+    src = str(tmp_path / "src")
+    fixtures.replay_in_order(spark, df1, src, n_chunks=3, ts_col="ts")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    job = StreamingSynopsisJob(spec=_spec(), sink_dir=sink,
+                               watermark_delay="40 days")
+    job.start(spark, src, ckpt, max_files_per_trigger=1).awaitTermination(300)
+
+    keys = list(range(150))
+    def estimates(state_df):
+        return sorted((str(r["window_start"]), r["key"], r["est_count"])
+                      for r in ev.frequency_estimates(state_df, keys).collect())
+
+    live_before = estimates(job.read_state_df(spark))
+    v2_before = estimates(job.read_state_df(spark, as_of_version=2))
+    files_before = len({p for p in job._read_ledger()["manifest"].values()})
+    assert files_before > 1
+
+    out = job.compact_snapshots(spark)
+    assert out["compacted"] and out["files_before"] == files_before
+    assert out["files_after"] == 1 and out["version"] == 4
+
+    # pure rewrite: live read identical, row-for-row (including blobs)
+    assert estimates(job.read_state_df(spark)) == live_before
+    assert job.read_state(spark).count() == \
+        job.read_state(spark, as_of_version=4).count()
+    # pre-compaction time travel still served by the old per-window files
+    assert estimates(job.read_state_df(spark, as_of_version=2)) == v2_before
+    # idempotent no-op when already one file
+    assert job.compact_snapshots(spark)["compacted"] is False
+
+    # a batch AFTER compaction supersedes its windows inside the compacted
+    # file (mapping-aware read: no duplicates, no stale rows)
+    df2 = spark.createDataFrame(pdf.iloc[head_n:], schema=df.schema)
+    before = set(glob.glob(os.path.join(src, "*.parquet")))
+    df2.coalesce(1).write.mode("append").parquet(src)
+    for f in set(glob.glob(os.path.join(src, "*.parquet"))) - before:
+        os.utime(f, (2_000_000_000, 2_000_000_000))
+    job2 = StreamingSynopsisJob(spec=_spec(), sink_dir=sink,
+                                watermark_delay="40 days")
+    job2.start(spark, src, ckpt, max_files_per_trigger=1).awaitTermination(300)
+
+    full = estimates(build_batch(spark.read.parquet(f"{SF}/events.parquet"),
+                                 _spec()))
+    assert estimates(job2.read_state_df(spark)) == full
+    st = job2.read_state(spark).toPandas()
+    assert not st.duplicated(["window_start", "stratum"]).any()
+
+    # expiration reclaims the superseded per-window files AND, once every
+    # window is superseded at all kept versions, the compacted file itself
+    removed = job2.expire_snapshots(keep_last=1)
+    assert removed > 0
+    assert estimates(job2.read_state_df(spark)) == full
+    with pytest.raises(ValueError, match="expired"):
+        job2.read_state(spark, as_of_version=2)
