@@ -1166,6 +1166,32 @@ def q_stream_query_latest(spark, sf_dir):
                       "key", "est_count")
 
 
+def q_stream_compacted(spark, sf_dir):
+    """Snapshot compaction end-to-end: maintain the exactly-once manifest
+    sink over the full replay, bin-pack the live manifest into ONE file
+    (compact_snapshots — the rewriteDataFiles analogue), then evaluate the
+    canonical frequency query from the COMPACTED snapshot. Compaction is a
+    pure rewrite, so this shares cm_user_frequency's exact oracle."""
+
+    from condor_spark import fixtures
+    from condor_spark.engine.streaming import StreamingSynopsisJob
+
+    df = _events(spark, sf_dir)
+    tmp = _fresh_tmp("compact", sf_dir)
+    fixtures.replay_in_order(spark, df, f"{tmp}/src", n_chunks=5)
+    spec = SynopsisSpec(kind="countmin", params=dict(width=8192, height=5, seed=7),
+                        column="user_id", ts_column="ts", window=Tumbling(DAY))
+    job = StreamingSynopsisJob(spec, sink_dir=f"{tmp}/sink",
+                               watermark_delay="1 hour")
+    _await(job.start(spark, f"{tmp}/src", f"{tmp}/ckpt"))
+    info = job.compact_snapshots(spark)
+    if not info["compacted"] or info["files_after"] != 1:
+        raise RuntimeError(f"compaction did not pack the manifest: {info}")
+    res = ev.frequency_estimates(job.read_state_df(spark), _user_keys(df))
+    return res.select(F.col("window_start").cast(NTZ).alias("window_start"),
+                      "key", "est_count")
+
+
 def q_stream_quantile_latest(spark, sf_dir):
     """Continuous QUANTILE query stream against the latest DDSketch window
     (QueryLatestStream kind dispatch → codegen unrolled binary search,
@@ -1429,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_inversion_stratified": q_sliding_inversion_stratified,
         "stream_count_windows": q_stream_count_windows,
         "stream_cep_absence": q_stream_cep_absence,
+        "stream_compacted": q_stream_compacted,
         "query_timestamped_stratified": q_query_timestamped_stratified,
         "hist4lt_sql_ranges": q_hist4lt_sql_ranges,
         "cep_chain3": q_cep_chain3,
@@ -2129,6 +2156,9 @@ def oracle_sql() -> dict[str, str]:
     # (tests/test_sqlbuild.py), so its estimates share the same oracles
     oracles["cm_sql_frequency"] = oracles["cm_user_frequency"]
     oracles["stream_sketch_sql"] = oracles["cm_user_frequency"]
+    # compaction is a pure rewrite of the live manifest (rows identical),
+    # so the compacted snapshot answers the same exact frequency oracle
+    oracles["stream_compacted"] = oracles["cm_user_frequency"]
     oracles["equiwidth_sql_hist"] = oracles["equiwidth_hist"]
     oracles["bottomk_sql_sample"] = oracles["bottomk_sample"]
     oracles["fifo_sql_latest"] = oracles["fifo_latest"]
