@@ -784,12 +784,14 @@ class StreamingSketchSQLJob:
 
     def start(self, spark, source_dir: str, out_dir: str, checkpoint_dir: str,
               schema=None, max_files_per_trigger: int = 1,
-              available_now: bool = True):
+              available_now: bool = True, transform=None):
         if schema is None:
             schema = spark.read.parquet(source_dir).schema
         reader = (spark.readStream.schema(schema)
                   .option("maxFilesPerTrigger", max_files_per_trigger)
                   .parquet(source_dir))
+        if transform is not None:
+            reader = transform(reader)
         writer = (self.transform(reader).writeStream
                   .foreachBatch(self._sink(out_dir))
                   .option("checkpointLocation", checkpoint_dir)

@@ -149,14 +149,18 @@ class StatefulSynopsisStream:
 
     def start(self, spark, source_dir: str, out_dir: str, checkpoint_dir: str,
               schema=None, max_files_per_trigger: int = 1,
-              available_now: bool = True):
+              available_now: bool = True, transform=None):
         """Wire source → transform → parquet append sink (exactly-once via
-        Spark's own file-sink transaction log + checkpointed state)."""
+        Spark's own file-sink transaction log + checkpointed state).
+        ``transform`` optionally rewrites the raw stream first (e.g. audio
+        decode → feature rows, executor-side per micro-batch)."""
         if schema is None:
             schema = spark.read.parquet(source_dir).schema
         reader = (spark.readStream.schema(schema)
                   .option("maxFilesPerTrigger", max_files_per_trigger)
                   .parquet(source_dir))
+        if transform is not None:
+            reader = transform(reader)
         out = self.transform(reader)
         writer = (out.writeStream.format("parquet")
                   .option("path", out_dir)

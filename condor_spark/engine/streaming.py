@@ -416,13 +416,20 @@ class StreamingSynopsisJob:
     # ---------------- stream wiring ------------------------------------------
     def start(self, spark: SparkSession, source_dir: str, checkpoint_dir: str,
               schema=None, max_files_per_trigger: int = 1,
-              available_now: bool = True):
-        """Start the stream from a parquet directory source."""
+              available_now: bool = True, transform=None):
+        """Start the stream from a parquet directory source.
+
+        ``transform`` (DataFrame -> DataFrame, optional) rewrites the raw
+        stream before the synopsis pipeline — e.g. the audio path's
+        ``decode_features_arrow`` turning (clip_id, bytes, codec, …) rows
+        into keyed feature rows per micro-batch, executor-side."""
         if schema is None:
             schema = spark.read.parquet(source_dir).schema
         reader = (spark.readStream.schema(schema)
                   .option("maxFilesPerTrigger", max_files_per_trigger)
                   .parquet(source_dir))
+        if transform is not None:
+            reader = transform(reader)
         writer = (reader.writeStream
                   .foreachBatch(self.process_batch)
                   .option("checkpointLocation", checkpoint_dir))

@@ -79,7 +79,8 @@ def parse_args(argv):
     p.add_argument("--max-files-per-trigger", type=int, default=4)
     p.add_argument("--decode-audio", action="store_true",
                    help="input is the audio-clip table: decode + extract "
-                        "features first; --column then names a feature "
+                        "features first (per micro-batch in streaming "
+                        "modes); --column then names a feature "
                         "(rms, peak, zcr, e_q50, n_tokens, ...)")
     return p.parse_args(argv)
 
@@ -171,15 +172,28 @@ def main(argv=None) -> None:
     if args.checkpoint is None:
         raise SystemExit("--checkpoint is required in streaming modes")
 
+    transform = None
+    if args.decode_audio:
+        # the north-rule pipeline: the stream's (clip_id, bytes, codec, …)
+        # rows decode to keyed feature rows per micro-batch, executor-side,
+        # BEFORE windowed synopsis maintenance — --column then names a
+        # decoded feature (rms, peak, zcr, e_q50, n_tokens, ...)
+        from condor_spark.engine.audio import decode_features_arrow
+
+        def transform(df):
+            return decode_features_arrow(df, passthrough=(args.ts_column,))
+
     if args.mode == "sql":
         from condor_spark.engine.sqlbuild import StreamingSketchSQLJob
         job = StreamingSketchSQLJob(spec, watermark_delay=args.watermark_delay)
         q = job.start(spark, args.input, args.sink, args.checkpoint,
-                      max_files_per_trigger=args.max_files_per_trigger)
+                      max_files_per_trigger=args.max_files_per_trigger,
+                      transform=transform)
     elif args.mode == "stateful":
         job = StatefulSynopsisStream(spec, watermark_delay=args.watermark_delay)
         q = job.start(spark, args.input, args.sink, args.checkpoint,
-                      max_files_per_trigger=args.max_files_per_trigger)
+                      max_files_per_trigger=args.max_files_per_trigger,
+                      transform=transform)
     elif args.mode == "querylatest":
         if not args.queries:
             raise SystemExit("--queries is required in querylatest mode")
@@ -187,8 +201,8 @@ def main(argv=None) -> None:
         job = StreamingSynopsisJob(spec, sink_dir=f"{args.sink}/snapshot",
                                    watermark_delay=args.watermark_delay)
         job.start(spark, args.input, f"{args.checkpoint}/build",
-                  max_files_per_trigger=args.max_files_per_trigger
-                  ).awaitTermination()
+                  max_files_per_trigger=args.max_files_per_trigger,
+                  transform=transform).awaitTermination()
         qkey = (tuple(args.query_key.split(","))  # "lo,hi" = range stream
                 if "," in args.query_key else args.query_key)
         ql = QueryLatestStream(job, out_dir=f"{args.sink}/answers",
@@ -199,7 +213,8 @@ def main(argv=None) -> None:
         job = StreamingSynopsisJob(spec, sink_dir=args.sink,
                                    watermark_delay=args.watermark_delay)
         q = job.start(spark, args.input, args.checkpoint,
-                      max_files_per_trigger=args.max_files_per_trigger)
+                      max_files_per_trigger=args.max_files_per_trigger,
+                      transform=transform)
     q.awaitTermination()
     spark.stop()
 

@@ -358,3 +358,66 @@ def test_spark_submit_snapshots_mode(tmp_path):
     # v1 expired by the CLI run (floor recorded in the shared ledger)
     with pytest.raises(ValueError, match="expired"):
         job.read_state(spark, as_of_version=1)
+
+
+@pytest.mark.slow
+def test_spark_submit_audio_stream_job(tmp_path):
+    """The north-rule pipeline as ONE deployed artifact: a stream of raw
+    audio clips decodes to feature rows per micro-batch (--decode-audio),
+    a DDSketch per day window is maintained over the rms feature by the
+    exactly-once manifest sink, and the committed snapshot equals the
+    batch build over the decoded feature table byte-for-byte."""
+    spark_submit = shutil.which("spark-submit")
+    assert spark_submit, "spark-submit not on PATH"
+
+    from pyspark.sql import SparkSession
+    from condor_spark import fixtures
+    spark = SparkSession.getActiveSession() or (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false").getOrCreate())
+    src = str(tmp_path / "clips")
+    fixtures.replay_in_order(spark, fixtures.audio_clips(spark, 300,
+                                                         num_partitions=4),
+                             src, n_chunks=3, ts_col="ts")
+
+    sink = str(tmp_path / "sink")
+    cmd = [
+        spark_submit, "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--py-files", _make_zip(tmp_path),
+        os.path.join(REPO, "jobs", "synopsis_job.py"),
+        "--mode", "stream", "--decode-audio",
+        "--input", src,
+        "--sink", sink,
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--kind", "ddsketch",
+        "--params", '{"relative_accuracy": 0.01, "max_num_bins": 4096}',
+        "--column", "rms", "--ts-column", "ts", "--window", "1 day",
+        "--watermark-delay", "1 hour",
+        "--max-files-per-trigger", "1",
+    ]
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    r = subprocess.run(cmd, cwd=str(tmp_path), env=env,
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-4000:]
+
+    from condor_spark.engine.audio import decode_features_arrow
+    from condor_spark.engine.builder import SynopsisSpec, build_batch
+    from condor_spark.engine.streaming import StreamingSynopsisJob
+    from condor_spark.engine.windows import Tumbling
+    job = StreamingSynopsisJob(spec=None, sink_dir=sink)
+    got = {(r2["window_start"], r2["stratum"]): (bytes(r2["state"]), r2["n"])
+           for r2 in job.read_state_df(spark).collect()}
+    assert got
+    feats = decode_features_arrow(spark.read.parquet(src),
+                                  passthrough=("ts",))
+    spec = SynopsisSpec(kind="ddsketch",
+                        params=dict(relative_accuracy=0.01, max_num_bins=4096),
+                        column="rms", ts_column="ts", window=Tumbling("1 day"))
+    want = {(r2["window_start"], r2["stratum"]): (bytes(r2["state"]), r2["n"])
+            for r2 in build_batch(feats, spec).collect()}
+    assert got == want
