@@ -993,6 +993,32 @@ def q_stream_cep_absence(spark, sf_dir):
             .select("key", F.col("first_ts").cast(NTZ).alias("first_ts")))
 
 
+def q_stream_cep_kleene(spark, sf_dir):
+    """CEP Kleene-plus streaming: a pair's mid count finalizes when the
+    watermark clears its second_ts (all admissible mids have arrived), so a
+    full replay reproduces the batch pair+count aggregate exactly."""
+
+    from condor_spark import fixtures
+    from condor_spark.engine.cep import StatefulKleeneStream
+
+    df = _events(spark, sf_dir)
+    max_ts = df.agg(F.max("ts")).collect()[0][0]
+    cutoff = pd.Timestamp(max_ts) + pd.Timedelta(days=1)
+    tmp = _fresh_tmp("cepkln", sf_dir)
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    fixtures.replay_in_order(
+        spark, df, src, n_chunks=5,
+        flush_ts=[cutoff + pd.Timedelta(days=40), cutoff + pd.Timedelta(days=80)],
+        flush_mutate=lambda r: r.assign(event_type="purchase", user_id=-1))
+
+    job = StatefulKleeneStream(within="3 days", watermark_delay="1 hour")
+    q = job.start(spark, src, out, ckpt, max_files_per_trigger=1)
+    _await(q)
+    return (spark.read.parquet(out)
+            .select("key", F.col("first_ts").cast(NTZ).alias("first_ts"),
+                    F.col("second_ts").cast(NTZ).alias("second_ts"), "n_mid"))
+
+
 def q_stream_stateful_frequency(spark, sf_dir):
     """The applyInPandasWithState streaming path, end-to-end: ordered file
     replay → watermark → keyed sketch state → event-time-timeout emission.
@@ -1455,6 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_inversion_stratified": q_sliding_inversion_stratified,
         "stream_count_windows": q_stream_count_windows,
         "stream_cep_absence": q_stream_cep_absence,
+        "stream_cep_kleene": q_stream_cep_kleene,
         "stream_compacted": q_stream_compacted,
         "query_timestamped_stratified": q_query_timestamped_stratified,
         "hist4lt_sql_ranges": q_hist4lt_sql_ranges,
@@ -2353,6 +2380,9 @@ def oracle_sql() -> dict[str, str]:
              AND m.event_type = 'view' AND m.ts > a.ts AND m.ts < b.ts
             GROUP BY 1, 2, 3
         """
+    # the streaming twin finalizes each pair's count when the watermark
+    # clears second_ts, so full replay equals the batch aggregate verbatim
+    oracles["stream_cep_kleene"] = oracles["cep_kleene"]
     oracles["stream_count_windows"] = """
             WITH o AS (SELECT row_number() OVER (ORDER BY ts, event_id) - 1 AS idx
                        FROM events)

@@ -171,6 +171,12 @@ _ABS_OUT_SCHEMA = StructType([
     StructField("key", LongType()),
     StructField("first_ts", TimestampType()),
 ])
+_KLEENE_OUT_SCHEMA = StructType([
+    StructField("key", LongType()),
+    StructField("first_ts", TimestampType()),
+    StructField("second_ts", TimestampType()),
+    StructField("n_mid", LongType()),
+])
 _STATE_SCHEMA = StructType([StructField("blob", BinaryType())])
 
 
@@ -358,6 +364,126 @@ class StatefulAbsenceStream:
 
         return work.groupBy("key").applyInPandasWithState(
             update, _ABS_OUT_SCHEMA, _STATE_SCHEMA, "append",
+            GroupStateTimeout.EventTimeTimeout)
+
+    def start(self, spark, source_dir: str, out_dir: str, checkpoint_dir: str,
+              schema=None, max_files_per_trigger: int = 1,
+              available_now: bool = True):
+        if schema is None:
+            schema = spark.read.parquet(source_dir).schema
+        reader = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", max_files_per_trigger)
+                  .parquet(source_dir))
+        out = self.transform(reader)
+        writer = (out.writeStream.format("parquet")
+                  .option("path", out_dir)
+                  .option("checkpointLocation", checkpoint_dir)
+                  .outputMode("append"))
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
+@dataclass
+class StatefulKleeneStream:
+    """Streaming twin of ``kleene_matches`` (A B+ C with match count).
+
+    A pair's mid count is only final once no admissible mid can still
+    arrive, i.e. once the watermark clears ``second_ts`` — so, like the
+    absence stream, emission is watermark-gated, but the state buffers all
+    THREE kinds: pending firsts (alive until the watermark clears
+    ``first_ts + within``), pending seconds (finalized and dropped when the
+    watermark clears their ts), and mids (alive until the watermark clears
+    ``mid_ts + within`` — a mid can only be counted by firsts within
+    ``within`` before a qualifying second, so that horizon is safe and
+    bounded). Duplicate timestamps reproduce the batch GROUP BY exactly:
+    an emitted (first_ts, second_ts) row's count is
+    mult(first) × mult(second) × (mids strictly between, with
+    multiplicity) — one row per distinct pair, like the batch aggregate.
+    """
+    key_col: str = "user_id"
+    ts_col: str = "ts"
+    event_col: str = "event_type"
+    first: str = "signup"
+    mid: str = "view"
+    second: str = "purchase"
+    within: str = "7 days"
+    watermark_delay: str = "10 seconds"
+
+    def transform(self, stream_df: DataFrame) -> DataFrame:
+        import numpy as np
+        from collections import Counter
+
+        w_us = duration_us(self.within)
+        kinds = (self.first, self.mid, self.second)
+
+        work = (stream_df
+                .filter(F.col(self.event_col).isin(*kinds))
+                .select(F.col(self.key_col).cast("long").alias("key"),
+                        F.col(self.ts_col).cast("timestamp").alias("__evt"),
+                        F.col(self.event_col).alias("kind"))
+                .withWatermark("__evt", self.watermark_delay))
+
+        def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+            firsts: list[int] = []
+            mids: list[int] = []
+            seconds: list[int] = []
+            if state.exists:
+                firsts, mids, seconds = pickle.loads(state.get[0])
+
+            if not state.hasTimedOut:
+                rows = [p for p in pdfs if not p.empty]
+                if rows:
+                    pdf = pd.concat(rows, ignore_index=True)
+                    us = (pdf["__evt"].astype("datetime64[us]").astype("int64")
+                          .to_numpy())
+                    kind = pdf["kind"].to_numpy()
+                    firsts.extend(int(t) for t in us[kind == kinds[0]])
+                    mids.extend(int(t) for t in us[kind == kinds[1]])
+                    seconds.extend(int(t) for t in us[kind == kinds[2]])
+
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            fin = [s for s in seconds if s < wm_us]
+            seconds = [s for s in seconds if s >= wm_us]
+
+            out: list[tuple[int, int, int]] = []
+            if fin:
+                cf = Counter(firsts)
+                cs = Counter(fin)
+                ma = np.sort(np.asarray(mids, dtype=np.int64))
+                for s, s_mult in sorted(cs.items()):
+                    hi = int(np.searchsorted(ma, s, side="left"))  # m < s
+                    for f, f_mult in sorted(cf.items()):
+                        if f < s <= f + w_us:
+                            lo = int(np.searchsorted(ma, f, side="right"))
+                            n = hi - lo                            # f < m < s
+                            if n > 0:
+                                out.append((f, s, f_mult * s_mult * n))
+
+            # evict AFTER finalization (a pending second's firsts/mids are
+            # retained by construction: s <= f + within and m < s)
+            firsts = [f for f in firsts if f + w_us >= wm_us]
+            mids = [m for m in mids if m + w_us >= wm_us]
+
+            if firsts or mids or seconds:
+                state.update((pickle.dumps((firsts, mids, seconds)),))
+                horizon = min([f + w_us for f in firsts]
+                              + [m + w_us for m in mids] + seconds)
+                state.setTimeoutTimestamp(max(horizon, wm_us + 1_000) // 1000)
+            elif state.exists:
+                state.remove()
+
+            if out:
+                out.sort()
+                yield pd.DataFrame({
+                    "key": [int(key[0])] * len(out),
+                    "first_ts": [pd.Timestamp(f, unit="us") for f, _, _ in out],
+                    "second_ts": [pd.Timestamp(s, unit="us") for _, s, _ in out],
+                    "n_mid": [int(n) for _, _, n in out]})
+
+        return work.groupBy("key").applyInPandasWithState(
+            update, _KLEENE_OUT_SCHEMA, _STATE_SCHEMA, "append",
             GroupStateTimeout.EventTimeTimeout)
 
     def start(self, spark, source_dir: str, out_dir: str, checkpoint_dir: str,

@@ -161,3 +161,62 @@ def test_stream_absence_matches_batch_out_of_order(spark, tmp_path):
     # purchase is outside `within` → absent; u4 equal-ts is no match →
     # absent. Key -1's sentinel purchase emits nothing.
     assert set(got["key"]) == {2, 3, 4}
+
+
+def test_stream_kleene_matches_batch_out_of_order(spark, tmp_path):
+    """Watermark-gated pair finalization: the count includes mids that
+    arrive AFTER their second (admissible disorder), duplicates multiply
+    like the batch GROUP BY, and a mid-less pair emits nothing."""
+    from condor_spark.engine.cep import StatefulKleeneStream, kleene_matches
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    rows = pd.DataFrame({
+        "event_id": range(9),
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00",                      # u1 signup
+            "2024-01-01 06:00",                      # u1 view
+            "2024-01-01 12:00",                      # u1 purchase (file 1)
+            "2024-01-01 08:00",                      # u1 view (file 2 — LATE,
+                                                     #   after its purchase)
+            "2024-01-02 00:00", "2024-01-02 01:00",  # u2 signup, purchase
+            "2024-01-03 00:00", "2024-01-03 05:00",  # u3 signup, view
+            "2024-01-03 06:00",                      # u3 purchase
+        ]),
+        "user_id": [1, 1, 1, 1, 2, 2, 3, 3, 3],
+        "event_type": ["signup", "view", "purchase", "view",
+                       "signup", "purchase",          # u2: no mid -> no row
+                       "signup", "view", "purchase"],
+        "value": [0.0] * 9, "props": ["{}"] * 9,
+    })
+    sentinel = pd.DataFrame({
+        "event_id": [99], "ts": [pd.Timestamp("2024-03-01")],
+        "user_id": [-1], "event_type": ["purchase"],
+        "value": [0.0], "props": ["{}"]})
+    schema = spark.read.parquet(f"{SF}/events.parquet").schema
+    base = 1_000_000_000
+    parts = (rows.drop(index=3), rows.loc[[3]], sentinel)
+    for i, part in enumerate(parts):
+        before = set(glob.glob(os.path.join(src, "*.parquet")))
+        (spark.createDataFrame(part, schema=schema)
+         .coalesce(1).write.mode("append").parquet(src))
+        for f in set(glob.glob(os.path.join(src, "*.parquet"))) - before:
+            os.utime(f, (base + i, base + i))
+
+    job = StatefulKleeneStream(within="3 days", watermark_delay="2 days")
+    q = job.start(spark, src, str(tmp_path / "out"), str(tmp_path / "ck"))
+    q.awaitTermination(300)
+    cols = ["key", "first_ts", "second_ts", "n_mid"]
+    got = (spark.read.parquet(str(tmp_path / "out")).toPandas()[cols]
+           .sort_values(cols).reset_index(drop=True))
+    batch = (kleene_matches(spark.read.parquet(src), within="3 days")
+             .toPandas()[cols].sort_values(cols).reset_index(drop=True))
+    for c in ("first_ts", "second_ts"):
+        got[c] = got[c].astype("datetime64[us]")
+        batch[c] = batch[c].astype("datetime64[us]")
+    got["n_mid"] = got["n_mid"].astype("int64")
+    batch["n_mid"] = batch["n_mid"].astype("int64")
+    assert got.equals(batch)
+    # u1 counts BOTH views (incl. the late-arriving one); u2 emits nothing
+    assert set(got["key"]) == {1, 3}
+    assert got.loc[got["key"] == 1, "n_mid"].tolist() == [2]
