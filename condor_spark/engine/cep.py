@@ -1,28 +1,34 @@
-"""CEP sequence detection: "A followed by B within T" per key.
+"""CEP patterns per key, each with a batch form and a streaming twin.
 
-North-rule surface ("structured-streaming / CEP engine"): the classic
-event-pattern primitive — for every *first*-kind event, every (or the
-earliest) *second*-kind event of the same key that lands in
-``(first_ts, first_ts + within]``. The reference has no CEP operator
-(Condor is a synopsis engine); this is new surface required by the north
-rule, expressed Spark-first:
+North-rule surface ("structured-streaming / CEP engine"). The reference has
+no CEP operator (Condor is a synopsis engine); this is new surface required
+by the north rule, expressed Spark-first. Four patterns:
 
-  batch     — two filtered projections of the event stream equi-joined on
-              the key with an event-time range predicate. Catalyst pushes
-              the event-kind filters into the scan, the join shuffles only
-              matching-kind rows on the key, and the range predicate
-              evaluates inside whole-stage codegen — no Python anywhere.
-              At 10^12 rows this is one keyed shuffle of the (small)
-              filtered sides, same shape as any big equi-join.
-  streaming — keyed state via ``applyInPandasWithState``: per key, the
-              pending first/second events inside the watermark horizon;
-              a pair is emitted exactly once, in the micro-batch where its
-              later element arrives. State is O(events in horizon) per key
-              and watermark-pruned, so stream length never accumulates.
+  sequence   — "A followed by B within T" (`sequence_matches`, all pairs or
+               earliest-only) and n-step chains (`sequence_chain`).
+  negation   — "A with NO B within T" (`absence_matches`).
+  Kleene-plus— "A B+ C within T" with the B count (`kleene_matches`).
 
-Exactness: the streaming operator emits exactly the batch join's rows for
-the same input (tested by replay), which is also the DuckDB oracle — this
-is an exact operator, not a synopsis.
+Batch forms are filtered projections joined on the key with event-time
+range predicates: Catalyst pushes the kind filters into the scan, the join
+shuffles only matching-kind rows, and the range predicates evaluate inside
+whole-stage codegen — no Python anywhere. At 10^12 rows each is one keyed
+shuffle of the (small) filtered sides, same shape as any big equi-join.
+
+The streaming twins are keyed ``applyInPandasWithState`` with
+watermark-pruned state, one per distinct emission discipline:
+  in-band        (`StatefulSequenceStream`) — a pair emits when its later
+                 element arrives;
+  timer-driven   (`StatefulAbsenceStream`)  — a first emits when the
+                 watermark clears first_ts + within, uncancelled (decided
+                 by the passage of time, via event-time timeouts);
+  watermark-gated count (`StatefulKleeneStream`) — a pair's mid count
+                 finalizes when the watermark clears second_ts (no
+                 admissible mid can still arrive).
+
+Exactness: every streaming twin replays to exactly its batch form's rows
+for the same input, which is also the DuckDB oracle — these are exact
+operators, not synopses.
 """
 
 from __future__ import annotations
