@@ -35,6 +35,15 @@ Modes:
                    ``bytes`` column per job). Streaming append when
                    --checkpoint is given (exactly-once file sink), one-shot
                    batch otherwise. --kind/--column are not needed.
+  --mode snapshots table maintenance on an existing stream sink: list the
+                   committed snapshot history, export one (--as-of-version,
+                   time travel), bin-pack the live manifest (--compact N,
+                   rewriteDataFiles analogue) and/or expire history
+                   (--expire-keep-last N). Spec-agnostic.
+
+--decode-audio applies to batch AND all streaming modes: raw clip rows
+decode to keyed feature rows per micro-batch, executor-side, before
+synopsis maintenance (the north-rule audio pipeline as one artifact).
 """
 
 from __future__ import annotations
