@@ -121,7 +121,6 @@ def kleene_matches(df: DataFrame, key_col: str = "user_id",
     Kleene-plus's ≥1 constraint is the inner join itself. Three shuffles
     total, all on the key / pair columns, never an all-pairs product.
     """
-    w_us = duration_us(within)
     ts = F.col(ts_col).cast("timestamp")
     pairs = sequence_matches(df, key_col, ts_col, event_col, first, second,
                              within)
