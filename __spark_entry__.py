@@ -868,7 +868,8 @@ def q_minhash_pairs(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    return text.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=10)
+    out = text.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=10)
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def q_dedup_cosine_lsh(spark, sf_dir):
@@ -1404,6 +1405,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     = cep_sequence's NFA with match_mode='first' / a longer stage chain;
     sliding_inversion_stratified = sliding_inversion's eviction + the
     stratified key already in-window via stratified_hist;
+    wavelet_stratified = wavelet_range_sums' ordered build + unify over
+    that same stratified key (and the unstratified unify IS the
+    stratified path with one constant stratum, so the in-window
+    wavelet_range_sums already exercises it);
     stream_count_windows = count_windows' assembly over the stateful
     stream path in-window via stream_stateful_frequency;
     stream_cep_absence = cep_absence's oracle over the timer-driven
@@ -1437,7 +1442,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concurrent_windows": q_concurrent_windows,
         # order-based (non-mergeable) + invertible eviction
         "wavelet_range_sums": q_wavelet_range_sums,
-        "wavelet_stratified": q_wavelet_stratified,
         "stream_wavelet": q_stream_wavelet,
         "sliding_inversion": q_sliding_inversion,
         # query surface
@@ -1474,10 +1478,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
         "dedup_cosine": q_dedup_cosine,
         "bucketed_join": q_bucketed_join,
         # ---- slots 51+: exact-oracle twins of in-window siblings --------
+        "wavelet_stratified": q_wavelet_stratified,
         "sliding_inversion_stratified": q_sliding_inversion_stratified,
         "stream_count_windows": q_stream_count_windows,
         "stream_cep_absence": q_stream_cep_absence,
@@ -1503,7 +1509,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reservoir_sample": q_reservoir_sample,
         "biased_reservoir": q_biased_reservoir,
         "bash_equidepth": q_bash_equidepth,
-        "simhash_pairs": q_simhash_pairs,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "dedup_cosine_lsh": q_dedup_cosine_lsh,
@@ -1612,6 +1617,99 @@ jac AS (SELECT c.doc_a, c.doc_b,
         JOIN sizes sa ON sa.doc_id = c.doc_a
         JOIN sizes sb ON sb.doc_id = c.doc_b)
 SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {threshold}
+    """
+
+
+def _simhash_oracle_sql(max_hamming: int = 10, seed: int = 7) -> str:
+    """Exact SQL replay of simhash_near_pairs: whitespace tokens of the
+    normalized text (multiplicity kept), token id = base-257 codepoint
+    polynomial mod 2^64, token hash = splitmix64(id ^ seed) via the same
+    (hi, lo) HUGEINT machinery as the minhash oracle, per-bit ±1 votes,
+    signature bit b = (vote > 0), 4×16-bit chunk-equality candidacy, then
+    hamming = bit_count(xor) ≤ max_hamming over the signed signatures.
+
+    Every step is integer arithmetic, so parity with the engine
+    (text.simhash_signatures / simhash_near_pairs) is bit-exact — no FP
+    rounding caveats. Candidacy is the same chunk blocking the engine
+    uses, so pairs differing in all four chunks are (identically) absent
+    from both sides.
+    """
+    a_hi, a_lo = 0x9E3779B9, 0x7F4A7C15
+    c1_hi, c1_lo = 0xBF58476D, 0x1CE4E5B9
+    c2_hi, c2_lo = 0x94D049BB, 0x133111EB
+    s_hi, s_lo = (seed >> 32) & 0xFFFFFFFF, seed & 0xFFFFFFFF
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents),
+ids AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS HUGEINT),
+             [CAST(ord(tok[i]) AS HUGEINT)
+              for i in generate_series(1, length(tok))]),
+             (a, b) -> (a * 257 + b) % 18446744073709551616) AS poly
+  FROM toks),
+s0 AS (SELECT doc_id,
+              xor(CAST(poly // 4294967296 AS BIGINT), {s_hi}) AS hi,
+              xor(CAST(poly % 4294967296 AS BIGINT), {s_lo}) AS lo
+       FROM ids),
+s1 AS (SELECT doc_id, (hi + {a_hi} + ((lo + {a_lo}) >> 32)) & 4294967295 AS hi,
+              (lo + {a_lo}) & 4294967295 AS lo FROM s0),
+s2 AS (SELECT doc_id, xor(hi, hi >> 30) AS hi,
+              xor(lo, ((lo >> 30) | ((hi & 1073741823) << 2)) & 4294967295) AS lo
+       FROM s1),
+s3 AS (SELECT doc_id, CAST(CAST(lo AS HUGEINT) * {c1_lo} AS HUGEINT) AS p0,
+          CAST((CAST(lo AS HUGEINT) * {c1_hi} + CAST(hi AS HUGEINT) * {c1_lo})
+               % 4294967296 AS HUGEINT) AS crs FROM s2),
+s3b AS (SELECT doc_id,
+               CAST(((p0 // 4294967296) + crs) % 4294967296 AS BIGINT) AS hi,
+               CAST(p0 % 4294967296 AS BIGINT) AS lo FROM s3),
+s4 AS (SELECT doc_id, xor(hi, hi >> 27) AS hi,
+              xor(lo, ((lo >> 27) | ((hi & 134217727) << 5)) & 4294967295) AS lo
+       FROM s3b),
+s5 AS (SELECT doc_id, CAST(CAST(lo AS HUGEINT) * {c2_lo} AS HUGEINT) AS p0,
+          CAST((CAST(lo AS HUGEINT) * {c2_hi} + CAST(hi AS HUGEINT) * {c2_lo})
+               % 4294967296 AS HUGEINT) AS crs FROM s4),
+s5b AS (SELECT doc_id,
+               CAST(((p0 // 4294967296) + crs) % 4294967296 AS BIGINT) AS hi,
+               CAST(p0 % 4294967296 AS BIGINT) AS lo FROM s5),
+s6 AS (SELECT doc_id, xor(hi, hi >> 31) AS hi,
+              xor(lo, ((lo >> 31) | ((hi & 2147483647) << 1)) & 4294967295) AS lo
+       FROM s5b),
+bits AS (
+  SELECT doc_id, b,
+         CASE WHEN b < 32 THEN (lo >> b) & 1 ELSE (hi >> (b - 32)) & 1 END AS bit
+  FROM s6 CROSS JOIN generate_series(0, 63) g(b)),
+votes AS (SELECT doc_id, b, sum(2 * bit - 1) AS v FROM bits GROUP BY 1, 2),
+sigparts AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 AND b < 32 THEN 1 << b ELSE 0 END) AS sig_lo,
+         sum(CASE WHEN v > 0 AND b >= 32 THEN 1 << (b - 32) ELSE 0 END) AS sig_hi
+  FROM votes GROUP BY 1),
+sigs AS (  -- empty-token docs carry signature 0, same as the engine
+  SELECT d.doc_id,
+         COALESCE(CAST(sp.sig_hi AS HUGEINT) * 4294967296 + sp.sig_lo,
+                  CAST(0 AS HUGEINT)) AS uv
+  FROM documents d LEFT JOIN sigparts sp USING (doc_id)),
+signed AS (
+  SELECT doc_id, uv,
+         CAST(CASE WHEN uv >= CAST(9223372036854775808 AS HUGEINT)
+                   THEN uv - CAST(18446744073709551616 AS HUGEINT)
+                   ELSE uv END AS BIGINT) AS sig
+  FROM sigs),
+chunks AS (
+  SELECT doc_id, sig, c,
+         CAST((uv // CAST(power(2, 16 * c) AS HUGEINT)) % 65536 AS BIGINT) AS val
+  FROM signed CROSS JOIN generate_series(0, 3) g(c)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.sig AS sig_a,
+                  b.doc_id AS doc_b, b.sig AS sig_b
+  FROM chunks a JOIN chunks b ON a.c = b.c AND a.val = b.val
+  WHERE a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
     """
 
 
@@ -2212,6 +2310,10 @@ def oracle_sql() -> dict[str, str]:
     # full MinHash+LSH pipeline replayed exactly: signatures, banding,
     # exact-Jaccard verification (see _minhash_oracle_sql caveats)
     oracles["minhash_pairs"] = _minhash_oracle_sql(threshold=0.6)
+    # full SimHash pipeline replayed exactly: codepoint-polynomial token
+    # hash, per-bit votes, chunk blocking, hamming filter — all-integer,
+    # bit-exact (see _simhash_oracle_sql)
+    oracles["simhash_pairs"] = _simhash_oracle_sql(max_hamming=10)
     # split-and-merge equi-depth: post-merge state = exact min + DD quantile
     # estimator at i/B, boundaries ≤ the running max chain-merged into their
     # predecessor with size N/B each (histograms.SplitMergeDDHistogram

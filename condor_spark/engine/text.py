@@ -359,28 +359,70 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 
 
 # --------------------------------------------------------------- SimHash
+def _token_poly_ids(tokens: list[str]) -> np.ndarray:
+    """Token -> uint64 id: Horner base-257 polynomial over the token's
+    unicode CODEPOINTS, wrapping mod 2^64.
+
+    Chosen over an opaque library hasher because every step is exact
+    integer arithmetic a SQL engine can replay (``list_reduce`` over
+    ``ord()`` codepoints with 128-bit modular arithmetic in DuckDB) — the
+    same design as the minhash shingle-id polynomial, which is what lets
+    ``simhash_pairs`` carry an exact driver oracle instead of a rows-only
+    check. Vectorized Horner: one masked multiply-add per codepoint
+    position across the whole batch of tokens.
+    """
+    enc = [t.encode("utf-32-le") for t in tokens]
+    n = len(enc)
+    lens = np.fromiter((len(b) >> 2 for b in enc), dtype=np.int64, count=n)
+    max_len = int(lens.max()) if n else 0
+    mat = np.zeros((n, max_len), dtype=np.uint64)
+    for i, b in enumerate(enc):
+        k = lens[i]
+        if k:
+            mat[i, :k] = np.frombuffer(b, dtype=np.uint32).astype(np.uint64)
+    acc = np.zeros(n, dtype=np.uint64)
+    with np.errstate(over="ignore"):  # uint64 wraparound IS the mod 2^64
+        for j in range(max_len):
+            live = lens > j
+            acc[live] = acc[live] * np.uint64(257) + mat[live, j]
+    return acc
+
+
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", seed: int = 7) -> DataFrame:
-    """64-bit SimHash over token hashes (vectorized pandas UDF)."""
+    """64-bit SimHash over whitespace tokens (vectorized pandas UDF).
+
+    Token hash = splitmix64(codepoint-polynomial ^ seed) — exact integer
+    ops end-to-end, so the whole signature (and the pair pipeline above
+    it) is replayable in ANSI-ish SQL for the driver oracle
+    (``_simhash_oracle_sql`` in ``__spark_entry__``). Tokens keep
+    multiplicity (a repeated token votes once per occurrence); a doc with
+    no tokens gets signature 0.
+    """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            out = np.empty(len(pdf), dtype=np.int64)
-            for i, t in enumerate(pdf[text_col]):
-                toks = pd.Series(str(t).lower().split())
-                if toks.empty:
-                    out[i] = 0
-                    continue
-                h = hash64(pd.util.hash_pandas_object(
-                    toks, index=False, hash_key="condor_spark_16b").to_numpy()
-                    .view(np.int64), seed)
-                bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
-                vote = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
-                out[i] = np.int64(
-                    np.uint64(((vote > 0).astype(np.uint64)
-                               << np.arange(64, dtype=np.uint64)).sum()))
+            toklists = [str(t).lower().split() for t in pdf[text_col]]
+            counts = np.fromiter((len(t) for t in toklists), dtype=np.int64,
+                                 count=len(toklists))
+            out = np.zeros(len(pdf), dtype=np.int64)
+            flat = [tok for ts in toklists for tok in ts]
+            if flat:
+                h = hash64(_token_poly_ids(flat), seed)
+                shifts = np.arange(64, dtype=np.uint64)
+                signs = ((h[:, None] >> shifts) & np.uint64(1)).astype(
+                    np.int64) * 2 - 1                      # (n_tokens, 64)
+                nonempty = counts > 0
+                bounds = np.zeros(len(pdf) + 1, dtype=np.int64)
+                np.cumsum(counts, out=bounds[1:])
+                # empty docs contribute no token rows, so the starts of the
+                # nonempty docs are exactly the reduceat segment boundaries
+                votes = np.add.reduceat(signs, bounds[:-1][nonempty], axis=0)
+                sigs = ((votes > 0).astype(np.uint64) << shifts).sum(
+                    axis=1, dtype=np.uint64)
+                out[nonempty] = sigs.view(np.int64)
             yield pd.DataFrame({"doc_id": pdf[id_col].to_numpy(), "simhash": out})
 
     return _spread(df.select(id_col, text_col)).mapInPandas(
