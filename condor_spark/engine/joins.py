@@ -109,12 +109,16 @@ def asof_join(left: DataFrame, right: DataFrame, on,
     Spark-first plan — a union merge, not a join: both sides are unioned
     with a side marker, shuffled ONCE on the key, sorted within partitions
     by (ts, side), and each left row picks up the running
-    ``last(right payload, ignorenulls)`` window value. That is exactly a
+    ``last(right row, ignorenulls)`` window value. That is exactly a
     merge-join as-of: one Exchange + one sort, no range-join explosion, no
     per-row Python, state streamed by the sort (never materialized per
     key), so a 10^12-row side costs the same shuffle a groupBy on the key
     would. A hot key serializes into one task's sort — pre-aggregate the
     right side or split the key upstream if that bites (skew.py patterns).
+    The right payload travels as ONE struct so the match is row-wise, like
+    ``merge_asof``: a matched right row whose payload column is NULL yields
+    NULL (``last(ignorenulls)`` per column would instead fill through to an
+    older right row's value for just that column).
 
     ``on`` may be a column name or list of names; right payload columns
     must not collide with left columns (the matched right timestamp is
@@ -125,6 +129,7 @@ def asof_join(left: DataFrame, right: DataFrame, on,
     ``how='inner'`` drops unmatched left rows instead of keeping them with
     null payload.
     """
+    from pyspark.sql.types import StructField, StructType
     from pyspark.sql.window import Window
 
     keys = [on] if isinstance(on, str) else list(on)
@@ -143,40 +148,41 @@ def asof_join(left: DataFrame, right: DataFrame, on,
     # rows ≤ current, so a right row sorting BEFORE the left row is
     # visible to it (inclusive match) and one sorting AFTER is not
     r_side, l_side = (2, 1) if strict else (0, 1)
+    match_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in payload]
+        + [StructField("__rts", right.schema[right_ts].dataType)])
     l2 = left.select(
         *keys, F.col(left_ts).alias("__ts"), F.lit(l_side).alias("__side"),
         F.col(left_ts).alias("__lts"), *left_only,
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c)
-          for c in payload],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("__rts"))
+        F.lit(None).cast(match_type).alias("__match"))
     r2 = right.select(
         *keys, F.col(right_ts).alias("__ts"), F.lit(r_side).alias("__side"),
         F.lit(None).cast(left.schema[left_ts].dataType).alias("__lts"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left_only],
-        *payload, F.col(right_ts).alias("__rts"))
+        F.struct(*[F.col(c) for c in payload],
+                 F.col(right_ts).alias("__rts")).alias("__match"))
     ts_ord = F.col("__ts").asc() if direction == "backward" \
         else F.col("__ts").desc()
     w = (Window.partitionBy(*keys).orderBy(ts_ord, F.col("__side").asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     matched = l2.unionByName(r2).select(
         *keys, "__ts", "__side", "__lts", *left_only,
-        *[F.last(c, ignorenulls=True).over(w).alias(c)
-          for c in (*payload, "__rts")])
+        F.last("__match", ignorenulls=True).over(w).alias("__match"))
     out = matched.filter(F.col("__side") == l_side)
     if tolerance is not None:
         tol = (F.expr(f"INTERVAL {tolerance}") if isinstance(tolerance, str)
                else F.lit(tolerance))
-        gap = (F.col("__ts") - F.col("__rts") if direction == "backward"
-               else F.col("__rts") - F.col("__ts"))
-        ok = F.col("__rts").isNotNull() & (gap <= tol)
-        out = out.select(
-            *keys, "__ts", "__lts", *left_only,
-            *[F.when(ok, F.col(c)).alias(c) for c in (*payload, "__rts")])
+        gap = (F.col("__ts") - F.col("__match.__rts")
+               if direction == "backward"
+               else F.col("__match.__rts") - F.col("__ts"))
+        ok = F.col("__match.__rts").isNotNull() & (gap <= tol)
+        out = out.withColumn("__match", F.when(ok, F.col("__match")))
     if how == "inner":
-        out = out.filter(F.col("__rts").isNotNull())
+        out = out.filter(F.col("__match.__rts").isNotNull())
     return out.select(*keys, F.col("__lts").alias(left_ts), *left_only,
-                      *payload, F.col("__rts").alias(right_ts))
+                      *[F.col(f"__match.{c}").alias(c) for c in payload],
+                      F.col("__match.__rts").alias(right_ts))
 
 
 def run_join_to_parquet(spark, audio_dir: str, text_dir: str, out_dir: str,

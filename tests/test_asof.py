@@ -102,6 +102,21 @@ def test_asof_inner_drops_unmatched(spark):
     assert len(out) == int(exp["rval"].notna().sum())
 
 
+def test_asof_null_payload_is_row_wise(spark):
+    """A matched right row whose payload is NULL must yield NULL — not
+    fill through to an older right row's value for that column (the match
+    is the ROW, exactly merge_asof's semantics)."""
+    left = pd.DataFrame({"k": [1], "ts": pd.to_datetime(
+        ["2020-01-01 00:00:04"]), "lval": [1.0]})
+    right = pd.DataFrame({"k": [1, 1], "rts": pd.to_datetime(
+        ["2020-01-01 00:00:01", "2020-01-01 00:00:03"]),
+        "rval": [5.0, np.nan]})
+    sl, sr = spark.createDataFrame(left), spark.createDataFrame(right)
+    got = _got(asof_join(sl, sr, on="k", left_ts="ts", right_ts="rts"))
+    assert got["rts"].tolist() == [pd.Timestamp("2020-01-01 00:00:03")]
+    assert got["rval"].isna().all()
+
+
 def test_asof_collision_raises(spark):
     _, _, sl, sr = _mk(spark)
     with pytest.raises(ValueError):
