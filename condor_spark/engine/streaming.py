@@ -321,6 +321,7 @@ class StreamingSynopsisJob:
         partials = work.mapInPandas(_partial_builder(self.spec),
                                     schema=("__slice long, __st string, __pid long, "
                                             "state binary, n long"))
+        pre_explode = partials  # lineage must count each partial ONCE
         if isinstance(win, Sliding):
             slide, size, sl = win.slide_us, win.size_us, win.slice_us
             first_w = (-F.floor((F.lit(size) - F.lit(sl) - F.col("__slice"))
@@ -389,7 +390,10 @@ class StreamingSynopsisJob:
         ledger["manifest"] = manifest
 
         # per-partition lineage: which partitions contributed to this batch
-        lineage = (partials.groupBy("__pid")
+        # (pre-explode — the sliding replication would count each partial
+        # once per overlapping window, inflating n_rows and driving the
+        # late-drop metric negative)
+        lineage = (pre_explode.groupBy("__pid")
                    .agg(F.count("*").alias("n_partials"),
                         F.sum("n").alias("n_rows")).collect())
         ledger["version"] = new_version

@@ -62,6 +62,30 @@ def test_stream_matches_batch(spark, source_dir, tmp_path):
     assert sum(m["n_input"] for m in lines) == 1000
 
 
+def test_sliding_lineage_counts_partials_once(spark, source_dir, tmp_path):
+    """Sliding windows replicate each partial into size/slide windows; the
+    lineage metric must count each consumed row ONCE (pre-explode), so with
+    a keep-everything watermark per-batch n_rows sums to n_input and the
+    late-drop count is exactly 0 — not negative."""
+    from condor_spark.engine.windows import Sliding
+
+    spec = SynopsisSpec(kind="countmin",
+                        params=dict(width=4096, height=5, seed=7),
+                        column="user_id", ts_column="ts",
+                        window=Sliding("4 days", "1 day"))
+    job = StreamingSynopsisJob(spec=spec, sink_dir=str(tmp_path / "sink"),
+                               watermark_delay="40 days")
+    q = job.start(spark, source_dir, str(tmp_path / "ckpt"),
+                  max_files_per_trigger=1)
+    q.awaitTermination(300)
+    metrics = [json.loads(l) for l in
+               open(os.path.join(str(tmp_path / "sink"), "metrics.jsonl"))]
+    assert len(metrics) == 5
+    for m in metrics:
+        assert m["n_late_dropped"] == 0
+        assert sum(p["n_rows"] for p in m["partitions"]) == m["n_input"]
+
+
 def test_exactly_once_replay(spark, source_dir, tmp_path):
     """Reprocessing an already-committed batch id is a no-op."""
     sink = str(tmp_path / "sink")
