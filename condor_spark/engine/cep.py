@@ -185,6 +185,30 @@ _KLEENE_OUT_SCHEMA = StructType([
 _STATE_SCHEMA = StructType([StructField("blob", BinaryType())])
 
 
+def _start_parquet_stream(pattern, spark, source_dir: str, out_dir: str,
+                          checkpoint_dir: str, schema=None,
+                          max_files_per_trigger: int = 1,
+                          available_now: bool = True, transform=None):
+    """Shared stream wiring for every CEP pattern: parquet file-replay
+    source → optional pre-transform → ``pattern.transform`` → append
+    parquet sink (the same reader/sink shape as the synopsis stream jobs)."""
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
+    reader = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(source_dir))
+    if transform is not None:
+        reader = transform(reader)
+    out = pattern.transform(reader)
+    writer = (out.writeStream.format("parquet")
+              .option("path", out_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 @dataclass
 class StatefulSequenceStream:
     """Streaming twin of ``sequence_matches`` (all-pairs semantics).
@@ -268,20 +292,11 @@ class StatefulSequenceStream:
 
     def start(self, spark, source_dir: str, out_dir: str, checkpoint_dir: str,
               schema=None, max_files_per_trigger: int = 1,
-              available_now: bool = True):
-        if schema is None:
-            schema = spark.read.parquet(source_dir).schema
-        reader = (spark.readStream.schema(schema)
-                  .option("maxFilesPerTrigger", max_files_per_trigger)
-                  .parquet(source_dir))
-        out = self.transform(reader)
-        writer = (out.writeStream.format("parquet")
-                  .option("path", out_dir)
-                  .option("checkpointLocation", checkpoint_dir)
-                  .outputMode("append"))
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        return writer.start()
+              available_now: bool = True, transform=None):
+        return _start_parquet_stream(
+            self, spark, source_dir, out_dir, checkpoint_dir, schema=schema,
+            max_files_per_trigger=max_files_per_trigger,
+            available_now=available_now, transform=transform)
 
 
 @dataclass
@@ -373,20 +388,11 @@ class StatefulAbsenceStream:
 
     def start(self, spark, source_dir: str, out_dir: str, checkpoint_dir: str,
               schema=None, max_files_per_trigger: int = 1,
-              available_now: bool = True):
-        if schema is None:
-            schema = spark.read.parquet(source_dir).schema
-        reader = (spark.readStream.schema(schema)
-                  .option("maxFilesPerTrigger", max_files_per_trigger)
-                  .parquet(source_dir))
-        out = self.transform(reader)
-        writer = (out.writeStream.format("parquet")
-                  .option("path", out_dir)
-                  .option("checkpointLocation", checkpoint_dir)
-                  .outputMode("append"))
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        return writer.start()
+              available_now: bool = True, transform=None):
+        return _start_parquet_stream(
+            self, spark, source_dir, out_dir, checkpoint_dir, schema=schema,
+            max_files_per_trigger=max_files_per_trigger,
+            available_now=available_now, transform=transform)
 
 
 @dataclass
@@ -493,17 +499,8 @@ class StatefulKleeneStream:
 
     def start(self, spark, source_dir: str, out_dir: str, checkpoint_dir: str,
               schema=None, max_files_per_trigger: int = 1,
-              available_now: bool = True):
-        if schema is None:
-            schema = spark.read.parquet(source_dir).schema
-        reader = (spark.readStream.schema(schema)
-                  .option("maxFilesPerTrigger", max_files_per_trigger)
-                  .parquet(source_dir))
-        out = self.transform(reader)
-        writer = (out.writeStream.format("parquet")
-                  .option("path", out_dir)
-                  .option("checkpointLocation", checkpoint_dir)
-                  .outputMode("append"))
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        return writer.start()
+              available_now: bool = True, transform=None):
+        return _start_parquet_stream(
+            self, spark, source_dir, out_dir, checkpoint_dir, schema=schema,
+            max_files_per_trigger=max_files_per_trigger,
+            available_now=available_now, transform=transform)

@@ -121,9 +121,10 @@ def asof_join(left: DataFrame, right: DataFrame, on,
     older right row's value for just that column).
 
     ``on`` may be a column name or list of names; right payload columns
-    must not collide with left columns (the matched right timestamp is
-    emitted under its ``right_ts`` name, so that must differ from
-    ``left_ts`` too). ``tolerance`` (an INTERVAL string for timestamps, or
+    must not collide with left columns. The matched right timestamp is
+    emitted under its ``right_ts`` name — or ``{right_ts}_right`` when
+    both sides name it the same (the defaults), merge_asof-style.
+    ``tolerance`` (an INTERVAL string for timestamps, or
     a numeric for numeric ts columns) nulls out matches farther than the
     bound; ``strict=True`` excludes ties (``<`` instead of ``<=``).
     ``how='inner'`` drops unmatched left rows instead of keeping them with
@@ -138,7 +139,8 @@ def asof_join(left: DataFrame, right: DataFrame, on,
     if how not in ("left", "inner"):
         raise ValueError(f"how must be left/inner: {how}")
     payload = [c for c in right.columns if c not in (*keys, right_ts)]
-    clash = set(payload + [right_ts]) & set(left.columns)
+    rts_out = right_ts if right_ts != left_ts else f"{right_ts}_right"
+    clash = set(payload + [rts_out]) & set(left.columns)
     if clash:
         raise ValueError(f"right columns collide with left: {sorted(clash)} "
                          "— rename before joining")
@@ -182,7 +184,7 @@ def asof_join(left: DataFrame, right: DataFrame, on,
         out = out.filter(F.col("__match.__rts").isNotNull())
     return out.select(*keys, F.col("__lts").alias(left_ts), *left_only,
                       *[F.col(f"__match.{c}").alias(c) for c in payload],
-                      F.col("__match.__rts").alias(right_ts))
+                      F.col("__match.__rts").alias(rts_out))
 
 
 def run_join_to_parquet(spark, audio_dir: str, text_dir: str, out_dir: str,

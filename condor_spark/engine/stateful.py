@@ -403,6 +403,7 @@ _ORDERED_OUT_SCHEMA = StructType([
     StructField("slice_idx", LongType()),
     StructField("length", LongType()),
     StructField("state", BinaryType()),
+    StructField("n_disordered", LongType()),
 ])
 
 
@@ -434,8 +435,10 @@ class StatefulOrderedStream:
     then DETECTED against the previous batch's max ts and handled per
     ``on_disorder``: "error" (default — order-based synopses are silently
     wrong under disorder, so fail loudly and tell the caller to set a
-    cutoff/watermark) or "count" (accumulate the count in state and
-    proceed, for sources known to be ordered between batches).
+    cutoff/watermark) or "count" (proceed, and stamp the stratum's
+    cumulative disorder count on every emitted slice row's
+    ``n_disordered`` column — sinked with the slices, so the count is
+    queryable, not just parked in state).
 
     ``flush_cutoff_us``: a finite replay declares its logical end of
     stream; rows at/after the cutoff are watermark-pushing sentinels
@@ -526,8 +529,11 @@ class StatefulOrderedStream:
                     out.append((stratum, next_slice, open_n, syn.to_bytes()))
                 state.remove()
                 if out:
-                    yield pd.DataFrame(out, columns=["stratum", "slice_idx",
-                                                     "length", "state"])
+                    pdf_out = pd.DataFrame(out, columns=["stratum",
+                                                         "slice_idx",
+                                                         "length", "state"])
+                    pdf_out["n_disordered"] = int(n_dis)
+                    yield pdf_out
                 return
 
             frames = []
@@ -593,8 +599,10 @@ class StatefulOrderedStream:
                 wm_us = state.getCurrentWatermarkMs() * 1000
                 state.setTimeoutTimestamp(max(cutoff, wm_us + 1_000) // 1000)
             if out:
-                yield pd.DataFrame(out, columns=["stratum", "slice_idx",
-                                                 "length", "state"])
+                pdf_out = pd.DataFrame(out, columns=["stratum", "slice_idx",
+                                                     "length", "state"])
+                pdf_out["n_disordered"] = int(n_dis)
+                yield pdf_out
 
         return work.groupBy("__st").applyInPandasWithState(
             update, _ORDERED_OUT_SCHEMA,

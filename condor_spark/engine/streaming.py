@@ -188,9 +188,9 @@ class StreamingSynopsisJob:
         led = self._read_ledger()
         snaps = [{"batch_id": int(b), "version": int(v)}
                  for b, v in led.get("committed", {}).items()]
-        snaps += [{"batch_id": None, "version": int(c["version"]),
-                   "compaction": True}
-                  for c in led.get("compactions", [])]
+        snaps += [{"batch_id": None, "version": v, "compaction": True}
+                  for v in sorted({int(c["version"])
+                                   for c in led.get("compactions", [])})]
         return sorted(snaps, key=lambda s: s["version"])
 
     def compact_snapshots(self, spark: SparkSession,
@@ -219,22 +219,34 @@ class StreamingSynopsisJob:
         led = self._read_ledger()
         manifest = {int(w): p for w, p in led.get("manifest", {}).items()}
         n_before = len(set(manifest.values()))
-        if n_before <= max(int(target_files), 1):
+        k = max(int(target_files), 1)
+        if n_before <= k:
             return {"compacted": False, "files_before": n_before,
                     "files_after": n_before, "version": led["version"]}
         version = led["version"] + 1
-        dest = os.path.join(self.sink_dir, "state", f"c{version}.parquet")
-        (self._read_mapping(spark, manifest)
-         .repartitionByRange(max(int(target_files), 1), "window_start")
-         .write.mode("overwrite").parquet(dest))
         windows = sorted(manifest)
+        # contiguous window-range groups, one consolidated file each — all
+        # committed under ONE new version (one compaction entry per file,
+        # so mapping-aware reads and expiration track them independently)
+        bounds = [round(g * len(windows) / k) for g in range(k + 1)]
+        comps = []
+        for g in range(k):
+            ws = windows[bounds[g]:bounds[g + 1]]
+            if not ws:
+                continue
+            dest = os.path.join(
+                self.sink_dir, "state",
+                f"c{version}.parquet" if k == 1 else f"c{version}_{g}.parquet")
+            (self._read_mapping(spark, {w: manifest[w] for w in ws})
+             .coalesce(1).write.mode("overwrite").parquet(dest))
+            comps.append({"version": version, "path": dest, "windows": ws})
         led["version"] = version
-        led["manifest"] = {str(w): dest for w in windows}
-        led.setdefault("compactions", []).append(
-            {"version": version, "path": dest, "windows": windows})
+        led["manifest"] = {str(w): c["path"]
+                           for c in comps for w in c["windows"]}
+        led.setdefault("compactions", []).extend(comps)
         self._write_ledger(led)  # commit point
         return {"compacted": True, "files_before": n_before,
-                "files_after": 1, "version": version}
+                "files_after": len(comps), "version": version}
 
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Drop state files only needed by snapshots older than the newest

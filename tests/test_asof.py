@@ -124,6 +124,19 @@ def test_asof_collision_raises(spark):
                   on="k", left_ts="ts", right_ts="rts")
 
 
+def test_asof_same_ts_name_defaults_work(spark):
+    """Both sides naming their timestamp the same (the signature defaults)
+    must work — the matched right ts comes back as `{right_ts}_right`."""
+    left, right, sl, _ = _mk(spark)
+    sr = spark.createDataFrame(right.rename(columns={"rts": "ts"}))
+    out = asof_join(sl, sr, on="k")  # left_ts == right_ts == "ts"
+    assert "ts_right" in out.columns
+    got = (out.withColumnRenamed("ts_right", "rts").toPandas()
+           .sort_values(["k", "ts", "lval"], kind="stable")
+           .reset_index(drop=True))
+    _cmp(got, _expected(left, right))
+
+
 def test_asof_single_shuffle_no_python(spark):
     _, _, sl, sr = _mk(spark)
     out = asof_join(sl, sr, on="k", left_ts="ts", right_ts="rts")

@@ -320,3 +320,24 @@ def test_stateful_ordered_unwatermarked_disorder_raises(spark, tmp_path):
     with pytest.raises(StreamingQueryException,
                        match="older than a previous batch"):
         q.awaitTermination(300)
+
+
+def test_stateful_ordered_disorder_count_is_observable(spark, tmp_path):
+    """on_disorder='count' must surface the disorder, not just park it in
+    state: every emitted slice row carries the stratum's cumulative
+    n_disordered, so the sinked output is queryable for it."""
+    from condor_spark.engine.stateful import StatefulOrderedStream
+
+    events = spark.read.parquet(f"{SF}/events.parquet").limit(3000)
+    src = str(tmp_path / "src")
+    fixtures.replay_unordered(spark, events, src, 4, max_delay="6 hours")
+    spec = SynopsisSpec(kind="wavelet", params=dict(size=1 << 14),
+                        column="value", ts_column="ts",
+                        tiebreak_column="event_id")
+    job = StatefulOrderedStream(spec, slice_count=500, on_disorder="count")
+    q = job.start(spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+                  max_files_per_trigger=1)
+    q.awaitTermination(300)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert "n_disordered" in out.columns
+    assert out.agg(F.max("n_disordered")).first()[0] > 0

@@ -311,6 +311,44 @@ def test_expire_snapshots_keeps_recent_history(spark, tmp_path):
     assert job._read_ledger()["version"] == 4
 
 
+def test_compact_snapshots_multi_file_target(spark, tmp_path):
+    """target_files > 1 must actually yield that many consolidated files
+    (contiguous window ranges), each tracked by its own compaction entry,
+    with the live read unchanged row-for-row."""
+    from condor_spark import fixtures
+
+    df = spark.read.parquet(f"{SF}/events.parquet")
+    src = str(tmp_path / "src")
+    fixtures.replay_in_order(spark, df, src, n_chunks=4, ts_col="ts")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    job = StreamingSynopsisJob(spec=_spec(), sink_dir=sink,
+                               watermark_delay="40 days")
+    job.start(spark, src, ckpt, max_files_per_trigger=1).awaitTermination(300)
+
+    keys = list(range(150))
+    def estimates(state_df):
+        return sorted((str(r["window_start"]), r["key"], r["est_count"])
+                      for r in ev.frequency_estimates(state_df, keys).collect())
+
+    live_before = estimates(job.read_state_df(spark))
+    files_before = len(set(job._read_ledger()["manifest"].values()))
+    assert files_before > 2
+    out = job.compact_snapshots(spark, target_files=2)
+    assert out["compacted"] and out["files_after"] == 2
+    led = job._read_ledger()
+    assert len(set(led["manifest"].values())) == 2
+    comps = [c for c in led["compactions"] if c["version"] == out["version"]]
+    assert len(comps) == 2
+    # contiguous disjoint window ranges covering the manifest
+    all_ws = sorted(w for c in comps for w in c["windows"])
+    assert all_ws == sorted(int(w) for w in led["manifest"])
+    assert max(comps[0]["windows"]) < min(comps[1]["windows"]) or \
+        max(comps[1]["windows"]) < min(comps[0]["windows"])
+    assert estimates(job.read_state_df(spark)) == live_before
+    # already at the target: no-op
+    assert job.compact_snapshots(spark, target_files=2)["compacted"] is False
+
+
 def test_compact_snapshots_rewrite_and_resume(spark, tmp_path):
     """Compaction (rewriteDataFiles analogue): bin-packs the live manifest
     into one file without changing a row, preserves pre-compaction time
