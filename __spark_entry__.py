@@ -1020,6 +1020,41 @@ def q_stream_cep_kleene(spark, sf_dir):
                     F.col("second_ts").cast(NTZ).alias("second_ts"), "n_mid"))
 
 
+def q_cep_adjacent(spark, sf_dir):
+    """CEP strict contiguity (Flink `next()`): signup IMMEDIATELY followed
+    by a purchase — the key's next event in (ts, event_id) order over ALL
+    kinds — within 3 days. One keyed shuffle + codegen window lead."""
+    from condor_spark.engine.cep import adjacent_matches
+    return adjacent_matches(_events(spark, sf_dir), within="3 days",
+                            tiebreak_col="event_id")
+
+
+def q_stream_cep_adjacent(spark, sf_dir):
+    """CEP strict contiguity streaming: order-finality emission — a pair
+    emits when the watermark clears its later element's ts (nothing can
+    still sort between them), so a full replay equals the batch window."""
+
+    from condor_spark import fixtures
+    from condor_spark.engine.cep import StatefulAdjacentStream
+
+    df = _events(spark, sf_dir)
+    max_ts = df.agg(F.max("ts")).collect()[0][0]
+    cutoff = pd.Timestamp(max_ts) + pd.Timedelta(days=1)
+    tmp = _fresh_tmp("cepadj", sf_dir)
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    fixtures.replay_in_order(
+        spark, df, src, n_chunks=5,
+        flush_ts=[cutoff + pd.Timedelta(days=40), cutoff + pd.Timedelta(days=80)],
+        flush_mutate=lambda r: r.assign(event_type="click", user_id=-1))
+
+    job = StatefulAdjacentStream(within="3 days", watermark_delay="1 hour")
+    q = job.start(spark, src, out, ckpt, max_files_per_trigger=1)
+    _await(q)
+    return (spark.read.parquet(out)
+            .select("key", F.col("first_ts").cast(NTZ).alias("first_ts"),
+                    F.col("second_ts").cast(NTZ).alias("second_ts")))
+
+
 def q_stream_stateful_frequency(spark, sf_dir):
     """The applyInPandasWithState streaming path, end-to-end: ordered file
     replay → watermark → keyed sketch state → event-time-timeout emission.
@@ -1488,6 +1523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_count_windows": q_stream_count_windows,
         "stream_cep_absence": q_stream_cep_absence,
         "stream_cep_kleene": q_stream_cep_kleene,
+        "cep_adjacent": q_cep_adjacent,
+        "stream_cep_adjacent": q_stream_cep_adjacent,
         "stream_compacted": q_stream_compacted,
         "query_timestamped_stratified": q_query_timestamped_stratified,
         "hist4lt_sql_ranges": q_hist4lt_sql_ranges,
@@ -2485,6 +2522,22 @@ def oracle_sql() -> dict[str, str]:
     # the streaming twin finalizes each pair's count when the watermark
     # clears second_ts, so full replay equals the batch aggregate verbatim
     oracles["stream_cep_kleene"] = oracles["cep_kleene"]
+    oracles["cep_adjacent"] = """
+            WITH o AS (
+                SELECT user_id, ts, event_type,
+                       lead(event_type) OVER w AS nk,
+                       lead(ts) OVER w AS nt
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id AS key, ts AS first_ts, nt AS second_ts
+            FROM o
+            WHERE event_type = 'signup' AND nk = 'purchase'
+              AND nt <= ts + INTERVAL 3 DAY
+        """
+    # strict contiguity decides by order finality: the streaming twin emits
+    # each adjacent pair exactly once when the watermark clears its later
+    # element, so a full replay reproduces the batch window lead verbatim
+    oracles["stream_cep_adjacent"] = oracles["cep_adjacent"]
     oracles["stream_count_windows"] = """
             WITH o AS (SELECT row_number() OVER (ORDER BY ts, event_id) - 1 AS idx
                        FROM events)

@@ -2,12 +2,15 @@
 
 North-rule surface ("structured-streaming / CEP engine"). The reference has
 no CEP operator (Condor is a synopsis engine); this is new surface required
-by the north rule, expressed Spark-first. Four patterns:
+by the north rule, expressed Spark-first. Five patterns:
 
   sequence   — "A followed by B within T" (`sequence_matches`, all pairs or
-               earliest-only) and n-step chains (`sequence_chain`).
+               earliest-only) and n-step chains (`sequence_chain`) —
+               relaxed contiguity (Flink `followedBy`).
   negation   — "A with NO B within T" (`absence_matches`).
   Kleene-plus— "A B+ C within T" with the B count (`kleene_matches`).
+  adjacency  — "A IMMEDIATELY followed by B" (`adjacent_matches`) —
+               strict contiguity (Flink `next()`), one window lead, no join.
 
 Batch forms are filtered projections joined on the key with event-time
 range predicates: Catalyst pushes the kind filters into the scan, the join
@@ -24,7 +27,10 @@ watermark-pruned state, one per distinct emission discipline:
                  by the passage of time, via event-time timeouts);
   watermark-gated count (`StatefulKleeneStream`) — a pair's mid count
                  finalizes when the watermark clears second_ts (no
-                 admissible mid can still arrive).
+                 admissible mid can still arrive);
+  order-finality (`StatefulAdjacentStream`) — a pair emits when the
+                 watermark clears its LATER element's ts (nothing can
+                 still sort between the two).
 
 Exactness: every streaming twin replays to exactly its batch form's rows
 for the same input, which is also the DuckDB oracle — these are exact
@@ -133,6 +139,49 @@ def kleene_matches(df: DataFrame, key_col: str = "user_id",
     return (j.groupBy("key", "first_ts", "second_ts")
              .agg(F.count(F.lit(1)).alias("n_mid"))
              .select("key", "first_ts", "second_ts", "n_mid"))
+
+
+def adjacent_matches(df: DataFrame, key_col: str = "user_id",
+                     ts_col: str = "ts", event_col: str = "event_type",
+                     first: str = "signup", second: str = "purchase",
+                     within: str | None = None,
+                     tiebreak_col: str | None = None) -> DataFrame:
+    """STRICT contiguity (Flink CEP ``next()``): every *first* event whose
+    key's IMMEDIATELY following event — next in (ts, tiebreak) order over
+    ALL event kinds, nothing in between — is a *second* event, optionally
+    within a time bound. Contrast ``sequence_matches`` (relaxed
+    ``followedBy``: any second later in the window qualifies).
+
+    Spark-first: ONE hash shuffle on the key + a codegen window ``lead``.
+    The kind filter cannot push below the window (adjacency is defined
+    over the full event stream), so the key's whole stream sorts once —
+    the same single-Exchange shape as any keyed window aggregation, no
+    join, no Python. Pass ``tiebreak_col`` when timestamps can tie
+    (ordering — and therefore adjacency — is otherwise nondeterministic
+    under ties).
+    """
+    from pyspark.sql.window import Window
+
+    ts = F.col(ts_col).cast("timestamp")
+    base = df.select(F.col(key_col).alias("key"), ts.alias("__evt"),
+                     F.col(event_col).alias("__kind"),
+                     *([F.col(tiebreak_col).alias("__tb")]
+                       if tiebreak_col else []))
+    order = [F.col("__evt").asc()] + ([F.col("__tb").asc()]
+                                      if tiebreak_col else [])
+    w = Window.partitionBy("key").orderBy(*order)
+    paired = base.select(
+        "key", F.col("__evt").alias("first_ts"), "__kind",
+        F.lead("__kind").over(w).alias("__nk"),
+        F.lead("__evt").over(w).alias("second_ts"))
+    cond = (F.col("__kind") == F.lit(first)) & (F.col("__nk") == F.lit(second))
+    if within is not None:
+        cond = cond & (F.unix_micros("second_ts")
+                       <= F.unix_micros("first_ts")
+                       + F.lit(duration_us(within)))
+    return paired.filter(cond).select(
+        "key", F.col("first_ts").cast(_NTZ).alias("first_ts"),
+        F.col("second_ts").cast(_NTZ).alias("second_ts"))
 
 
 def sequence_chain(df: DataFrame, key_col: str = "user_id",
@@ -495,6 +544,102 @@ class StatefulKleeneStream:
 
         return work.groupBy("key").applyInPandasWithState(
             update, _KLEENE_OUT_SCHEMA, _STATE_SCHEMA, "append",
+            GroupStateTimeout.EventTimeTimeout)
+
+    def start(self, spark, source_dir: str, out_dir: str, checkpoint_dir: str,
+              schema=None, max_files_per_trigger: int = 1,
+              available_now: bool = True, transform=None):
+        return _start_parquet_stream(
+            self, spark, source_dir, out_dir, checkpoint_dir, schema=schema,
+            max_files_per_trigger=max_files_per_trigger,
+            available_now=available_now, transform=transform)
+
+
+@dataclass
+class StatefulAdjacentStream:
+    """Streaming twin of ``adjacent_matches`` (strict contiguity).
+
+    Adjacency is decided by ORDER FINALITY, a fourth emission discipline:
+    the pair (e_i, e_{i+1}) is known final exactly when the watermark
+    clears e_{i+1}'s event time — no admissible arrival can still sort
+    between them (Spark drops anything older than the watermark upstream).
+    Per-key state buffers the events not yet final-ordered (every kind —
+    adjacency is defined over the full stream) plus the last final event,
+    which is the only possible predecessor of the next arrival. With
+    ``within`` set the retained tail expires once the watermark passes
+    ``tail_ts + within`` (no admissible successor can beat the bound), so
+    state fully drains; tiebreak column required for deterministic order
+    under timestamp ties (same contract as the batch form).
+    """
+    key_col: str = "user_id"
+    ts_col: str = "ts"
+    event_col: str = "event_type"
+    tiebreak_col: str = "event_id"
+    first: str = "signup"
+    second: str = "purchase"
+    within: str = "7 days"
+    watermark_delay: str = "10 seconds"
+
+    def transform(self, stream_df: DataFrame) -> DataFrame:
+        w_us = duration_us(self.within)
+        first_kind, second_kind = self.first, self.second
+
+        work = (stream_df
+                .select(F.col(self.key_col).cast("long").alias("key"),
+                        F.col(self.ts_col).cast("timestamp").alias("__evt"),
+                        F.col(self.event_col).alias("kind"),
+                        F.col(self.tiebreak_col).cast("long").alias("__tb"))
+                .withWatermark("__evt", self.watermark_delay))
+
+        def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+            buf: list[tuple[int, int, str]] = []
+            if state.exists:
+                buf = pickle.loads(state.get[0])
+
+            if not state.hasTimedOut:
+                rows = [p for p in pdfs if not p.empty]
+                if rows:
+                    pdf = pd.concat(rows, ignore_index=True)
+                    us = (pdf["__evt"].astype("datetime64[us]")
+                          .astype("int64").to_numpy())
+                    tb = pdf["__tb"].to_numpy()
+                    kind = pdf["kind"].to_numpy()
+                    buf.extend((int(t), int(b), str(k))
+                               for t, b, k in zip(us, tb, kind))
+            buf.sort()
+
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            cut = sum(1 for t, _, _ in buf if t < wm_us)
+            out = []
+            for i in range(cut - 1):  # pairs whose LATER element is final
+                (ft, _, fk), (st, _, sk) = buf[i], buf[i + 1]
+                if fk == first_kind and sk == second_kind and st <= ft + w_us:
+                    out.append((ft, st))
+            # evict consumed predecessors; keep the last final event (sole
+            # possible predecessor of the next arrival) + the hold region
+            if cut >= 1:
+                buf = buf[cut - 1:]
+            # the retained tail can no longer match once the watermark
+            # passes its within-horizon
+            if len(buf) == 1 and buf[0][0] + w_us < wm_us:
+                buf = []
+
+            if buf:
+                state.update((pickle.dumps(buf),))
+                horizon = buf[0][0] + w_us
+                state.setTimeoutTimestamp(max(horizon, wm_us + 1_000) // 1000)
+            elif state.exists:
+                state.remove()
+
+            if out:
+                yield pd.DataFrame({
+                    "key": [int(key[0])] * len(out),
+                    "first_ts": [pd.Timestamp(f, unit="us") for f, _ in out],
+                    "second_ts": [pd.Timestamp(s, unit="us") for _, s in out]})
+
+        return work.groupBy("key").applyInPandasWithState(
+            update, _OUT_SCHEMA, _STATE_SCHEMA, "append",
             GroupStateTimeout.EventTimeTimeout)
 
     def start(self, spark, source_dir: str, out_dir: str, checkpoint_dir: str,

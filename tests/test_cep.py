@@ -220,3 +220,99 @@ def test_stream_kleene_matches_batch_out_of_order(spark, tmp_path):
     # u1 counts BOTH views (incl. the late-arriving one); u2 emits nothing
     assert set(got["key"]) == {1, 3}
     assert got.loc[got["key"] == 1, "n_mid"].tolist() == [2]
+
+
+def test_adjacent_strict_contiguity_batch(spark):
+    """adjacent_matches is strict: an intervening event of ANY kind breaks
+    the match that sequence_matches (relaxed) would still report."""
+    from condor_spark.engine.cep import adjacent_matches
+
+    rows = pd.DataFrame({
+        "event_id": range(8),
+        "ts": pd.to_datetime([
+            "2024-01-01 01:00", "2024-01-01 02:00",  # u1 signup→purchase
+            "2024-01-02 01:00", "2024-01-02 01:30",  # u2 signup, click, ...
+            "2024-01-02 02:00",                       # ... purchase (blocked)
+            "2024-01-03 01:00", "2024-01-09 01:00",  # u3 adjacent but late
+            "2024-01-04 01:00",                       # u4 lone signup
+        ]),
+        "user_id": [1, 1, 2, 2, 2, 3, 3, 4],
+        "event_type": ["signup", "purchase", "signup", "click", "purchase",
+                       "signup", "purchase", "signup"],
+        "value": [0.0] * 8, "props": ["{}"] * 8,
+    })
+    schema = spark.read.parquet(f"{SF}/events.parquet").schema
+    df = spark.createDataFrame(rows, schema=schema)
+    adj = adjacent_matches(df, within="3 days", tiebreak_col="event_id")
+    got = sorted((r["key"], str(r["second_ts"])) for r in adj.collect())
+    assert got == [(1, "2024-01-01 02:00:00")]
+    seq = sequence_matches(df, within="3 days")
+    assert sorted(r["key"] for r in seq.collect()) == [1, 2]
+
+
+def test_adjacent_single_shuffle_no_python(spark):
+    from condor_spark.engine.cep import adjacent_matches
+    import re
+
+    df = spark.read.parquet(f"{SF}/events.parquet")
+    out = adjacent_matches(df, within="3 days", tiebreak_col="event_id")
+    out.collect()
+    plan = (out._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert "Python" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_stream_adjacent_matches_batch_out_of_order(spark, tmp_path):
+    """Order-finality emission: a pair only emits once the watermark clears
+    its later element — so an admissibly-late intervening event arriving in
+    a LATER micro-batch still breaks the match, exactly like batch."""
+    from condor_spark.engine.cep import StatefulAdjacentStream, adjacent_matches
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    rows = pd.DataFrame({
+        "event_id": range(8),
+        "ts": pd.to_datetime([
+            "2024-01-01 01:00", "2024-01-01 02:00",  # u1 signup→purchase
+            "2024-01-02 02:00", "2024-01-02 03:00",  # u5 purchase, click ...
+            "2024-01-02 01:30",                       # ... late signup → match
+            "2024-01-03 01:00", "2024-01-03 02:00",  # u6 signup, purchase ...
+            "2024-01-03 01:30",                       # ... late click → BREAKS
+        ]),
+        "user_id": [1, 1, 5, 5, 5, 6, 6, 6],
+        "event_type": ["signup", "purchase", "purchase", "click", "signup",
+                       "signup", "purchase", "click"],
+        "value": [0.0] * 8, "props": ["{}"] * 8,
+    })
+    sentinel = pd.DataFrame({
+        "event_id": [99], "ts": [pd.Timestamp("2024-02-01")],
+        "user_id": [-1], "event_type": ["click"],
+        "value": [0.0], "props": ["{}"]})
+    schema = spark.read.parquet(f"{SF}/events.parquet").schema
+    base = 1_000_000_000
+    parts = (rows.drop(index=[4, 7]), rows.loc[[4, 7]], sentinel)
+    for i, part in enumerate(parts):
+        before = set(glob.glob(os.path.join(src, "*.parquet")))
+        (spark.createDataFrame(part, schema=schema)
+         .coalesce(1).write.mode("append").parquet(src))
+        for f in set(glob.glob(os.path.join(src, "*.parquet"))) - before:
+            os.utime(f, (base + i, base + i))
+
+    job = StatefulAdjacentStream(within="3 days", watermark_delay="2 days")
+    q = job.start(spark, src, str(tmp_path / "out"), str(tmp_path / "ck"))
+    q.awaitTermination(300)
+    got = (spark.read.parquet(str(tmp_path / "out")).toPandas()
+           .sort_values(["key", "first_ts", "second_ts"])
+           .reset_index(drop=True))
+    batch = (adjacent_matches(spark.read.parquet(src), within="3 days",
+                              tiebreak_col="event_id")
+             .toPandas().sort_values(["key", "first_ts", "second_ts"])
+             .reset_index(drop=True))
+    for c in ("first_ts", "second_ts"):
+        got[c] = got[c].astype("datetime64[us]")
+        batch[c] = batch[c].astype("datetime64[us]")
+    assert got.equals(batch)
+    # u1 clean; u5's out-of-order signup lands immediately before its
+    # purchase → match; u6's out-of-order click lands BETWEEN → no match
+    assert set(got["key"]) == {1, 5}
