@@ -859,6 +859,25 @@ def q_media_features(spark, sf_dir):
                       F.col("n_frames").cast("long").alias("n_frames"))
 
 
+def q_media_features_exact(spark, sf_dir):
+    """Multimodal pipeline under the EXACT-oracle gate: noise-free synthetic
+    media make every pixel a closed-form function of (i, t, x, y), so DuckDB
+    replays encode→binary→decode→luminance→features end to end (the noisy
+    twin `media_features` stays rows-only — PCG64 noise has no SQL replay).
+    Videos synthesize at an id offset so image/video media_ids are disjoint."""
+    from condor_spark.engine import multimodal as mm
+
+    imgs = mm.synth_media_df(spark, 120, "image", num_partitions=8,
+                             noise_amp=0)
+    vids = mm.synth_media_df(spark, 40, "video", num_partitions=8,
+                             start=1000, noise_amp=0)
+    out = mm.media_features(imgs.unionByName(vids))
+    return out.select("media_id", F.round("mean_lum", 4).alias("mean_lum"),
+                      F.round("std_lum", 4).alias("std_lum"),
+                      F.round("edge_energy", 4).alias("edge_energy"),
+                      F.col("n_frames").cast("long").alias("n_frames"))
+
+
 def q_minhash_pairs(spark, sf_dir):
     # verify_mode pinned: the exact oracle replays the EXHAUSTIVE verify
     # path; the shuffle path's 4σ signature pre-filter is a documented
@@ -1525,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cep_kleene": q_stream_cep_kleene,
         "cep_adjacent": q_cep_adjacent,
         "stream_cep_adjacent": q_stream_cep_adjacent,
+        "media_features_exact": q_media_features_exact,
         "stream_compacted": q_stream_compacted,
         "query_timestamped_stratified": q_query_timestamped_stratified,
         "hist4lt_sql_ranges": q_hist4lt_sql_ranges,
@@ -2538,6 +2558,47 @@ def oracle_sql() -> dict[str, str]:
     # each adjacent pair exactly once when the watermark clears its later
     # element, so a full replay reproduces the batch window lead verbatim
     oracles["stream_cep_adjacent"] = oracles["cep_adjacent"]
+    # noise-free media replay: pixel value v(i,t,x,y) =
+    # trunc(clip((base + 20 sin(t/4 + i)) mod 256)) with base the x/y
+    # gradient — the mod/clip/trunc and the left-to-right luminance
+    # weighting reproduce the numpy ops bit-for-bit (mod by 2^8 is exact
+    # in float64 on this domain), so only the 4dp-rounded means remain,
+    # where summation-order ulps are ~1e-12 of the rounding quantum
+    oracles["media_features_exact"] = """
+            WITH ids AS (
+                SELECT i, 1 AS nf FROM generate_series(0, 119) s(i)
+                UNION ALL
+                SELECT i, 8 AS nf FROM generate_series(1000, 1039) s(i)
+            ), px AS (
+                SELECT ids.i, ids.nf, t.generate_series AS t,
+                       y.generate_series AS y, x.generate_series AS x
+                FROM ids, generate_series(0, 7) t, generate_series(0, 23) y,
+                     generate_series(0, 31) x
+                WHERE t.generate_series < ids.nf
+            ), lum AS (
+                SELECT i, nf, t, y, x,
+                       0.299 * v + 0.587 * v + 0.114 * v AS l
+                FROM (
+                    SELECT *, trunc(least(greatest(
+                               raw - floor(raw / 256.0) * 256.0, 0.0), 255.0))
+                           AS v
+                    FROM (SELECT *, (x * 255.0 / 31) * 0.5
+                                    + (y * 255.0 / 23) * 0.5
+                                    + 20.0 * sin(t / 4.0 + i) AS raw
+                          FROM px))
+            ), g AS (
+                SELECT i, nf, l,
+                       lead(l) OVER (PARTITION BY i, t, y ORDER BY x) AS lx,
+                       lead(l) OVER (PARTITION BY i, t, x ORDER BY y) AS ly
+                FROM lum)
+            SELECT 'media-' || lpad(CAST(i AS VARCHAR), 8, '0') AS media_id,
+                   round(avg(l), 4) AS mean_lum,
+                   round(stddev_pop(l), 4) AS std_lum,
+                   round(avg(abs(lx - l)) + avg(abs(ly - l)), 4)
+                       AS edge_energy,
+                   nf AS n_frames
+            FROM g GROUP BY i, nf
+        """
     oracles["stream_count_windows"] = """
             WITH o AS (SELECT row_number() OVER (ORDER BY ts, event_id) - 1 AS idx
                        FROM events)

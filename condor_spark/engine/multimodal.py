@@ -283,25 +283,31 @@ def encode_rgb8(frames: np.ndarray) -> bytes:
 
 def synth_media(i: int, media_type: str = "image", width: int = 32,
                 height: int = 24, n_frames: int | None = None,
-                seed: int = 42) -> tuple:
+                seed: int = 42, noise_amp: int = 16) -> tuple:
     """Deterministic synthetic media row i (pure function of (i, seed)):
-    smooth gradient + seeded noise, video rows get a per-frame phase shift."""
-    rng = np.random.default_rng(seed + i)
+    smooth gradient + seeded noise, video rows get a per-frame phase shift.
+    ``noise_amp=0`` drops the (PCG64) noise so every pixel is a CLOSED-FORM
+    function of (i, t, x, y) — replayable in plain SQL, which is what the
+    ``media_features_exact`` driver oracle does."""
     nf = n_frames if n_frames is not None else (1 if media_type == "image" else 8)
     xx, yy = np.meshgrid(np.arange(width), np.arange(height))
     base = ((xx * 255 / max(1, width - 1)) * 0.5
             + (yy * 255 / max(1, height - 1)) * 0.5)
     t = np.arange(nf).reshape(nf, 1, 1)
     lum = (base[None] + 20.0 * np.sin(t / 4.0 + i)) % 256
-    noise = rng.integers(0, 16, size=(nf, height, width, 3))
+    if noise_amp > 0:
+        rng = np.random.default_rng(seed + i)
+        noise = rng.integers(0, noise_amp, size=(nf, height, width, 3))
+    else:
+        noise = np.zeros((nf, height, width, 3), dtype=np.int64)
     frames = np.clip(lum[..., None] + noise, 0, 255).astype(np.uint8)
     return (f"media-{i:08d}", encode_rgb8(frames), media_type, "rgb8_raw",
             width, height, nf, 0.0 if media_type == "image" else 30.0)
 
 
 def synth_media_df(spark, n: int, media_type: str = "image",
-                   num_partitions: int = 8, **kw) -> DataFrame:
-    rows = [synth_media(i, media_type, **kw) for i in range(n)]
+                   num_partitions: int = 8, start: int = 0, **kw) -> DataFrame:
+    rows = [synth_media(i, media_type, **kw) for i in range(start, start + n)]
     return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(num_partitions)
 
 
