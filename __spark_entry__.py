@@ -916,6 +916,27 @@ def q_audio_rms_quantiles(spark, sf_dir):
             .select("stratum", "q", F.round("est_value", 6).alias("est_value")))
 
 
+def q_audio_rms_exact(spark, sf_dir):
+    """The audio payload under the EXACT-oracle gate: closed-form clips
+    (fixtures.clip_row_exact — no RNG) make every pcm16 sample replayable
+    in SQL, so DuckDB reruns synth → peak-normalize → float32 → encode →
+    decode → per-clip RMS → DDSketch quantile (rank-picked value's bin
+    representative, the ddsketch_quantiles oracle pattern) end to end.
+    The RNG-parameterized all-codec twin `audio_rms_quantiles` stays
+    rows-only for breadth."""
+    from condor_spark import fixtures
+    from condor_spark.engine.audio import decode_features_arrow
+
+    clips = fixtures.audio_clips_exact(spark, 400, num_partitions=8)
+    feats = decode_features_arrow(clips, passthrough=("ts",))
+    spec = SynopsisSpec(kind="ddsketch", params=dict(relative_accuracy=0.01),
+                        column="rms", stratify_by="codec",
+                        window=GlobalWindow())
+    syn = build_batch(feats, spec)
+    return (ev.quantile_estimates(syn, [0.5, 0.95])
+            .select("stratum", "q", F.round("est_value", 6).alias("est_value")))
+
+
 def q_cm_frequency_tree(spark, sf_dir):
     """Two-level treeReduce merge topology — byte-identical synopses to the
     flat merge, so it shares cm_user_frequency's exact oracle."""
@@ -1545,6 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_adjacent": q_cep_adjacent,
         "stream_cep_adjacent": q_stream_cep_adjacent,
         "media_features_exact": q_media_features_exact,
+        "audio_rms_exact": q_audio_rms_exact,
         "stream_compacted": q_stream_compacted,
         "query_timestamped_stratified": q_query_timestamped_stratified,
         "hist4lt_sql_ranges": q_hist4lt_sql_ranges,
@@ -2564,6 +2586,63 @@ def oracle_sql() -> dict[str, str]:
     # weighting reproduce the numpy ops bit-for-bit (mod by 2^8 is exact
     # in float64 on this domain), so only the 4dp-rounded means remain,
     # where summation-order ulps are ~1e-12 of the rounding quantum
+    # closed-form audio replay: samples w(i,k) are pure sinusoid sums; the
+    # float32 cast points are reproduced with CAST(.. AS REAL) (the int16/
+    # 32767 double-divide-then-narrow equals float32 division for ALL 2^16
+    # values — verified exhaustively in test_fixtures_exact), pcm16
+    # rounding is numpy's half-to-even = round_even, and the DDSketch
+    # answer is the rank-picked rms value's bin representative (the
+    # ddsketch_quantiles oracle pattern). Residual float noise (summation
+    # order, sin ulps) is ~1e-14 relative vs the 2% bin width.
+    oracles["audio_rms_exact"] = """
+            WITH c AS (
+                SELECT i,
+                  CASE i%4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                           WHEN 2 THEN 22050 ELSE 44100 END AS sr,
+                  200 + (i*37)%600 AS dur_ms,
+                  80.0 + (i*131)%900 AS f1, 1000.0 + (i*211)%1000 AS f2,
+                  (i%7)*0.9 AS p1, (i%11)*0.55 AS p2,
+                  0.4 + (i%5)*0.12 AS a1, 0.1 + (i%3)*0.13 AS a2
+                FROM generate_series(0, 399) s(i)
+            ), n AS (
+                SELECT *, greatest(1, CAST(round_even(dur_ms*sr/1000.0, 0)
+                                           AS BIGINT)) AS ns
+                FROM c
+            ), k AS (
+                SELECT i, sr, f1, f2, p1, p2, a1, a2,
+                       unnest(range(ns)) AS k
+                FROM n
+            ), w AS (
+                SELECT i,
+                  a1*sin(2*pi()*f1*(k/CAST(sr AS DOUBLE)) + p1)
+                  + a2*sin(2*pi()*f2*(k/CAST(sr AS DOUBLE)) + p2) AS w
+                FROM k
+            ), sc AS (
+                SELECT i, 0.9/greatest(1e-9, max(abs(w))) AS scale
+                FROM w GROUP BY i
+            ), v AS (
+                SELECT w.i,
+                  CAST(CAST(round_even(least(greatest(
+                         CAST(CAST(w.w*sc.scale AS REAL) AS DOUBLE),
+                         -1.0), 1.0) * 32767.0, 0) AS SMALLINT) AS DOUBLE)
+                  / 32767.0 AS v64
+                FROM w JOIN sc USING (i)
+            ), r AS (
+                SELECT i, sqrt(avg(CAST(CAST(v64 AS REAL) AS DOUBLE)
+                                   * CAST(CAST(v64 AS REAL) AS DOUBLE)))
+                       AS rms
+                FROM v GROUP BY i
+            ), rr AS (
+                SELECT rms, row_number() OVER (ORDER BY rms) AS rn,
+                       count(*) OVER () AS n
+                FROM r
+            ), qs AS (SELECT unnest([0.5, 0.95]) AS q)
+            SELECT 'pcm_s16le' AS stratum, qs.q,
+                   ROUND(2 * pow(1.01/0.99, ceil(ln(rr.rms) / ln(1.01/0.99)))
+                         / (1.01/0.99 + 1), 6) AS est_value
+            FROM rr JOIN qs
+              ON rr.rn = greatest(1, CAST(ceil(qs.q * rr.n) AS BIGINT))
+        """
     oracles["media_features_exact"] = """
             WITH ids AS (
                 SELECT i, 1 AS nf FROM generate_series(0, 119) s(i)

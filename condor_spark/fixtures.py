@@ -73,6 +73,46 @@ def audio_clips(spark, n: int, num_partitions: int | None = None,
     return base.mapInPandas(gen, schema=CLIP_SCHEMA)
 
 
+def clip_row_exact(i: int) -> dict:
+    """Closed-form clip row — NO RNG anywhere: every waveform sample is a
+    pure function of (i, k), so a SQL engine can replay the whole audio
+    pipeline (two-sinusoid synth → peak normalize → float32 → pcm16
+    encode → decode → per-clip RMS) end to end. This is what the
+    ``audio_rms_exact`` driver oracle does in DuckDB; the RNG-parameterized
+    ``clip_row`` stays the breadth fixture (all codecs, transcripts)."""
+    sr = _SR_CYCLE[i % 4]
+    dur_ms = 200 + (i * 37) % 600
+    n = max(1, int(round(dur_ms * sr / 1000.0)))
+    f1 = 80.0 + (i * 131) % 900
+    f2 = 1000.0 + (i * 211) % 1000
+    p1, p2 = (i % 7) * 0.9, (i % 11) * 0.55
+    a1, a2 = 0.4 + (i % 5) * 0.12, 0.1 + (i % 3) * 0.13
+    t = np.arange(n, dtype=np.float64) / sr
+    w = (a1 * np.sin(2 * np.pi * f1 * t + p1)
+         + a2 * np.sin(2 * np.pi * f2 * t + p2))
+    w *= 0.9 / max(1e-9, np.abs(w).max())
+    ts_ms = EPOCH0_MS + i * 50
+    return {"clip_id": f"clip-{i:012d}",
+            "bytes": encode(w.astype(np.float32), "pcm_s16le"),
+            "sr_hz": sr, "dur_ms": dur_ms, "codec": "pcm_s16le",
+            "transcript": VOCAB[i % 512],
+            "ts": pd.Timestamp(ts_ms, unit="ms")}
+
+
+def audio_clips_exact(spark, n: int, num_partitions: int | None = None):
+    """Distributed closed-form clips table (``clip_row_exact``)."""
+    base = spark.range(0, n, 1,
+                       num_partitions or spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame([clip_row_exact(int(i))
+                                    for i in pdf["id"]])
+
+    return base.mapInPandas(gen, schema=CLIP_SCHEMA)
+
+
 def ground_truth_wave(i: int) -> np.ndarray:
     """Pre-encoding float waveform for the per-row SNR>=30dB invariant."""
     r = clip_row(i)  # cheap metadata recompute

@@ -161,3 +161,39 @@ def test_new_codecs_through_both_spark_paths(spark):
     got = a[a["clip_id"] == "nc-1"].iloc[0]
     assert got["n_samples"] == local["n_samples"]
     assert got["rms"] == local["rms"] and got["e_q95"] == local["e_q95"]
+
+
+def test_fixtures_exact_replayable_float_points():
+    """The audio_rms_exact oracle's float32 emulation points: (1) int16
+    decode via double-divide-then-narrow equals float32 division for ALL
+    2^16 values (no double rounding), so SQL CAST chains replay the decode
+    bit-for-bit; (2) the closed-form clip row is deterministic and clears
+    the 30 dB SNR invariant through the real encode/decode."""
+    import numpy as np
+    from condor_spark import fixtures
+    from condor_spark.engine import audio
+
+    s = np.arange(-32768, 32768, dtype=np.int16)
+    assert np.array_equal(
+        s.astype(np.float32) / 32767.0,
+        (s.astype(np.float64) / 32767.0).astype(np.float32))
+
+    r1, r2 = fixtures.clip_row_exact(7), fixtures.clip_row_exact(7)
+    assert r1["bytes"] == r2["bytes"] and r1["codec"] == "pcm_s16le"
+    for i in (0, 3, 123):
+        r = fixtures.clip_row_exact(i)
+        dec = audio.decode(r["bytes"], "pcm_s16le")
+        sr = r["sr_hz"]
+        n = max(1, int(round(r["dur_ms"] * sr / 1000.0)))
+        assert dec.size == n
+        # independent re-derivation of the closed-form wave (the same
+        # formula the DuckDB oracle evaluates)
+        f1, f2 = 80.0 + (i * 131) % 900, 1000.0 + (i * 211) % 1000
+        p1, p2 = (i % 7) * 0.9, (i % 11) * 0.55
+        a1, a2 = 0.4 + (i % 5) * 0.12, 0.1 + (i % 3) * 0.13
+        t = np.arange(n, dtype=np.float64) / sr
+        ref = (a1 * np.sin(2 * np.pi * f1 * t + p1)
+               + a2 * np.sin(2 * np.pi * f2 * t + p2))
+        ref *= 0.9 / max(1e-9, np.abs(ref).max())
+        # pcm16 quantization noise sits ~90 dB below a 0.9-peak signal
+        assert audio.snr_db(ref, dec.astype(np.float64)) >= 30.0
