@@ -903,6 +903,18 @@ def q_ann_topk_lsh(spark, sf_dir):
                       "neighbor_id", "cosine")
 
 
+def q_ann_topk_lsh_exact(spark, sf_dir):
+    """LSH ANN under the EXACT-oracle gate: md5-Rademacher planes are
+    regenerable in SQL, so DuckDB replays signatures → bucket equi-join →
+    cosine verify → top-k, proving the BUCKETING math, not just recall
+    (the Gaussian-plane twin `ann_topk_lsh` stays rows-only — PCG64)."""
+    out = similarity.ann_topk_lsh(_emb(spark, sf_dir), list(range(10)), k=5,
+                                  num_planes=8,
+                                  plane_mode="rademacher_md5")
+    return out.select("query_id", F.col("rank").cast("long").alias("rank"),
+                      "neighbor_id", "cosine")
+
+
 def q_audio_rms_quantiles(spark, sf_dir):
     from condor_spark import fixtures
     from condor_spark.engine.audio import decode_features_arrow
@@ -1567,6 +1579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cep_adjacent": q_stream_cep_adjacent,
         "media_features_exact": q_media_features_exact,
         "audio_rms_exact": q_audio_rms_exact,
+        "ann_topk_lsh_exact": q_ann_topk_lsh_exact,
         "stream_compacted": q_stream_compacted,
         "query_timestamped_stratified": q_query_timestamped_stratified,
         "hist4lt_sql_ranges": q_hist4lt_sql_ranges,
@@ -2586,6 +2599,42 @@ def oracle_sql() -> dict[str, str]:
     # weighting reproduce the numpy ops bit-for-bit (mod by 2^8 is exact
     # in float64 on this domain), so only the 4dp-rounded means remain,
     # where summation-order ulps are ~1e-12 of the rounding quantum
+    # md5-Rademacher SRP replay: plane sign (d, p) is the parity of
+    # md5('srp:<seed>:<d>:<p>')'s last hex char on both sides; projections
+    # are exact ±embedding sums (order ulps vs a >0 threshold — flips need
+    # |proj| ~ 1e-15, never seen); cosine verify + rank reuse the proven
+    # ann_topk oracle pattern
+    oracles["ann_topk_lsh_exact"] = """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            pl AS (
+                SELECT d.generate_series AS d, p.generate_series AS p,
+                       CASE WHEN substr(md5('srp:7:' || d.generate_series
+                                            || ':' || p.generate_series),
+                                        32, 1)
+                            IN ('1','3','5','7','9','b','d','f')
+                            THEN 1.0 ELSE -1.0 END AS s
+                FROM generate_series(0, 63) d, generate_series(0, 7) p),
+            proj AS (
+                SELECT e.vec_id, pl.p, sum(e.v[pl.d + 1] * pl.s) AS pr
+                FROM e, pl GROUP BY 1, 2),
+            b AS (
+                SELECT vec_id, CAST(sum(CASE WHEN pr > 0 THEN 1 << p
+                                             ELSE 0 END) AS BIGINT) AS bucket
+                FROM proj GROUP BY 1),
+            q AS (SELECT e.vec_id AS qid, e.v AS qv, b.bucket
+                  FROM e JOIN b USING (vec_id) WHERE e.vec_id < 10),
+            c AS (SELECT e.vec_id AS nid, e.v AS cv, b.bucket
+                  FROM e JOIN b USING (vec_id)),
+            s AS (SELECT qid AS query_id, nid AS neighbor_id,
+                         ROUND(list_cosine_similarity(qv, cv), 6) AS cosine
+                  FROM q JOIN c USING (bucket) WHERE qid != nid),
+            r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+                  FROM s)
+            SELECT query_id, rank, neighbor_id, cosine
+            FROM r WHERE rank <= 5
+        """
     # closed-form audio replay: samples w(i,k) are pure sinusoid sums; the
     # float32 cast points are reproduced with CAST(.. AS REAL) (the int16/
     # 32767 double-divide-then-narrow equals float32 division for ALL 2^16

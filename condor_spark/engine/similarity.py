@@ -49,10 +49,33 @@ def brute_force_topk(emb_df: DataFrame, query_ids: list[int], k: int = 5,
                 .select("query_id", "rank", "neighbor_id", "cosine"))
 
 
+def _rademacher_planes(dim: int, num_planes: int, seed: int) -> np.ndarray:
+    """±1 (Rademacher) hyperplanes with md5-derived signs — bit-stable on
+    every platform AND regenerable in plain SQL (`substr(md5(...), 32, 1)`
+    parity), which is what lets `ann_topk_lsh_exact` carry a full DuckDB
+    oracle. Sign-random-projection with Rademacher entries is the standard
+    cheap SRP variant (same cosine-LSH collision guarantee family)."""
+    import hashlib
+
+    signs = np.empty((dim, num_planes))
+    for d in range(dim):
+        for p in range(num_planes):
+            h = hashlib.md5(f"srp:{seed}:{d}:{p}".encode()).digest()
+            signs[d, p] = 1.0 if (h[-1] & 1) else -1.0
+    return signs
+
+
 def hyperplane_signatures(emb_df: DataFrame, num_planes: int = 16, seed: int = 7,
                           id_col: str = "vec_id", vec_col: str = "embedding",
-                          dim: int | None = None) -> DataFrame:
-    """Random-hyperplane LSH bucket per vector (sign pattern of projections)."""
+                          dim: int | None = None,
+                          plane_mode: str = "gaussian") -> DataFrame:
+    """Random-hyperplane LSH bucket per vector (sign pattern of projections).
+
+    ``plane_mode``: "gaussian" (default — PCG64 standard-normal planes) or
+    "rademacher_md5" (±1 planes from md5 — SQL-replayable, see
+    ``_rademacher_planes``)."""
+    if plane_mode not in ("gaussian", "rademacher_md5"):
+        raise ValueError(f"plane_mode {plane_mode!r}")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         planes = None
@@ -61,8 +84,12 @@ def hyperplane_signatures(emb_df: DataFrame, num_planes: int = 16, seed: int = 7
                 continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             if planes is None:
-                rng = np.random.default_rng(seed)
-                planes = rng.standard_normal((mat.shape[1], num_planes))
+                if plane_mode == "gaussian":
+                    rng = np.random.default_rng(seed)
+                    planes = rng.standard_normal((mat.shape[1], num_planes))
+                else:
+                    planes = _rademacher_planes(mat.shape[1], num_planes,
+                                                seed)
             proj = mat @ planes
             bits = (proj > 0).astype(np.uint64)
             bucket = (bits << np.arange(num_planes, dtype=np.uint64)).sum(axis=1)
@@ -75,12 +102,17 @@ def hyperplane_signatures(emb_df: DataFrame, num_planes: int = 16, seed: int = 7
 
 def ann_topk_lsh(emb_df: DataFrame, query_ids: list[int], k: int = 5,
                  num_planes: int = 10, seed: int = 7,
-                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 plane_mode: str = "gaussian") -> DataFrame:
     """Approximate top-k: rank only candidates sharing the query's LSH bucket.
 
-    Recall < 1 by construction; the baseline/oracle is brute_force_topk.
+    Recall < 1 by construction; the baseline/oracle is brute_force_topk —
+    except under ``plane_mode="rademacher_md5"``, where the bucketing
+    itself is SQL-replayable and the whole operator carries an exact
+    oracle (`ann_topk_lsh_exact`).
     """
-    sig = hyperplane_signatures(emb_df, num_planes, seed, id_col, vec_col)
+    sig = hyperplane_signatures(emb_df, num_planes, seed, id_col, vec_col,
+                                plane_mode=plane_mode)
     # persist: read twice (query side + candidate side) below
     with_bucket = (emb_df.join(sig, emb_df[id_col] == sig["vec_id"])
                    .drop(sig["vec_id"]).persist())
