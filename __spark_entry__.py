@@ -903,6 +903,15 @@ def q_ann_topk_lsh(spark, sf_dir):
                       "neighbor_id", "cosine")
 
 
+def q_dedup_cosine_lsh_exact(spark, sf_dir):
+    """Banded cosine-LSH dedup under the EXACT-oracle gate (md5-Rademacher
+    planes — SQL replays signatures → per-band buckets → candidate join →
+    cosine verify; the Gaussian twin `dedup_cosine_lsh` stays rows-only)."""
+    return similarity.cosine_near_dup_pairs_lsh(
+        _emb(spark, sf_dir), threshold=0.4, bands=8, rows_per_band=2,
+        plane_mode="rademacher_md5")
+
+
 def q_ann_topk_lsh_exact(spark, sf_dir):
     """LSH ANN under the EXACT-oracle gate: md5-Rademacher planes are
     regenerable in SQL, so DuckDB replays signatures → bucket equi-join →
@@ -1580,6 +1589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features_exact": q_media_features_exact,
         "audio_rms_exact": q_audio_rms_exact,
         "ann_topk_lsh_exact": q_ann_topk_lsh_exact,
+        "dedup_cosine_lsh_exact": q_dedup_cosine_lsh_exact,
         "stream_compacted": q_stream_compacted,
         "query_timestamped_stratified": q_query_timestamped_stratified,
         "hist4lt_sql_ranges": q_hist4lt_sql_ranges,
@@ -2634,6 +2644,40 @@ def oracle_sql() -> dict[str, str]:
                   FROM s)
             SELECT query_id, rank, neighbor_id, cosine
             FROM r WHERE rank <= 5
+        """
+    # banded variant of the same replay: plane p belongs to band p // 2,
+    # contributing bit p % 2 of that band's bucket; the Spark side filters
+    # on the ROUNDED cosine, so the oracle does too
+    oracles["dedup_cosine_lsh_exact"] = """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            pl AS (
+                SELECT d.generate_series AS d, p.generate_series AS p,
+                       CASE WHEN substr(md5('srp:7:' || d.generate_series
+                                            || ':' || p.generate_series),
+                                        32, 1)
+                            IN ('1','3','5','7','9','b','d','f')
+                            THEN 1.0 ELSE -1.0 END AS s
+                FROM generate_series(0, 63) d, generate_series(0, 15) p),
+            proj AS (
+                SELECT e.vec_id, pl.p, sum(e.v[pl.d + 1] * pl.s) AS pr
+                FROM e, pl GROUP BY 1, 2),
+            bb AS (
+                SELECT vec_id, p // 2 AS band,
+                       CAST(sum(CASE WHEN pr > 0 THEN 1 << (p % 2)
+                                     ELSE 0 END) AS BIGINT) AS bucket
+                FROM proj GROUP BY 1, 2),
+            cand AS (
+                SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM bb a JOIN bb b ON a.band = b.band
+                                   AND a.bucket = b.bucket
+                                   AND a.vec_id < b.vec_id)
+            SELECT c.id_a, c.id_b,
+                   ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+            FROM cand c
+            JOIN e ea ON ea.vec_id = c.id_a
+            JOIN e eb ON eb.vec_id = c.id_b
+            WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4
         """
     # closed-form audio replay: samples w(i,k) are pure sinusoid sums; the
     # float32 cast points are reproduced with CAST(.. AS REAL) (the int16/

@@ -289,7 +289,8 @@ def cosine_near_dup_pairs(emb_df: DataFrame, threshold: float = 0.4,
 def cosine_near_dup_pairs_lsh(emb_df: DataFrame, threshold: float = 0.4,
                               bands: int = 8, rows_per_band: int = 2,
                               seed: int = 7, id_col: str = "vec_id",
-                              vec_col: str = "embedding") -> DataFrame:
+                              vec_col: str = "embedding",
+                              plane_mode: str = "gaussian") -> DataFrame:
     """Banded random-hyperplane LSH near-dup pairs: candidates share at least
     one band's full sign pattern; candidates are then verified with the exact
     cosine, so precision is 1.0 and only recall is approximate.
@@ -297,9 +298,13 @@ def cosine_near_dup_pairs_lsh(emb_df: DataFrame, threshold: float = 0.4,
     bands=8 x rows_per_band=2 makes P(candidate) = 1-(1-p^2)^8 with
     p = 1 - theta/pi — steep around cosine ~0.4. The pair join is an
     equi-join on (band, bucket): shuffle cost ~ bands x n short rows, never
-    all pairs.
+    all pairs. ``plane_mode="rademacher_md5"`` swaps the PCG64 Gaussian
+    planes for SQL-regenerable ±1 planes (`_rademacher_planes`) — the
+    `dedup_cosine_lsh_exact` driver oracle replays the full band pipeline.
     """
     num_planes = bands * rows_per_band
+    if plane_mode not in ("gaussian", "rademacher_md5"):
+        raise ValueError(f"plane_mode {plane_mode!r}")
 
     def sig_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         planes = None
@@ -308,8 +313,12 @@ def cosine_near_dup_pairs_lsh(emb_df: DataFrame, threshold: float = 0.4,
                 continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             if planes is None:
-                rng = np.random.default_rng(seed)
-                planes = rng.standard_normal((mat.shape[1], num_planes))
+                if plane_mode == "gaussian":
+                    rng = np.random.default_rng(seed)
+                    planes = rng.standard_normal((mat.shape[1], num_planes))
+                else:
+                    planes = _rademacher_planes(mat.shape[1], num_planes,
+                                                seed)
             bits = (mat @ planes > 0).astype(np.int64)
             out = {"_sid": pdf[id_col].to_numpy()}
             for band in range(bands):
