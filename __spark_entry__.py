@@ -1116,6 +1116,34 @@ def q_stream_cep_adjacent(spark, sf_dir):
                     F.col("second_ts").cast(NTZ).alias("second_ts")))
 
 
+def q_stream_cep_chain3(spark, sf_dir):
+    """CEP 3-step chain streaming: in-band triple emission — a chain emits
+    when its latest-arriving element lands, so a full replay equals the
+    batch 3-way join exactly."""
+
+    from condor_spark import fixtures
+    from condor_spark.engine.cep import StatefulChainStream
+
+    df = _events(spark, sf_dir)
+    max_ts = df.agg(F.max("ts")).collect()[0][0]
+    cutoff = pd.Timestamp(max_ts) + pd.Timedelta(days=1)
+    tmp = _fresh_tmp("cepchn", sf_dir)
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    fixtures.replay_in_order(
+        spark, df, src, n_chunks=5,
+        flush_ts=[cutoff + pd.Timedelta(days=40), cutoff + pd.Timedelta(days=80)],
+        flush_mutate=lambda r: r.assign(event_type="click", user_id=-1))
+
+    job = StatefulChainStream(steps=("signup", "view", "purchase"),
+                              within="1 day", watermark_delay="1 hour")
+    q = job.start(spark, src, out, ckpt, max_files_per_trigger=1)
+    _await(q)
+    return (spark.read.parquet(out)
+            .select("key", F.col("ts1").cast(NTZ).alias("ts1"),
+                    F.col("ts2").cast(NTZ).alias("ts2"),
+                    F.col("ts3").cast(NTZ).alias("ts3")))
+
+
 def q_stream_stateful_frequency(spark, sf_dir):
     """The applyInPandasWithState streaming path, end-to-end: ordered file
     replay → watermark → keyed sketch state → event-time-timeout emission.
@@ -1586,6 +1614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cep_kleene": q_stream_cep_kleene,
         "cep_adjacent": q_cep_adjacent,
         "stream_cep_adjacent": q_stream_cep_adjacent,
+        "stream_cep_chain3": q_stream_cep_chain3,
         "media_features_exact": q_media_features_exact,
         "audio_rms_exact": q_audio_rms_exact,
         "ann_topk_lsh_exact": q_ann_topk_lsh_exact,
@@ -2603,6 +2632,9 @@ def oracle_sql() -> dict[str, str]:
     # each adjacent pair exactly once when the watermark clears its later
     # element, so a full replay reproduces the batch window lead verbatim
     oracles["stream_cep_adjacent"] = oracles["cep_adjacent"]
+    # in-band triple emission: a chain emits exactly once, when its
+    # latest-arriving element lands — full replay equals the 3-way join
+    oracles["stream_cep_chain3"] = oracles["cep_chain3"]
     # noise-free media replay: pixel value v(i,t,x,y) =
     # trunc(clip((base + 20 sin(t/4 + i)) mod 256)) with base the x/y
     # gradient — the mod/clip/trunc and the left-to-right luminance

@@ -649,3 +649,125 @@ class StatefulAdjacentStream:
             self, spark, source_dir, out_dir, checkpoint_dir, schema=schema,
             max_files_per_trigger=max_files_per_trigger,
             available_now=available_now, transform=transform)
+
+
+_CHAIN_OUT_SCHEMA = StructType([
+    StructField("key", LongType()),
+    StructField("ts1", TimestampType()),
+    StructField("ts2", TimestampType()),
+    StructField("ts3", TimestampType()),
+])
+
+
+@dataclass
+class StatefulChainStream:
+    """Streaming twin of ``sequence_chain`` for 3 steps (A → B → C with
+    ``ts3 <= ts1 + within``), in-band emission generalized to triples: a
+    chain emits in the micro-batch where it FIRST becomes complete — when
+    its latest-ARRIVING element lands (which, under admissible disorder,
+    need not be C). Exactly-once by construction: each batch enumerates
+    valid triples over (buffered ∪ new) elements and skips those whose
+    three elements are all pre-batch (they emitted earlier).
+
+    Retention mirrors the chain arithmetic: an A lives until the watermark
+    clears ``ts1 + within`` (no admissible C can complete it after that),
+    a B until ``ts2 + within`` (its C must satisfy ts3 <= ts1 + within <
+    ts2 + within), a C until the watermark clears ``ts3`` (a later-arriving
+    admissible A or B must carry ts >= watermark and still sort before
+    ts3). Per-key state is O(events inside the within horizon).
+    """
+    key_col: str = "user_id"
+    ts_col: str = "ts"
+    event_col: str = "event_type"
+    steps: tuple = ("signup", "view", "purchase")
+    within: str = "1 day"
+    watermark_delay: str = "10 seconds"
+
+    def transform(self, stream_df: DataFrame) -> DataFrame:
+        import numpy as np
+
+        if len(self.steps) != 3:
+            raise ValueError("StatefulChainStream supports exactly 3 steps "
+                             "(the batch sequence_chain handles any n)")
+        w_us = duration_us(self.within)
+        kinds = tuple(self.steps)
+
+        work = (stream_df
+                .filter(F.col(self.event_col).isin(*kinds))
+                .select(F.col(self.key_col).cast("long").alias("key"),
+                        F.col(self.ts_col).cast("timestamp").alias("__evt"),
+                        F.col(self.event_col).alias("kind"))
+                .withWatermark("__evt", self.watermark_delay))
+
+        def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+            a: list = []
+            b: list = []
+            c: list = []
+            if state.exists:
+                a, b, c = pickle.loads(state.get[0])
+            # elements are (ts_us, is_new) — old ones re-enter with False
+            elems = [[(t, False) for t in a], [(t, False) for t in b],
+                     [(t, False) for t in c]]
+
+            if not state.hasTimedOut:
+                rows = [p for p in pdfs if not p.empty]
+                if rows:
+                    pdf = pd.concat(rows, ignore_index=True)
+                    us = (pdf["__evt"].astype("datetime64[us]")
+                          .astype("int64").to_numpy())
+                    kind = pdf["kind"].to_numpy()
+                    for j in range(3):
+                        elems[j].extend((int(t), True)
+                                        for t in us[kind == kinds[j]])
+            for j in range(3):
+                elems[j].sort()
+            ea, eb, ec = elems
+            ats = np.array([t for t, _ in ea], dtype=np.int64)
+            bts = np.array([t for t, _ in eb], dtype=np.int64)
+            cts = np.array([t for t, _ in ec], dtype=np.int64)
+
+            out: list[tuple[int, int, int]] = []
+            for ta, a_new in ea:
+                hi_b = int(np.searchsorted(bts, ta + w_us, side="left"))
+                for ib in range(int(np.searchsorted(bts, ta, side="right")),
+                                hi_b):
+                    tb, b_new = eb[ib]
+                    lo_c = int(np.searchsorted(cts, tb, side="right"))
+                    hi_c = int(np.searchsorted(cts, ta + w_us, side="right"))
+                    for ic in range(lo_c, hi_c):
+                        tc, c_new = ec[ic]
+                        if a_new or b_new or c_new:
+                            out.append((ta, tb, tc))
+
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            a = [t for t, _ in ea if t + w_us >= wm_us]
+            b = [t for t, _ in eb if t + w_us >= wm_us]
+            c = [t for t, _ in ec if t >= wm_us]
+            if a or b or c:
+                state.update((pickle.dumps((a, b, c)),))
+                horizon = min([t + w_us for t in a] + [t + w_us for t in b]
+                              + c)
+                state.setTimeoutTimestamp(max(horizon, wm_us + 1_000) // 1000)
+            elif state.exists:
+                state.remove()
+
+            if out:
+                out.sort()
+                yield pd.DataFrame({
+                    "key": [int(key[0])] * len(out),
+                    "ts1": [pd.Timestamp(x, unit="us") for x, _, _ in out],
+                    "ts2": [pd.Timestamp(x, unit="us") for _, x, _ in out],
+                    "ts3": [pd.Timestamp(x, unit="us") for _, _, x in out]})
+
+        return work.groupBy("key").applyInPandasWithState(
+            update, _CHAIN_OUT_SCHEMA, _STATE_SCHEMA, "append",
+            GroupStateTimeout.EventTimeTimeout)
+
+    def start(self, spark, source_dir: str, out_dir: str, checkpoint_dir: str,
+              schema=None, max_files_per_trigger: int = 1,
+              available_now: bool = True, transform=None):
+        return _start_parquet_stream(
+            self, spark, source_dir, out_dir, checkpoint_dir, schema=schema,
+            max_files_per_trigger=max_files_per_trigger,
+            available_now=available_now, transform=transform)

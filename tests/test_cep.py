@@ -316,3 +316,55 @@ def test_stream_adjacent_matches_batch_out_of_order(spark, tmp_path):
     # u1 clean; u5's out-of-order signup lands immediately before its
     # purchase → match; u6's out-of-order click lands BETWEEN → no match
     assert set(got["key"]) == {1, 5}
+
+
+def test_stream_chain_matches_batch_out_of_order(spark, tmp_path):
+    """In-band triple emission: a chain emits when its latest-ARRIVING
+    element lands — including a mid view that arrives AFTER its purchase
+    (admissible disorder) — and exactly once per triple."""
+    from condor_spark.engine.cep import StatefulChainStream, sequence_chain
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    rows = pd.DataFrame({
+        "event_id": range(10),
+        "ts": pd.to_datetime([
+            "2024-01-01 01:00", "2024-01-01 02:00", "2024-01-01 03:00",  # u1
+            "2024-01-02 01:00", "2024-01-02 03:00",  # u2 signup, purchase...
+            "2024-01-02 02:00",                       # ... late view (file 2)
+            "2024-01-03 01:00", "2024-01-03 02:00",  # u4 signup, view ...
+            "2024-01-03 03:00", "2024-01-03 04:00",  # ... view, purchase
+        ]),
+        "user_id": [1, 1, 1, 2, 2, 2, 4, 4, 4, 4],
+        "event_type": ["signup", "view", "purchase", "signup", "purchase",
+                       "view", "signup", "view", "view", "purchase"],
+        "value": [0.0] * 10, "props": ["{}"] * 10,
+    })
+    sentinel = pd.DataFrame({
+        "event_id": [99], "ts": [pd.Timestamp("2024-02-01")],
+        "user_id": [-1], "event_type": ["view"],
+        "value": [0.0], "props": ["{}"]})
+    schema = spark.read.parquet(f"{SF}/events.parquet").schema
+    base = 1_000_000_000
+    parts = (rows.drop(index=5), rows.loc[[5]], sentinel)
+    for i, part in enumerate(parts):
+        before = set(glob.glob(os.path.join(src, "*.parquet")))
+        (spark.createDataFrame(part, schema=schema)
+         .coalesce(1).write.mode("append").parquet(src))
+        for f in set(glob.glob(os.path.join(src, "*.parquet"))) - before:
+            os.utime(f, (base + i, base + i))
+
+    job = StatefulChainStream(within="1 day", watermark_delay="2 days")
+    q = job.start(spark, src, str(tmp_path / "out"), str(tmp_path / "ck"))
+    q.awaitTermination(300)
+    got = (spark.read.parquet(str(tmp_path / "out")).toPandas()
+           .sort_values(["key", "ts1", "ts2", "ts3"]).reset_index(drop=True))
+    batch = (sequence_chain(spark.read.parquet(src), within="1 day")
+             .toPandas().sort_values(["key", "ts1", "ts2", "ts3"])
+             .reset_index(drop=True))
+    for c in ("ts1", "ts2", "ts3"):
+        got[c] = got[c].astype("datetime64[us]")
+        batch[c] = batch[c].astype("datetime64[us]")
+    assert got.equals(batch)
+    # u1 one triple; u2 completed by the LATE view; u4 two triples (2 views)
+    assert got.groupby("key").size().to_dict() == {1: 1, 2: 1, 4: 2}
