@@ -1536,7 +1536,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stream_count_windows = count_windows' assembly over the stateful
     stream path in-window via stream_stateful_frequency;
     stream_cep_absence = cep_absence's oracle over the timer-driven
-    applyInPandasWithState path in-window via stream_cep_sequence)
+    applyInPandasWithState path in-window via stream_cep_sequence;
+    bottomk_sample = fifo_latest's rank-pushdown WindowGroupLimit shape
+    under a hash ordering instead of ts; token_counts / fingerprints =
+    the same pure-JVM expression pipeline over documents as the in-window
+    quality_scores / lang_id — those three were displaced in r3 to put
+    the payload pipelines, audio_rms_exact + media_features_exact, and
+    the strict-contiguity cep_adjacent under the driver's own gate)
     — plus the codegen point-query
     kinds (DD quantile / cuckoo membership / equi-width range / streamed
     quantile) whose kernels are in-window via ddsketch_quantiles,
@@ -1553,7 +1559,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equiwidth_hist": q_equiwidth_hist,
         "ddsketch_quantiles": q_ddsketch_quantiles,
         "fifo_latest": q_fifo_latest,
-        "bottomk_sample": q_bottomk_sample,
         "hll_distinct": q_hll_distinct,
         "ams_f2": q_ams_f2,
         "equidepth_exact": q_equidepth_exact,
@@ -1589,16 +1594,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cep_sequence": q_stream_cep_sequence,
         "cep_absence": q_cep_absence,
         "cep_kleene": q_cep_kleene,
+        "cep_adjacent": q_cep_adjacent,
         # stateful joins (stream-stream + as-of) + explicit skew handling
         "stream_join_events": q_stream_join_events,
         "asof_join_events": q_asof_join_events,
         "skew_salted_agg": q_skew_salted_agg,
         # training-data pipeline ops
         "dedup_exact": q_dedup_exact,
-        "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
-        "fingerprints": q_fingerprints,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "minhash_pairs": q_minhash_pairs,
@@ -1606,17 +1610,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "dedup_cosine": q_dedup_cosine,
         "bucketed_join": q_bucketed_join,
+        # payload pipelines under the exact gate (audio + multimodal)
+        "audio_rms_exact": q_audio_rms_exact,
+        "media_features_exact": q_media_features_exact,
         # ---- slots 51+: exact-oracle twins of in-window siblings --------
+        "bottomk_sample": q_bottomk_sample,
+        "token_counts": q_token_counts,
+        "fingerprints": q_fingerprints,
         "wavelet_stratified": q_wavelet_stratified,
         "sliding_inversion_stratified": q_sliding_inversion_stratified,
         "stream_count_windows": q_stream_count_windows,
         "stream_cep_absence": q_stream_cep_absence,
         "stream_cep_kleene": q_stream_cep_kleene,
-        "cep_adjacent": q_cep_adjacent,
         "stream_cep_adjacent": q_stream_cep_adjacent,
         "stream_cep_chain3": q_stream_cep_chain3,
-        "media_features_exact": q_media_features_exact,
-        "audio_rms_exact": q_audio_rms_exact,
         "ann_topk_lsh_exact": q_ann_topk_lsh_exact,
         "dedup_cosine_lsh_exact": q_dedup_cosine_lsh_exact,
         "stream_compacted": q_stream_compacted,
