@@ -40,6 +40,12 @@ Modes:
                    time travel), bin-pack the live manifest (--compact N,
                    rewriteDataFiles analogue) and/or expire history
                    (--expire-keep-last N). Spec-agnostic.
+  --mode cep       deploy a streaming CEP pattern (--pattern sequence |
+                   absence | kleene | adjacent | chain) over the input
+                   stream: keyed applyInPandasWithState matcher → append
+                   parquet sink; --first/--mid/--second/--steps name the
+                   event kinds, --within bounds the pattern. --kind/
+                   --column are not needed.
 
 --decode-audio applies to batch AND all streaming modes: raw clip rows
 decode to keyed feature rows per micro-batch, executor-side, before
@@ -69,8 +75,22 @@ def parse_args(argv):
     p.add_argument("--stratify-by", default=None)
     p.add_argument("--watermark-delay", default="10 seconds")
     p.add_argument("--mode", choices=("stream", "stateful", "sql", "batch",
-                                      "querylatest", "features", "snapshots"),
+                                      "querylatest", "features", "snapshots",
+                                      "cep"),
                    default="stream")
+    p.add_argument("--pattern", choices=("sequence", "absence", "kleene",
+                                         "adjacent", "chain"),
+                   default="sequence", help="cep mode: the pattern to match")
+    p.add_argument("--key-col", default="user_id")
+    p.add_argument("--event-col", default="event_type")
+    p.add_argument("--first", default="signup")
+    p.add_argument("--mid", default="view")
+    p.add_argument("--second", default="purchase")
+    p.add_argument("--steps", default="signup,view,purchase",
+                   help="cep chain pattern: comma-separated event kinds")
+    p.add_argument("--tiebreak-col", default="event_id",
+                   help="cep adjacent pattern: order tiebreak under ts ties")
+    p.add_argument("--within", default="7 days")
     p.add_argument("--as-of-version", type=int, default=None,
                    help="snapshots mode: export the state AS OF this "
                         "committed version to --sink (time travel)")
@@ -157,6 +177,35 @@ def main(argv=None) -> None:
         if args.expire_keep_last is not None:
             removed = job.expire_snapshots(keep_last=args.expire_keep_last)
             print(json.dumps({"expired_files": removed}))
+        spark.stop()
+        return
+
+    if args.mode == "cep":
+        if args.checkpoint is None:
+            raise SystemExit("--checkpoint is required in cep mode")
+        from condor_spark.engine import cep as cep_mod
+        common = dict(key_col=args.key_col, ts_col=args.ts_column,
+                      event_col=args.event_col, within=args.within,
+                      watermark_delay=args.watermark_delay)
+        if args.pattern == "sequence":
+            job = cep_mod.StatefulSequenceStream(
+                first=args.first, second=args.second, **common)
+        elif args.pattern == "absence":
+            job = cep_mod.StatefulAbsenceStream(
+                first=args.first, second=args.second, **common)
+        elif args.pattern == "kleene":
+            job = cep_mod.StatefulKleeneStream(
+                first=args.first, mid=args.mid, second=args.second, **common)
+        elif args.pattern == "adjacent":
+            job = cep_mod.StatefulAdjacentStream(
+                first=args.first, second=args.second,
+                tiebreak_col=args.tiebreak_col, **common)
+        else:
+            job = cep_mod.StatefulChainStream(
+                steps=tuple(args.steps.split(",")), **common)
+        q = job.start(spark, args.input, args.sink, args.checkpoint,
+                      max_files_per_trigger=args.max_files_per_trigger)
+        q.awaitTermination()
         spark.stop()
         return
 

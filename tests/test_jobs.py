@@ -421,3 +421,49 @@ def test_spark_submit_audio_stream_job(tmp_path):
     want = {(r2["window_start"], r2["stratum"]): (bytes(r2["state"]), r2["n"])
             for r2 in build_batch(feats, spec).collect()}
     assert got == want
+
+
+@pytest.mark.slow
+def test_spark_submit_cep_job(tmp_path):
+    """--mode cep deploys a streaming CEP pattern as the same artifact:
+    the submitted sequence matcher's full replay equals the in-process
+    batch join."""
+    spark_submit = shutil.which("spark-submit")
+    assert spark_submit, "spark-submit not on PATH"
+
+    from pyspark.sql import SparkSession
+    spark = SparkSession.getActiveSession() or (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false").getOrCreate())
+    from condor_spark import fixtures
+    df = spark.read.parquet(f"{SF}/events.parquet")
+    src = str(tmp_path / "src")
+    fixtures.replay_in_order(spark, df, src, n_chunks=3, ts_col="ts")
+
+    out = str(tmp_path / "cep_out")
+    cmd = [
+        spark_submit, "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--py-files", _make_zip(tmp_path),
+        os.path.join(REPO, "jobs", "synopsis_job.py"),
+        "--mode", "cep", "--pattern", "sequence",
+        "--input", src, "--sink", out,
+        "--checkpoint", str(tmp_path / "ck"),
+        "--first", "signup", "--second", "purchase",
+        "--within", "3 days", "--watermark-delay", "40 days",
+    ]
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    r = subprocess.run(cmd, cwd=str(tmp_path), env=env,
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-4000:]
+
+    from condor_spark.engine.cep import sequence_matches
+    got = sorted(map(tuple, spark.read.parquet(out).toPandas()
+                     .astype(str).values.tolist()))
+    want = sorted(map(tuple, sequence_matches(df, within="3 days")
+                      .toPandas().astype(str).values.tolist()))
+    assert got == want and len(got) > 0
