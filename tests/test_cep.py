@@ -368,3 +368,129 @@ def test_stream_chain_matches_batch_out_of_order(spark, tmp_path):
     assert got.equals(batch)
     # u1 one triple; u2 completed by the LATE view; u4 two triples (2 views)
     assert got.groupby("key").size().to_dict() == {1: 1, 2: 1, 4: 2}
+
+
+def test_stream_cep_checkpoint_resume(spark, tmp_path):
+    """A CEP stream stopped after the first files and restarted from the
+    same checkpoint emits exactly the batch join — no lost or duplicated
+    pairs across the restart (state lives in the checkpointed store)."""
+    import shutil
+
+    from condor_spark import fixtures
+
+    df = spark.read.parquet(f"{SF}/events.parquet")
+    full_src = str(tmp_path / "full_src")
+    fixtures.replay_in_order(spark, df, full_src, n_chunks=4, ts_col="ts")
+    files = sorted(glob.glob(os.path.join(full_src, "*.parquet")),
+                   key=os.path.getmtime)
+
+    part_src = str(tmp_path / "src")
+    os.makedirs(part_src)
+    for f in files[:2]:
+        shutil.copy(f, part_src)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    job = StatefulSequenceStream(within="3 days", watermark_delay="40 days")
+    job.start(spark, part_src, out, ck,
+              max_files_per_trigger=1).awaitTermination(300)
+    n_phase1 = spark.read.parquet(out).count()
+
+    for f in files[2:]:
+        shutil.copy(f, part_src)
+    job.start(spark, part_src, out, ck,
+              max_files_per_trigger=1).awaitTermination(300)
+
+    got = sorted(map(tuple, spark.read.parquet(out).toPandas()
+                     .astype(str).values.tolist()))
+    want = sorted(map(tuple, sequence_matches(df, within="3 days")
+                      .toPandas().astype(str).values.tolist()))
+    assert got == want
+    assert 0 < n_phase1 < len(want)  # the restart really continued mid-way
+
+
+@pytest.mark.parametrize("seed", [3, 17, 99])
+def test_cep_batch_forms_match_bruteforce(spark, seed):
+    """Every CEP batch form vs an independent O(n^2/n^3) brute force over a
+    random event table (seeded): sequence, absence, kleene, adjacency,
+    3-chain all agree on matches AND multiplicities."""
+    import numpy as np
+    from condor_spark.engine.cep import (absence_matches, adjacent_matches,
+                                         kleene_matches, sequence_chain)
+    from collections import Counter
+
+    rng = np.random.default_rng(seed)
+    n = 300
+    base = pd.Timestamp("2024-03-01").value // 1000
+    rows = pd.DataFrame({
+        "event_id": range(n),
+        "ts": pd.to_datetime(
+            base + rng.integers(0, 3 * 86400 * 1_000_000, n), unit="us"),
+        "user_id": rng.integers(0, 12, n),
+        "event_type": rng.choice(["signup", "view", "purchase", "click"], n),
+        "value": np.zeros(n), "props": ["{}"] * n,
+    })
+    schema = spark.read.parquet(f"{SF}/events.parquet").schema
+    df = spark.createDataFrame(rows, schema=schema)
+    w_us = 12 * 3600 * 1_000_000  # 12 hours
+
+    ev = {}
+    for k, grp in rows.groupby("user_id"):
+        g = grp.sort_values(["ts", "event_id"], kind="stable")
+        ev[k] = list(zip(g["ts"].astype("datetime64[us]").astype("int64"),
+                         g["event_type"]))
+
+    def us(col):  # spark NTZ -> int64 µs
+        return col.astype("datetime64[us]").astype("int64")
+
+    # sequence (via kleene's endpoints below) + absence
+    exp_abs = Counter()
+    for k, es in ev.items():
+        for ta, ka in es:
+            if ka == "signup" and not any(
+                    kb == "purchase" and ta < tb <= ta + w_us
+                    for tb, kb in es):
+                exp_abs[(k, ta)] += 1
+    got = absence_matches(df, within="12 hours").toPandas()
+    assert Counter(zip(got["key"], us(got["first_ts"]))) == exp_abs
+
+    exp_kln = Counter()
+    for k, es in ev.items():
+        for ta, ka in es:
+            for tc, kc in es:
+                if ka == "signup" and kc == "purchase" and ta < tc <= ta + w_us:
+                    nm = sum(1 for tm, km in es
+                             if km == "view" and ta < tm < tc)
+                    if nm:
+                        exp_kln[(k, ta, tc, nm)] += 1
+    got = kleene_matches(df, within="12 hours").toPandas()
+    # batch kleene groups duplicates into count rows; expand for compare
+    got_c = Counter()
+    for r in got.itertuples(index=False):
+        got_c[(r.key, int(pd.Timestamp(r.first_ts).value // 1000),
+               int(pd.Timestamp(r.second_ts).value // 1000))] = r.n_mid
+    exp_c = {}
+    for (k, ta, tc, nm), mult in exp_kln.items():
+        exp_c[(k, ta, tc)] = nm  # n_mid per distinct pair
+    assert dict(got_c) == exp_c
+
+    exp_adj = Counter()
+    for k, es in ev.items():
+        for i in range(len(es) - 1):
+            (ta, ka), (tb, kb) = es[i], es[i + 1]
+            if ka == "signup" and kb == "purchase" and tb <= ta + w_us:
+                exp_adj[(k, ta, tb)] += 1
+    got = adjacent_matches(df, within="12 hours", tiebreak_col="event_id"
+                           ).toPandas()
+    assert Counter(zip(got["key"], us(got["first_ts"]),
+                       us(got["second_ts"]))) == exp_adj
+
+    exp_chn = Counter()
+    for k, es in ev.items():
+        for ta, ka in es:
+            for tb, kb in es:
+                for tc, kc in es:
+                    if (ka == "signup" and kb == "view" and kc == "purchase"
+                            and ta < tb < tc <= ta + w_us):
+                        exp_chn[(k, ta, tb, tc)] += 1
+    got = sequence_chain(df, within="12 hours").toPandas()
+    assert Counter(zip(got["key"], us(got["ts1"]), us(got["ts2"]),
+                       us(got["ts3"]))) == exp_chn
