@@ -903,6 +903,19 @@ def q_ann_topk_lsh(spark, sf_dir):
                       "neighbor_id", "cosine")
 
 
+def q_ann_topk_ivf_exact(spark, sf_dir):
+    """IVF ANN under the EXACT-oracle gate: the md5 init sample and both
+    unrolled Lloyd iterations replay in SQL (per-dimension unnest + argmax
+    row_number), so DuckDB reproduces the index, the nprobe cluster probes
+    and the cosine top-k end to end (xxhash64-init twin `ann_topk_ivf`
+    stays rows-only — DuckDB has no Spark-compatible xxhash64)."""
+    out = similarity.ann_topk_ivf(_emb(spark, sf_dir), list(range(10)), k=5,
+                                  num_centroids=16, nprobe=4, iters=2,
+                                  init_mode="md5")
+    return out.select("query_id", F.col("rank").cast("long").alias("rank"),
+                      "neighbor_id", "cosine")
+
+
 def q_dedup_cosine_lsh_exact(spark, sf_dir):
     """Banded cosine-LSH dedup under the EXACT-oracle gate (md5-Rademacher
     planes — SQL replays signatures → per-band buckets → candidate join →
@@ -1626,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cep_chain3": q_stream_cep_chain3,
         "ann_topk_lsh_exact": q_ann_topk_lsh_exact,
         "dedup_cosine_lsh_exact": q_dedup_cosine_lsh_exact,
+        "ann_topk_ivf_exact": q_ann_topk_ivf_exact,
         "stream_compacted": q_stream_compacted,
         "query_timestamped_stratified": q_query_timestamped_stratified,
         "hist4lt_sql_ranges": q_hist4lt_sql_ranges,
@@ -2680,6 +2694,95 @@ def oracle_sql() -> dict[str, str]:
                   FROM q JOIN c USING (bucket) WHERE qid != nid),
             r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                 ORDER BY cosine DESC, neighbor_id) AS rank
+                  FROM s)
+            SELECT query_id, rank, neighbor_id, cosine
+            FROM r WHERE rank <= 5
+        """
+    # full IVF replay: md5-ordered init sample, TWO unrolled Lloyd
+    # iterations (per-dimension unnest; assignment = argmax dot via
+    # row_number with the kernel's first-max tie-break; empty clusters
+    # keep their previous centroid, the kernel's `moved` mask), then the
+    # nprobe=4 probe and cosine top-k. Assignments are discrete, so the
+    # ulp-level summation differences only matter at exact dot ties —
+    # verified 500/500 identical at sf0.01
+    oracles["ann_topk_ivf_exact"] = """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            u AS (
+                SELECT vec_id, list_transform(v, x -> x /
+                         greatest(sqrt(list_sum(
+                             list_transform(v, y -> y*y))), 1e-12)) AS uv
+                FROM e),
+            init AS (
+                SELECT row_number() OVER (ORDER BY md5(vec_id || ':7')) - 1
+                           AS cluster, uv
+                FROM u ORDER BY md5(vec_id || ':7') LIMIT 16),
+            c0 AS (SELECT cluster, generate_subscripts(uv, 1) - 1 AS d,
+                          unnest(uv) AS cv
+                   FROM init),
+            ud AS (SELECT vec_id, generate_subscripts(uv, 1) - 1 AS d,
+                          unnest(uv) AS uvd
+                   FROM u),
+            dot1 AS (SELECT ud.vec_id, c0.cluster, sum(ud.uvd * c0.cv) AS dp
+                     FROM ud JOIN c0 USING (d) GROUP BY 1, 2),
+            a1 AS (SELECT vec_id, cluster FROM (
+                     SELECT vec_id, cluster,
+                            row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dp DESC, cluster) rn
+                     FROM dot1) WHERE rn = 1),
+            m1 AS (SELECT a1.cluster, ud.d, avg(ud.uvd) AS mv
+                   FROM a1 JOIN ud USING (vec_id) GROUP BY 1, 2),
+            n1 AS (SELECT cluster, sqrt(sum(mv*mv)) AS nrm
+                   FROM m1 GROUP BY 1),
+            c1 AS (
+                SELECT c0.cluster, c0.d,
+                       CASE WHEN m1.mv IS NOT NULL
+                            THEN m1.mv / greatest(n1.nrm, 1e-12)
+                            ELSE c0.cv END AS cv
+                FROM c0 LEFT JOIN m1 ON m1.cluster = c0.cluster
+                                    AND m1.d = c0.d
+                        LEFT JOIN n1 ON n1.cluster = c0.cluster),
+            dot2 AS (SELECT ud.vec_id, c1.cluster, sum(ud.uvd * c1.cv) AS dp
+                     FROM ud JOIN c1 USING (d) GROUP BY 1, 2),
+            a2 AS (SELECT vec_id, cluster FROM (
+                     SELECT vec_id, cluster,
+                            row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dp DESC, cluster) rn
+                     FROM dot2) WHERE rn = 1),
+            m2 AS (SELECT a2.cluster, ud.d, avg(ud.uvd) AS mv
+                   FROM a2 JOIN ud USING (vec_id) GROUP BY 1, 2),
+            n2 AS (SELECT cluster, sqrt(sum(mv*mv)) AS nrm
+                   FROM m2 GROUP BY 1),
+            c2 AS (
+                SELECT c1.cluster, c1.d,
+                       CASE WHEN m2.mv IS NOT NULL
+                            THEN m2.mv / greatest(n2.nrm, 1e-12)
+                            ELSE c1.cv END AS cv
+                FROM c1 LEFT JOIN m2 ON m2.cluster = c1.cluster
+                                    AND m2.d = c1.d
+                        LEFT JOIN n2 ON n2.cluster = c1.cluster),
+            dotf AS (SELECT ud.vec_id, c2.cluster, sum(ud.uvd * c2.cv) AS dp
+                     FROM ud JOIN c2 USING (d) GROUP BY 1, 2),
+            af AS (SELECT vec_id, cluster FROM (
+                     SELECT vec_id, cluster,
+                            row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dp DESC, cluster) rn
+                     FROM dotf) WHERE rn = 1),
+            probe AS (SELECT vec_id AS qid, cluster FROM (
+                        SELECT vec_id, cluster,
+                               row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dp DESC, cluster) rn
+                        FROM dotf WHERE vec_id < 10) WHERE rn <= 4),
+            s AS (
+                SELECT probe.qid AS query_id, af.vec_id AS neighbor_id,
+                       ROUND(list_cosine_similarity(eq.v, en.v), 6)
+                           AS cosine
+                FROM probe JOIN af USING (cluster)
+                JOIN e eq ON eq.vec_id = probe.qid
+                JOIN e en ON en.vec_id = af.vec_id
+                WHERE af.vec_id != probe.qid),
+            r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
                   FROM s)
             SELECT query_id, rank, neighbor_id, cosine
             FROM r WHERE rank <= 5

@@ -136,7 +136,7 @@ def ann_topk_lsh(emb_df: DataFrame, query_ids: list[int], k: int = 5,
 
 def ivf_index(emb_df: DataFrame, num_centroids: int = 16, iters: int = 2,
               seed: int = 7, id_col: str = "vec_id",
-              vec_col: str = "embedding"):
+              vec_col: str = "embedding", init_mode: str = "xxhash64"):
     """Deterministic IVF index: spherical k-means centroids + per-vector
     cluster assignments.
 
@@ -145,13 +145,23 @@ def ivf_index(emb_df: DataFrame, num_centroids: int = 16, iters: int = 2,
     (cluster, sum-vector, count) row per cluster per partition — so only
     O(partitions x C x dim) crosses to the driver, never the vectors
     themselves. Initial centroids are a deterministic hash-ordered sample
-    (no RNG state shared across workers).
+    (no RNG state shared across workers); ``init_mode="md5"`` orders by
+    ``md5(id || ':' || seed)`` instead of xxhash64 so a SQL oracle can
+    regenerate the identical sample (`ann_topk_ivf_exact`).
 
     Returns ``(centroids ndarray (C, dim) unit-norm, assignments DataFrame
     [vec_id, cluster])``.
     """
+    if init_mode == "md5":
+        order_col = F.md5(F.encode(
+            F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")),
+            "utf-8"))
+    elif init_mode == "xxhash64":
+        order_col = F.xxhash64(F.col(id_col).cast("string"), F.lit(seed))
+    else:
+        raise ValueError(f"init_mode {init_mode!r}")
     init = (emb_df.select(id_col, vec_col)
-            .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+            .orderBy(order_col)
             .limit(num_centroids).collect())
     cents = np.stack([np.asarray(r[1], dtype=np.float64) for r in init])
     cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
@@ -209,16 +219,21 @@ def ivf_index(emb_df: DataFrame, num_centroids: int = 16, iters: int = 2,
 def ann_topk_ivf(emb_df: DataFrame, query_ids: list[int], k: int = 5,
                  num_centroids: int = 16, nprobe: int = 4, iters: int = 2,
                  seed: int = 7, id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
+                 vec_col: str = "embedding",
+                 init_mode: str = "xxhash64") -> DataFrame:
     """IVF approximate top-k: rank only candidates in the ``nprobe`` clusters
     nearest each query (classic inverted-file ANN; the other scale path next
     to :func:`ann_topk_lsh`).
 
     The shuffle carries (vector, cluster) assignments once; per query only
     ~``nprobe/num_centroids`` of the table is scanned. Recall < 1 by
-    construction; brute_force_topk is the oracle.
+    construction; brute_force_topk is the oracle — except under
+    ``init_mode="md5"``, where the whole index (init sample, unrolled Lloyd
+    iterations, probes) is SQL-replayable and the operator carries its own
+    exact oracle (`ann_topk_ivf_exact`).
     """
-    cents, assign = ivf_index(emb_df, num_centroids, iters, seed, id_col, vec_col)
+    cents, assign = ivf_index(emb_df, num_centroids, iters, seed, id_col,
+                              vec_col, init_mode=init_mode)
     with_cluster = (emb_df.join(assign, emb_df[id_col] == assign["vec_id"])
                     .drop(assign["vec_id"]).persist())
 
