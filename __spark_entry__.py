@@ -1356,6 +1356,52 @@ def q_stream_compacted(spark, sf_dir):
                       "key", "est_count")
 
 
+def q_stream_incremental(spark, sf_dir):
+    """Incremental read between snapshots (the Iceberg incremental-scan /
+    changelog analogue, ``StreamingSynopsisJob.read_changes``): events
+    replay in TWO deterministic phases split at the 80th-percentile
+    distinct timestamp; after both batches commit, read ONLY the window
+    buckets the second batch touched (insert = window born in batch 2,
+    update = re-merged) and answer the canonical CM frequency query from
+    that delta. Exact oracle: the changed-window set is the windows with
+    any event at/after the cutoff, their counts are the full-table
+    per-(window, user) counts (the delta rows are the MERGED state, not a
+    diff), and CM at this sizing is exact."""
+
+    from condor_spark import fixtures
+    from condor_spark.engine.streaming import StreamingSynopsisJob
+
+    df = _events(spark, sf_dir)
+    cuts = sorted(r[0] for r in df.select("ts").distinct().collect())
+    cut = cuts[int(0.8 * len(cuts))]
+    tmp = _fresh_tmp("increm", sf_dir)
+    fixtures.replay_in_order(spark, df.filter(F.col("ts") < F.lit(cut)),
+                             f"{tmp}/src", n_chunks=1)
+    fixtures.replay_in_order(spark, df.filter(F.col("ts") >= F.lit(cut)),
+                             f"{tmp}/src", n_chunks=1, base=1_000_000_100)
+    spec = SynopsisSpec(kind="countmin", params=dict(width=8192, height=5, seed=7),
+                        column="user_id", ts_column="ts", window=Tumbling(DAY))
+    job = StreamingSynopsisJob(spec, sink_dir=f"{tmp}/sink",
+                               watermark_delay="1 hour")
+    _await(job.start(spark, f"{tmp}/src", f"{tmp}/ckpt"))
+    v1 = next(s["version"] for s in job.snapshots() if s["batch_id"] == 0)
+    delta = job.read_changes(spark, from_version=v1)
+    st = delta.select(
+        (F.col("window_start").cast("double") / 1e6).cast("timestamp")
+        .alias("window_start"),
+        (F.col("window_end").cast("double") / 1e6).cast("timestamp")
+        .alias("window_end"),
+        "stratum", "state", "n")
+    res = ev.frequency_estimates(st, _user_keys(df))
+    ct = delta.select(
+        (F.col("window_start").cast("double") / 1e6).cast("timestamp")
+        .alias("window_start"),
+        F.col("_change_type").alias("change_type")).distinct()
+    return (res.join(F.broadcast(ct), "window_start")
+            .select(F.col("window_start").cast(NTZ).alias("window_start"),
+                    "change_type", "key", "est_count"))
+
+
 def q_stream_quantile_latest(spark, sf_dir):
     """Continuous QUANTILE query stream against the latest DDSketch window
     (QueryLatestStream kind dispatch → codegen unrolled binary search,
@@ -1641,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cosine_lsh_exact": q_dedup_cosine_lsh_exact,
         "ann_topk_ivf_exact": q_ann_topk_ivf_exact,
         "stream_compacted": q_stream_compacted,
+        "stream_incremental": q_stream_incremental,
         "query_timestamped_stratified": q_query_timestamped_stratified,
         "hist4lt_sql_ranges": q_hist4lt_sql_ranges,
         "cep_chain3": q_cep_chain3,
@@ -2436,6 +2483,30 @@ def oracle_sql() -> dict[str, str]:
     # compaction is a pure rewrite of the live manifest (rows identical),
     # so the compacted snapshot answers the same exact frequency oracle
     oracles["stream_compacted"] = oracles["cm_user_frequency"]
+    # incremental read: delta rows are the MERGED state of every window
+    # touched by the post-cutoff batch; CM exact at this sizing, so the
+    # whole changelog (window set, change kind, counts) replays in SQL
+    oracles["stream_incremental"] = """
+        WITH n AS (SELECT CAST(floor(0.8 * count(DISTINCT ts)) AS BIGINT) n_off
+                   FROM events),
+             o AS (SELECT ts, row_number() OVER (ORDER BY ts) - 1 rn
+                   FROM (SELECT DISTINCT ts FROM events)),
+             cut AS (SELECT ts AS c FROM o WHERE rn = (SELECT n_off FROM n)),
+             e AS (SELECT time_bucket(INTERVAL '1 day', ts) ws, user_id, ts
+                   FROM events),
+             w AS (SELECT ws,
+                          CASE WHEN min(ts) < (SELECT c FROM cut)
+                               THEN 'update' ELSE 'insert' END AS change_type
+                   FROM e GROUP BY ws
+                   HAVING max(ts) >= (SELECT c FROM cut)),
+             u AS (SELECT DISTINCT user_id FROM events),
+             cnt AS (SELECT ws, user_id, count(*) cnt FROM e GROUP BY 1, 2)
+        SELECT w.ws AS window_start, w.change_type,
+               CAST(u.user_id AS VARCHAR) AS key,
+               COALESCE(cnt.cnt, 0) AS est_count
+        FROM w CROSS JOIN u
+        LEFT JOIN cnt ON cnt.ws = w.ws AND cnt.user_id = u.user_id
+    """
     oracles["equiwidth_sql_hist"] = oracles["equiwidth_hist"]
     oracles["bottomk_sql_sample"] = oracles["bottomk_sample"]
     oracles["fifo_sql_latest"] = oracles["fifo_latest"]

@@ -180,6 +180,87 @@ class StreamingSynopsisJob:
                         best[w] = (cv, comp["path"])
         return {int(w): p for w, (_, p) in best.items()}
 
+    def _data_versions(self, version: int) -> dict[int, int]:
+        """Newest DATA version per window bucket as of a snapshot.
+
+        A window's data version is the ledger version of the last batch
+        that MERGED rows into it — compaction rewrites bytes identically
+        and does not advance it. Per-window files on disk carry their own
+        version in the name; a compaction ledger entry carries the packed
+        windows' data versions forward (``data_versions``) so the map
+        stays exact after ``expire_snapshots`` deletes the originals.
+        (Entries from ledgers written before this field fall back to the
+        compaction version — conservative: those windows re-read as
+        changed, never silently skipped.)"""
+        best: dict[int, int] = {}
+        for w, v, _ in self._state_files():
+            if v <= version and (w not in best or v > best[w]):
+                best[w] = v
+        for comp in self._read_ledger().get("compactions", []):
+            if int(comp["version"]) <= version:
+                dvs = comp.get("data_versions") or {
+                    str(w): int(comp["version"]) for w in comp["windows"]}
+                for w, dv in dvs.items():
+                    w, dv = int(w), int(dv)
+                    if w not in best or dv > best[w]:
+                        best[w] = dv
+        return best
+
+    def read_changes(self, spark: SparkSession, from_version: int,
+                     to_version: int | None = None) -> DataFrame:
+        """Incremental scan between two committed snapshots — the Iceberg
+        incremental-read / changelog analogue. Returns ONLY the state rows
+        of window buckets whose data changed in ``(from_version,
+        to_version]``, tagged ``_change_type``: ``insert`` for windows
+        absent at ``from_version``, ``update`` for windows re-merged since.
+        Compaction commits are pure rewrites and contribute no changes
+        (Iceberg's replace-snapshot skip), so a downstream consumer
+        resuming from snapshot v reads O(windows touched since v), never
+        the table. ``from_version=0`` reads everything as inserts.
+
+        Scale shape: the changed-window set is computed from the ledger +
+        file listing (driver-side metadata, no data read), and the data
+        read is the same ≤(1 + #live compactions)-scan manifest assembly
+        as ``read_state`` restricted to the changed buckets.
+
+        Both endpoints must be 0 or ≥ the time-travel floor: expiration
+        deletes the files that define older snapshots, and a partial
+        delta would be silently wrong."""
+        led = self._read_ledger()
+        head = int(led["version"])
+        to_version = head if to_version is None else int(to_version)
+        from_version = int(from_version)
+        if not 0 <= from_version <= to_version <= head:
+            raise ValueError(
+                f"need 0 <= from ({from_version}) <= to ({to_version}) "
+                f"<= head ({head})")
+        floor = led.get("min_travel_version", 1)
+        for v, tag in ((from_version, "from"), (to_version, "to")):
+            if v and v < floor:
+                raise ValueError(
+                    f"{tag}_version v{v} has been expired "
+                    f"(time travel floor is v{floor})")
+        old = self._data_versions(from_version) if from_version else {}
+        new = self._data_versions(to_version) if to_version else {}
+        changed = {w: ("insert" if w not in old else "update")
+                   for w, v in new.items() if old.get(w) != v}
+        parts = []
+        if changed:
+            mapping = self._manifest_asof(to_version)
+            for kind in ("insert", "update"):
+                sub = {w: mapping[w] for w, k in changed.items()
+                       if k == kind}
+                if sub:
+                    parts.append(self._read_mapping(spark, sub)
+                                 .withColumn("_change_type", F.lit(kind)))
+        if not parts:
+            return (spark.createDataFrame([], _STATE_SCHEMA)
+                    .withColumn("_change_type", F.lit("")))
+        out = parts[0]
+        for d in parts[1:]:
+            out = out.unionByName(d)
+        return out
+
     def snapshots(self) -> list[dict]:
         """Committed snapshot history, oldest first: one entry per batch
         commit with its ledger version, plus one per compaction (batch_id
@@ -224,6 +305,7 @@ class StreamingSynopsisJob:
             return {"compacted": False, "files_before": n_before,
                     "files_after": n_before, "version": led["version"]}
         version = led["version"] + 1
+        data_vs = self._data_versions(led["version"])
         windows = sorted(manifest)
         # contiguous window-range groups, one consolidated file each — all
         # committed under ONE new version (one compaction entry per file,
@@ -239,7 +321,9 @@ class StreamingSynopsisJob:
                 f"c{version}.parquet" if k == 1 else f"c{version}_{g}.parquet")
             (self._read_mapping(spark, {w: manifest[w] for w in ws})
              .coalesce(1).write.mode("overwrite").parquet(dest))
-            comps.append({"version": version, "path": dest, "windows": ws})
+            comps.append({"version": version, "path": dest, "windows": ws,
+                          "data_versions": {str(w): int(data_vs[w])
+                                            for w in ws}})
         led["version"] = version
         led["manifest"] = {str(w): c["path"]
                            for c in comps for w in c["windows"]}

@@ -121,7 +121,7 @@ def ground_truth_wave(i: int) -> np.ndarray:
 
 def replay_in_order(spark, df, src_dir: str, n_chunks: int,
                     ts_col: str = "ts", flush_ts: list | None = None,
-                    flush_mutate=None) -> None:
+                    flush_mutate=None, base: int = 1_000_000_000) -> None:
     """File-replay stream source in event-time order (the analogue of the
     reference's gzip replay sources, ``NYCTaxiRideSource.java:36-55``).
 
@@ -136,6 +136,9 @@ def replay_in_order(spark, df, src_dir: str, n_chunks: int,
     each flush clone — needed when the consuming operator filters by a
     column (e.g. event kind) BEFORE its watermark node, so the sentinel
     must survive that filter without interacting with real keys.
+    ``base`` is the mtime epoch for the first chunk — a second call into
+    the same ``src_dir`` with a later base appends chunks that replay
+    AFTER the first call's (two-phase replays with a caller-chosen split).
     """
     import glob as _glob
     import os as _os
@@ -149,7 +152,6 @@ def replay_in_order(spark, df, src_dir: str, n_chunks: int,
         if flush_mutate is not None:
             row = flush_mutate(row)
         chunks.append(row)
-    base = 1_000_000_000
     for i, chunk in enumerate(chunks):
         before = set(_glob.glob(_os.path.join(src_dir, "*.parquet")))
         (spark.createDataFrame(chunk, schema=df.schema)

@@ -413,3 +413,112 @@ def test_compact_snapshots_rewrite_and_resume(spark, tmp_path):
     assert estimates(job2.read_state_df(spark)) == full
     with pytest.raises(ValueError, match="expired"):
         job2.read_state(spark, as_of_version=2)
+
+
+def test_read_changes_incremental_scan(spark, tmp_path):
+    """Iceberg incremental-read analogue: read_changes(a, b) returns
+    exactly the window buckets whose data changed in (a, b], tagged
+    insert/update, with the MERGED state as of b — and chaining a
+    snapshot with its delta reconstructs the head."""
+    from condor_spark import fixtures
+
+    df = spark.read.parquet(f"{SF}/events.parquet")
+    src = str(tmp_path / "src")
+    fixtures.replay_in_order(spark, df, src, n_chunks=4, ts_col="ts")
+    job = StreamingSynopsisJob(spec=_spec(), sink_dir=str(tmp_path / "sink"),
+                               watermark_delay="40 days")
+    job.start(spark, src, str(tmp_path / "ckpt"),
+              max_files_per_trigger=1).awaitTermination(300)
+    assert [s["version"] for s in job.snapshots()] == [1, 2, 3, 4]
+
+    def rows(sdf):
+        return sorted((r["window_start"], r["stratum"], bytes(r["state"]),
+                       r["n"]) for r in sdf.collect())
+
+    # from=0: the full table, all inserts
+    full = job.read_changes(spark, 0)
+    assert set(r["_change_type"] for r in full.collect()) == {"insert"}
+    assert rows(full.drop("_change_type")) == rows(job.read_state(spark))
+
+    files = sorted(glob.glob(os.path.join(src, "*.parquet")),
+                   key=os.path.getmtime)
+    day = F.date_trunc("day", F.col("ts")).cast("long") * 1_000_000
+    for k in (1, 2, 3):
+        prefix_ws = {r[0] for r in spark.read.parquet(*files[:k])
+                     .select(day).distinct().collect()}
+        tail_ws = {r[0] for r in spark.read.parquet(*files[k:])
+                   .select(day).distinct().collect()}
+        delta = job.read_changes(spark, k).collect()
+        assert {r["window_start"] for r in delta} == tail_ws
+        for r in delta:
+            want = "update" if r["window_start"] in prefix_ws else "insert"
+            assert r["_change_type"] == want, (k, r["window_start"])
+        # snapshot k + delta(k, head) == head, replacing changed buckets
+        base = {(r["window_start"], r["stratum"]): (bytes(r["state"]), r["n"])
+                for r in job.read_state(spark, as_of_version=k).collect()}
+        for r in delta:
+            base[(r["window_start"], r["stratum"])] = (bytes(r["state"]),
+                                                       r["n"])
+        head = {(r["window_start"], r["stratum"]): (bytes(r["state"]), r["n"])
+                for r in job.read_state(spark).collect()}
+        assert base == head, f"delta from v{k} does not reconstruct head"
+
+    # bad endpoints fail loudly
+    with pytest.raises(ValueError):
+        job.read_changes(spark, 3, 2)
+    with pytest.raises(ValueError):
+        job.read_changes(spark, 0, 9)
+
+
+def test_read_changes_skips_compaction_and_survives_expiry(spark, tmp_path):
+    """Compaction is a pure rewrite: it must contribute NO changes — also
+    after expiration deletes the original per-window files (the compaction
+    ledger entry carries the packed windows' data versions forward). A
+    batch landing after the compaction shows up as exactly its touched
+    windows."""
+    from condor_spark import fixtures
+
+    df = spark.read.parquet(f"{SF}/events.parquet")
+    pdf = df.orderBy("ts").toPandas()
+    head_n = int(len(pdf) * 0.75)
+    src = str(tmp_path / "src")
+    fixtures.replay_in_order(
+        spark, spark.createDataFrame(pdf.iloc[:head_n], schema=df.schema),
+        src, n_chunks=3, ts_col="ts")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    job = StreamingSynopsisJob(spec=_spec(), sink_dir=sink,
+                               watermark_delay="40 days")
+    job.start(spark, src, ckpt, max_files_per_trigger=1).awaitTermination(300)
+    v_pre = job._read_ledger()["version"]          # 3
+    out = job.compact_snapshots(spark)
+    v_comp = out["version"]                         # 4
+    assert job.read_changes(spark, v_pre, v_comp).count() == 0
+
+    # late batch after the compaction: delta is exactly its windows
+    fixtures.replay_in_order(
+        spark, spark.createDataFrame(pdf.iloc[head_n:], schema=df.schema),
+        src, n_chunks=1, ts_col="ts", base=1_000_000_100)
+    job.start(spark, src, ckpt, max_files_per_trigger=1).awaitTermination(300)
+    v_head = job._read_ledger()["version"]          # 5
+    day = F.date_trunc("day", F.col("ts")).cast("long") * 1_000_000
+    tail = spark.createDataFrame(pdf.iloc[head_n:], schema=df.schema)
+    tail_ws = {r[0] for r in tail.select(day).distinct().collect()}
+    pre_ws = {r[0] for r in
+              spark.createDataFrame(pdf.iloc[:head_n], schema=df.schema)
+              .select(day).distinct().collect()}
+    delta = job.read_changes(spark, v_comp, v_head).collect()
+    assert {r["window_start"] for r in delta} == tail_ws
+    for r in delta:
+        want = "update" if r["window_start"] in pre_ws else "insert"
+        assert r["_change_type"] == want
+    # same delta when measured across the compaction commit
+    across = job.read_changes(spark, v_pre, v_head).collect()
+    assert sorted((r["window_start"], r["_change_type"]) for r in across) == \
+        sorted((r["window_start"], r["_change_type"]) for r in delta)
+
+    # expiry: deltas between kept snapshots stay exact, expired ones raise
+    job.expire_snapshots(keep_last=2)
+    assert job.read_changes(spark, v_comp, v_head).count() == len(delta)
+    assert job.read_changes(spark, v_comp, v_comp).count() == 0
+    with pytest.raises(ValueError, match="expired"):
+        job.read_changes(spark, 1, v_head)
