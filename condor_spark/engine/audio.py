@@ -33,6 +33,20 @@ real codecs round out the set:
     broadband content), so the fixture mix that carries the 30 dB per-row
     invariant stays on the first three codecs.
 
+A LOSSLESS compressed codec completes the set:
+
+  * lpc_fixed — Shorten/FLAC-style lossless coding: per 4096-sample frame,
+    the best of FLAC's five FIXED linear predictors (orders 0-4, i.e. the
+    o-th finite difference of the int16 samples) is chosen by residual
+    size, and the zigzag-mapped residuals are bit-packed at per-256-sample
+    partition widths (the vectorizable stand-in for FLAC's Rice
+    partitions: fixed width per partition instead of variable-length Rice
+    codes, so BOTH encode and decode are whole-array numpy — no
+    per-sample Python). Round-trip is bit-exact on the int16 lattice
+    (SNR = inf vs the pcm_s16le rendering), ~0.7x pcm_s16le size on the
+    synthetic clips (noise-dominated; pure tones compress far harder).
+    A 4-byte sample-count prefix replaces the container, as with ADPCM.
+
 Codecs beyond these (perceptual formats — mp3/opus/aac) genuinely need
 absent libraries and stay behind NotImplementedError.
 """
@@ -47,7 +61,7 @@ import pandas as pd
 
 MU = 255.0
 A_LAW = 87.6
-CODECS = ("pcm_s16le", "pcm_u8", "mulaw", "alaw", "adpcm_ima")
+CODECS = ("pcm_s16le", "pcm_u8", "mulaw", "alaw", "adpcm_ima", "lpc_fixed")
 
 
 # --------------------------------------------------------------- codecs
@@ -71,6 +85,8 @@ def encode(wave: np.ndarray, codec: str) -> bytes:
         return ((y + 1.0) / 2.0 * 255.0).round().clip(0, 255).astype(np.uint8).tobytes()
     if codec == "adpcm_ima":
         return _adpcm_encode(x)
+    if codec == "lpc_fixed":
+        return _lpc_encode(x)
     raise NotImplementedError(f"codec {codec!r} not supported")
 
 
@@ -200,6 +216,120 @@ def _adpcm_decode(blob) -> np.ndarray:
     return out.reshape(-1)[:n].astype(np.float32) / np.float32(32767.0)
 
 
+_LPC_FRAME = 4096
+_LPC_PART = 256
+_POW2 = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+
+def _lpc_part_widths(zz: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-partition (bit width, size). Width = exact integer bit_length of
+    the partition max via searchsorted into powers of two (float log2 can
+    misround at exact powers)."""
+    m = zz.size
+    n_parts = -(-m // _LPC_PART) if m else 0
+    sizes = np.full(n_parts, _LPC_PART, dtype=np.int64)
+    if n_parts:
+        sizes[-1] = m - _LPC_PART * (n_parts - 1)
+    padded = np.zeros(n_parts * _LPC_PART, dtype=np.uint64)
+    padded[:m] = zz
+    mx = padded.reshape(n_parts, _LPC_PART).max(axis=1) if n_parts else padded
+    widths = np.searchsorted(_POW2, mx, side="right").astype(np.int64)
+    return widths, sizes
+
+
+def _lpc_bit_layout(widths, sizes, m):
+    """(residual index, power-of-two exponent) for every packed bit —
+    the shared encode/decode layout, built by repeats, never per sample
+    in Python. Residual r with width w occupies w bits MSB-first."""
+    wpr = np.repeat(widths, sizes)                    # width per residual
+    total = int(wpr.sum())
+    ends = np.cumsum(wpr)                             # exclusive bit end
+    res_idx = np.repeat(np.arange(m, dtype=np.int64), wpr)
+    exp = np.repeat(ends, wpr) - 1 - np.arange(total, dtype=np.int64)
+    return res_idx, exp, total
+
+
+def _lpc_encode(x: np.ndarray) -> bytes:
+    """float waveform → length-prefixed lossless fixed-LPC frames.
+
+    Per 4096-sample frame: pick the fixed predictor order o in 0..4 whose
+    residual (the o-th finite difference of the int16 samples — FLAC's
+    fixed predictors) packs smallest, zigzag the residuals, and bit-pack
+    each 256-sample partition at its own width (max bits needed in that
+    partition). Frame layout, byte-aligned:
+
+      [order u8][n_res u16le][warmup o × i2le][widths u8 × n_parts]
+      [packed residual bits, zero-padded to a byte]
+
+    Everything is whole-array numpy — the only Python loops are per frame
+    (~8/clip) and the 5 candidate orders."""
+    s = np.clip(np.round(np.clip(np.asarray(x, dtype=np.float64), -1.0, 1.0)
+                         * 32767.0), -32768, 32767).astype(np.int64)
+    n = int(s.size)
+    out = [struct.pack("<I", n)]
+    for f0 in range(0, n, _LPC_FRAME):
+        fr = s[f0:f0 + _LPC_FRAME]
+        best, best_bits = None, None
+        for o in range(min(4, fr.size - 1) + 1):
+            res = np.diff(fr, n=o)
+            zz = ((res << 1) ^ (res >> 63)).astype(np.uint64)  # zigzag
+            widths, sizes = _lpc_part_widths(zz)
+            bits = int((widths * sizes).sum()) + 8 * (3 + 2 * o + widths.size)
+            if best_bits is None or bits < best_bits:
+                best, best_bits = (o, zz, widths, sizes), bits
+        o, zz, widths, sizes = best
+        head = struct.pack("<BH", o, zz.size)
+        head += fr[:o].astype("<i2").tobytes()
+        head += bytes(widths.tolist())
+        res_idx, exp, total = _lpc_bit_layout(widths, sizes, zz.size)
+        bits = ((zz[res_idx] >> exp.astype(np.uint64))
+                & np.uint64(1)).astype(np.uint8)
+        out.append(head + np.packbits(bits).tobytes())
+    return b"".join(out)
+
+
+def _lpc_decode(blob) -> np.ndarray:
+    """Length-prefixed fixed-LPC frames → float32 waveform (bit-exact
+    inverse of ``_lpc_encode``: unpack widths → residuals → o-fold
+    cumulative sum seeded by the warmup samples)."""
+    raw = np.frombuffer(blob, dtype=np.uint8)
+    n = int(raw[:4].copy().view("<u4")[0])
+    if n == 0:
+        return np.empty(0, dtype=np.float32)
+    pos = 4
+    frames = []
+    while pos < raw.size:
+        o = int(raw[pos])
+        m = int(raw[pos + 1:pos + 3].copy().view("<u2")[0])
+        pos += 3
+        warm = raw[pos:pos + 2 * o].copy().view("<i2").astype(np.int64)
+        pos += 2 * o
+        n_parts = -(-m // _LPC_PART) if m else 0
+        widths = raw[pos:pos + n_parts].astype(np.int64)
+        pos += n_parts
+        sizes = np.full(n_parts, _LPC_PART, dtype=np.int64)
+        if n_parts:
+            sizes[-1] = m - _LPC_PART * (n_parts - 1)
+        res_idx, exp, total_bits = _lpc_bit_layout(widths, sizes, m)
+        nbytes = -(-total_bits // 8)
+        bits = np.unpackbits(raw[pos:pos + nbytes])[:total_bits]
+        pos += nbytes
+        # one weighted bincount reconstructs every residual: widths are
+        # <= 20 bits (order-4 diff of int16), so float64 sums are exact
+        zz = np.bincount(res_idx, weights=bits * np.exp2(exp),
+                         minlength=m).astype(np.uint64)
+        res = ((zz >> np.uint64(1)).astype(np.int64)
+               ^ -(zz & np.uint64(1)).astype(np.int64))  # un-zigzag
+        # o-fold integration: D^d(frame) = cumsum([D^d(frame)[0]] + D^{d+1});
+        # the d-th difference's head is computable from the warmup alone
+        fr = res
+        for d in range(o - 1, -1, -1):
+            fr = np.concatenate(([np.diff(warm, n=d)[0]], fr)).cumsum()
+        frames.append(fr)
+    out = np.concatenate(frames)[:n]
+    return out.astype(np.float32) / np.float32(32767.0)
+
+
 def decode(blob: bytes, codec: str) -> np.ndarray:
     """encoded bytes → float32 waveform in [-1, 1]."""
     if codec == "pcm_s16le":
@@ -209,6 +339,8 @@ def decode(blob: bytes, codec: str) -> np.ndarray:
         return lut[np.frombuffer(blob, dtype=np.uint8)]
     if codec == "adpcm_ima":
         return _adpcm_decode(blob)
+    if codec == "lpc_fixed":
+        return _lpc_decode(blob)
     raise NotImplementedError(f"codec {codec!r} not supported")
 
 
@@ -417,6 +549,8 @@ def decode_features_arrow(df, n_frames: int = 20,
                             .astype(np.float32) / np.float32(32767.0))
             elif codec == "adpcm_ima":
                 wave = _adpcm_decode(view)
+            elif codec == "lpc_fixed":
+                wave = _lpc_decode(view)
             else:
                 lut = _BYTE_LUT.get(codec)
                 if lut is None:

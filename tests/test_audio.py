@@ -13,7 +13,9 @@ from condor_spark import fixtures
 @pytest.mark.parametrize("codec,min_snr", [
     ("pcm_s16le", 80.0), ("pcm_u8", 40.0), ("mulaw", 30.0), ("alaw", 30.0),
     # 4-bit adaptive deltas on broadband content: ADPCM's own bound
-    ("adpcm_ima", 20.0)])
+    ("adpcm_ima", 20.0),
+    # lossless on the int16 lattice: exactly pcm_s16le's SNR
+    ("lpc_fixed", 80.0)])
 def test_codec_snr_invariant(codec, min_snr):
     for i in (0, 7, 123):
         w = synth_wave(i, 16000, 500)
@@ -197,3 +199,77 @@ def test_fixtures_exact_replayable_float_points():
         ref *= 0.9 / max(1e-9, np.abs(ref).max())
         # pcm16 quantization noise sits ~90 dB below a 0.9-peak signal
         assert audio.snr_db(ref, dec.astype(np.float64)) >= 30.0
+
+
+def test_lpc_fixed_lossless_and_compression():
+    """lpc_fixed is LOSSLESS on the int16 lattice: decode(encode(w)) must
+    equal the pcm_s16le rendering bit-for-bit (so its SNR equals pcm's,
+    clearing the 30 dB invariant with ~infinite margin), across frame and
+    partition boundary lengths — and it actually compresses tonal
+    content."""
+    from condor_spark.engine.audio import _LPC_FRAME, _LPC_PART
+
+    for i in (0, 7, 123):
+        w = synth_wave(i, 16000, 2000)
+        pcm = decode(encode(w, "pcm_s16le"), "pcm_s16le")
+        assert np.array_equal(decode(encode(w, "lpc_fixed"), "lpc_fixed"),
+                              pcm), i
+    w = synth_wave(3, 16000, 2000)
+    for n in (0, 1, 2, 5, _LPC_PART - 1, _LPC_PART, _LPC_PART + 1,
+              _LPC_FRAME - 1, _LPC_FRAME, _LPC_FRAME + 1, 2 * _LPC_FRAME + 3):
+        cut = w[:n]
+        pcm = decode(encode(cut, "pcm_s16le"), "pcm_s16le")
+        assert np.array_equal(decode(encode(cut, "lpc_fixed"), "lpc_fixed"),
+                              pcm), n
+    # pure tone: fixed prediction bites hard (measured ~0.38x pcm_s16le)
+    tone = (0.9 * np.sin(2 * np.pi * 440 * np.arange(32000) / 16000)
+            ).astype(np.float32)
+    assert len(encode(tone, "lpc_fixed")) < 0.5 * len(encode(tone, "pcm_s16le"))
+    # incompressible noise must not blow up (widths adapt per partition)
+    rng = np.random.default_rng(0)
+    noise = rng.uniform(-1, 1, 30001).astype(np.float32)
+    assert len(encode(noise, "lpc_fixed")) < 1.05 * len(encode(noise, "pcm_s16le"))
+    # deterministic bytes
+    assert encode(w, "lpc_fixed") == encode(w, "lpc_fixed")
+
+
+def test_lpc_fixed_fuzz_roundtrip():
+    """Randomized lengths/amplitudes (including clipping inputs and the
+    empty clip): every case must round-trip to the exact pcm16 lattice."""
+    for t in range(60):
+        r = np.random.default_rng(1000 + t)
+        n = int(r.integers(0, 9000))
+        w = (r.uniform(-1.3, 1.3, n) * r.uniform(0, 1)).astype(np.float32)
+        pcm = decode(encode(w, "pcm_s16le"), "pcm_s16le")
+        got = decode(encode(w, "lpc_fixed"), "lpc_fixed")
+        assert np.array_equal(got, pcm), t
+
+
+def test_lpc_fixed_through_both_spark_paths(spark):
+    """lpc_fixed clips flow through decode_features AND the Arrow fast path
+    (zero-copy uint8 views, not bytes) with features identical to pcm16
+    clips of the same waveform — lossless means the whole feature row is
+    bit-equal, not just close."""
+    import pandas as pd
+
+    from condor_spark.engine.audio import decode_features, decode_features_arrow
+
+    rows = []
+    for i in range(6):
+        w = synth_wave(200 + i, 16000, 400 + 53 * i)
+        for codec, tag in (("lpc_fixed", "l"), ("pcm_s16le", "p")):
+            rows.append({"clip_id": f"{tag}{i}", "bytes": encode(w, codec),
+                         "sr_hz": 16000, "dur_ms": 400 + 53 * i,
+                         "codec": codec, "transcript": f"tok {i}"})
+    df = spark.createDataFrame(pd.DataFrame(rows)).repartition(2)
+    a = (decode_features(df).toPandas()
+         .sort_values("clip_id").reset_index(drop=True))
+    b = (decode_features_arrow(df).toPandas()
+         .sort_values("clip_id").reset_index(drop=True))
+    feat_cols = [c for c in a.columns if c not in ("clip_id", "codec")]
+    for c in a.columns:
+        assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
+    la = a[a["clip_id"].str.startswith("l")].reset_index(drop=True)
+    pa = a[a["clip_id"].str.startswith("p")].reset_index(drop=True)
+    for c in feat_cols:
+        assert (la[c].to_numpy() == pa[c].to_numpy()).all(), c
