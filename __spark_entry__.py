@@ -950,6 +950,24 @@ def q_audio_rms_quantiles(spark, sf_dir):
             .select("stratum", "q", F.round("est_value", 6).alias("est_value")))
 
 
+def q_audio_spectral(spark, sf_dir):
+    """Spectral-shape features (whole-clip rfft: centroid / bandwidth /
+    rolloff / flatness) → per-codec DDSketch centroid quantiles. Rows-only:
+    the FFT has no SQL replay; the analytic invariants (tone centroid = f0,
+    noise flatness ≈ 1) are asserted in tests/test_audio.py."""
+    from condor_spark import fixtures
+    from condor_spark.engine.audio import spectral_features
+
+    clips = fixtures.audio_clips(spark, 1000, num_partitions=8)
+    feats = spectral_features(clips, passthrough=("ts",))
+    spec = SynopsisSpec(kind="ddsketch", params=dict(relative_accuracy=0.01),
+                        column="centroid_hz", stratify_by="codec",
+                        window=GlobalWindow())
+    syn = build_batch(feats, spec)
+    return (ev.quantile_estimates(syn, [0.5, 0.95])
+            .select("stratum", "q", F.round("est_value", 4).alias("est_value")))
+
+
 def q_audio_rms_exact(spark, sf_dir):
     """The audio payload under the EXACT-oracle gate: closed-form clips
     (fixtures.clip_row_exact — no RNG) make every pcm16 sample replayable
@@ -1713,6 +1731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cosine_lsh": q_dedup_cosine_lsh,
         "media_features": q_media_features,
         "audio_rms_quantiles": q_audio_rms_quantiles,
+        "audio_spectral": q_audio_spectral,
         "stream_join": q_stream_join,
     }
 

@@ -431,6 +431,75 @@ def clip_features(wave: np.ndarray, n_frames: int = 20) -> dict:
             "e_q75": float(q[2]), "e_q95": float(q[3])}
 
 
+def clip_spectral(wave: np.ndarray, sr_hz: int) -> dict:
+    """Spectral shape of one clip from a single whole-clip rfft power
+    spectrum (no framing — these are clip-level routing/quality features,
+    not frame-level ASR features):
+
+      centroid_hz   power-weighted mean frequency
+      bandwidth_hz  power-weighted std dev around the centroid
+      rolloff_hz    lowest frequency below which 85% of power sits
+      flatness      geometric / arithmetic mean of power (1 = white noise,
+                    → 0 for pure tones); DC excluded so silence is 0
+    """
+    n = int(np.asarray(wave).size)
+    if n < 2:
+        return {"centroid_hz": 0.0, "bandwidth_hz": 0.0,
+                "rolloff_hz": 0.0, "flatness": 0.0}
+    p = np.abs(np.fft.rfft(np.asarray(wave, dtype=np.float64))) ** 2
+    p[0] = 0.0  # DC carries no pitch information
+    freqs = np.fft.rfftfreq(n, d=1.0 / sr_hz)
+    tot = float(p.sum())
+    if tot <= 0.0:
+        return {"centroid_hz": 0.0, "bandwidth_hz": 0.0,
+                "rolloff_hz": 0.0, "flatness": 0.0}
+    c = float((freqs * p).sum() / tot)
+    bw = float(np.sqrt(((freqs - c) ** 2 * p).sum() / tot))
+    roll = float(freqs[np.searchsorted(np.cumsum(p), 0.85 * tot)])
+    pk = p[1:]
+    flat = float(np.exp(np.log(pk + 1e-30).mean()) / max(pk.mean(), 1e-30))
+    return {"centroid_hz": c, "bandwidth_hz": bw, "rolloff_hz": roll,
+            "flatness": flat}
+
+
+_SPECTRAL_COLS = ("clip_id string, codec string, sr_hz int, "
+                  "centroid_hz double, bandwidth_hz double, "
+                  "rolloff_hz double, flatness double")
+
+
+def spectral_features(df, passthrough: tuple[str, ...] = ()):
+    """mapInPandas: decode each clip and extract spectral-shape features
+    (``clip_spectral``). A SEPARATE operator from ``decode_features`` on
+    purpose: the rfft costs ~0.5 ms per 30k-sample clip, so pipelines that
+    only need the time-domain features never pay for it — compose both by
+    running each over the source (the scan is the shared cost, PLANS.md
+    §13) or by materializing features once (``--mode features``)."""
+    extra_schema = "".join(
+        f", {c} {dict(df.dtypes)[c]}" for c in passthrough)
+    _SKEYS = ("centroid_hz", "bandwidth_hz", "rolloff_hz", "flatness")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = len(pdf)
+            feats = {k: np.empty(m) for k in _SKEYS}
+            bts = pdf["bytes"].to_numpy()
+            cod = pdf["codec"].to_numpy()
+            srs = pdf["sr_hz"].to_numpy()
+            for i in range(m):
+                f = clip_spectral(decode(bts[i], cod[i]), int(srs[i]))
+                for k in _SKEYS:
+                    feats[k][i] = f[k]
+            out = {"clip_id": pdf["clip_id"].to_numpy(), "codec": cod,
+                   "sr_hz": srs, **feats}
+            for c in passthrough:
+                out[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(fn, schema=_SPECTRAL_COLS + extra_schema)
+
+
 def decode_features(df, n_frames: int = 20, passthrough: tuple[str, ...] = ()):
     """mapInPandas: decode each clip and extract features.
 

@@ -273,3 +273,60 @@ def test_lpc_fixed_through_both_spark_paths(spark):
     pa = a[a["clip_id"].str.startswith("p")].reset_index(drop=True)
     for c in feat_cols:
         assert (la[c].to_numpy() == pa[c].to_numpy()).all(), c
+
+
+def test_clip_spectral_analytic():
+    """Spectral features against closed-form signals: a pure tone's
+    centroid/rolloff sit at its frequency with near-zero bandwidth and
+    near-zero flatness; white noise is flat (≈1) with centroid near the
+    band middle; silence and tiny clips are all-zero."""
+    from condor_spark.engine.audio import clip_spectral
+
+    sr, n = 16000, 32000
+    tone = (0.9 * np.sin(2 * np.pi * 1000.0 * np.arange(n) / sr)
+            ).astype(np.float32)
+    f = clip_spectral(tone, sr)
+    assert abs(f["centroid_hz"] - 1000.0) < 2.0
+    assert abs(f["rolloff_hz"] - 1000.0) < 2.0
+    assert f["bandwidth_hz"] < 20.0
+    assert f["flatness"] < 1e-3
+
+    rng = np.random.default_rng(0)
+    noise = rng.standard_normal(n).astype(np.float32)
+    f = clip_spectral(noise, sr)
+    assert 0.5 < f["flatness"] <= 1.0
+    assert abs(f["centroid_hz"] - sr / 4) < sr * 0.02  # flat spectrum mean
+    assert f["bandwidth_hz"] > 1000.0
+
+    assert clip_spectral(np.zeros(n, dtype=np.float32), sr) == {
+        "centroid_hz": 0.0, "bandwidth_hz": 0.0,
+        "rolloff_hz": 0.0, "flatness": 0.0}
+    assert clip_spectral(np.zeros(0, dtype=np.float32), sr)["flatness"] == 0.0
+    assert clip_spectral(np.zeros(1, dtype=np.float32), sr)["flatness"] == 0.0
+
+
+def test_spectral_features_spark_path(spark):
+    """spectral_features through the Spark surface: per-clip values equal a
+    local recompute of the decoded wave, across codecs (incl. the lossless
+    one, where tone centroids must land on the synthesis frequency)."""
+    import pandas as pd
+
+    from condor_spark.engine.audio import clip_spectral, spectral_features
+
+    rows = []
+    for i, codec in enumerate(["pcm_s16le", "lpc_fixed", "mulaw", "alaw"]):
+        freq = 500.0 * (i + 1)
+        w = (0.8 * np.sin(2 * np.pi * freq * np.arange(16000) / 16000)
+             ).astype(np.float32)
+        rows.append({"clip_id": f"s{i}", "bytes": encode(w, codec),
+                     "sr_hz": 16000, "dur_ms": 1000, "codec": codec,
+                     "transcript": "x"})
+    df = spark.createDataFrame(pd.DataFrame(rows)).repartition(2)
+    got = (spectral_features(df).toPandas()
+           .sort_values("clip_id").reset_index(drop=True))
+    for i, r in got.iterrows():
+        local = clip_spectral(decode(rows[i]["bytes"], rows[i]["codec"]),
+                              16000)
+        for k in ("centroid_hz", "bandwidth_hz", "rolloff_hz", "flatness"):
+            assert r[k] == local[k], (i, k)
+        assert abs(r["centroid_hz"] - 500.0 * (i + 1)) < 3.0, i
