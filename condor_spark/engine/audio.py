@@ -237,16 +237,25 @@ def _lpc_part_widths(zz: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return widths, sizes
 
 
-def _lpc_bit_layout(widths, sizes, m):
-    """(residual index, power-of-two exponent) for every packed bit —
-    the shared encode/decode layout, built by repeats, never per sample
-    in Python. Residual r with width w occupies w bits MSB-first."""
-    wpr = np.repeat(widths, sizes)                    # width per residual
-    total = int(wpr.sum())
-    ends = np.cumsum(wpr)                             # exclusive bit end
-    res_idx = np.repeat(np.arange(m, dtype=np.int64), wpr)
-    exp = np.repeat(ends, wpr) - 1 - np.arange(total, dtype=np.int64)
-    return res_idx, exp, total
+# shared scratch: frames are <= 4096 residuals of <= 21 bits, so one cached
+# arange covers any frame's bit span
+_LPC_ARANGE = np.arange(_LPC_FRAME * 22, dtype=np.int64)
+_EXP2F = np.exp2(np.arange(64, dtype=np.float64))
+
+
+def _lpc_groups(widths, sizes):
+    """Iterate partitions grouped by (width, size): partition indices, their
+    bit-start offsets and residual-start offsets. All partitions share size
+    _LPC_PART except possibly the last, so there are at most
+    #distinct-widths + 1 groups — the per-BIT work inside a group is 2-D
+    gathers and one GEMV, never per-bit index arrays."""
+    bit_starts = np.concatenate(([0], np.cumsum(widths * sizes)))[:-1]
+    res_starts = np.concatenate(([0], np.cumsum(sizes)))[:-1]
+    keys = widths * (_LPC_PART + 1) + sizes
+    for key in np.unique(keys):
+        sel = np.nonzero(keys == key)[0]
+        w, sz = int(widths[sel[0]]), int(sizes[sel[0]])
+        yield w, sz, bit_starts[sel], res_starts[sel]
 
 
 def _lpc_encode(x: np.ndarray) -> bytes:
@@ -281,9 +290,16 @@ def _lpc_encode(x: np.ndarray) -> bytes:
         head = struct.pack("<BH", o, zz.size)
         head += fr[:o].astype("<i2").tobytes()
         head += bytes(widths.tolist())
-        res_idx, exp, total = _lpc_bit_layout(widths, sizes, zz.size)
-        bits = ((zz[res_idx] >> exp.astype(np.uint64))
-                & np.uint64(1)).astype(np.uint8)
+        total = int((widths * sizes).sum())
+        bits = np.zeros(total, dtype=np.uint8)
+        for w, sz, b0, r0 in _lpc_groups(widths, sizes):
+            if w == 0:
+                continue
+            vals = zz[(r0[:, None] + _LPC_ARANGE[:sz]).ravel()]
+            mat = ((vals[:, None] >> np.arange(w - 1, -1, -1,
+                                               dtype=np.uint64))
+                   & np.uint64(1)).astype(np.uint8)
+            bits[(b0[:, None] + _LPC_ARANGE[:sz * w]).ravel()] = mat.ravel()
         out.append(head + np.packbits(bits).tobytes())
     return b"".join(out)
 
@@ -310,14 +326,21 @@ def _lpc_decode(blob) -> np.ndarray:
         sizes = np.full(n_parts, _LPC_PART, dtype=np.int64)
         if n_parts:
             sizes[-1] = m - _LPC_PART * (n_parts - 1)
-        res_idx, exp, total_bits = _lpc_bit_layout(widths, sizes, m)
+        total_bits = int((widths * sizes).sum())
         nbytes = -(-total_bits // 8)
-        bits = np.unpackbits(raw[pos:pos + nbytes])[:total_bits]
+        bits = np.unpackbits(raw[pos:pos + nbytes])
         pos += nbytes
-        # one weighted bincount reconstructs every residual: widths are
-        # <= 20 bits (order-4 diff of int16), so float64 sums are exact
-        zz = np.bincount(res_idx, weights=bits * np.exp2(exp),
-                         minlength=m).astype(np.uint64)
+        zz = np.zeros(m, dtype=np.uint64)
+        for w, sz, b0, r0 in _lpc_groups(widths, sizes):
+            if w == 0:
+                continue
+            # (n_parts, sz*w) gather → (n_res, w) @ pow2 GEMV; widths are
+            # <= 21 bits (order-4 diff of int16), so float64 dots are exact
+            seg = bits[(b0[:, None] + _LPC_ARANGE[:sz * w]).ravel()]
+            vals = (seg.reshape(-1, w).astype(np.float64)
+                    @ _EXP2F[w - 1::-1][:w])
+            zz[(r0[:, None] + _LPC_ARANGE[:sz]).ravel()] = \
+                vals.astype(np.uint64)
         res = ((zz >> np.uint64(1)).astype(np.int64)
                ^ -(zz & np.uint64(1)).astype(np.int64))  # un-zigzag
         # o-fold integration: D^d(frame) = cumsum([D^d(frame)[0]] + D^{d+1});
