@@ -37,7 +37,9 @@ Modes:
                    batch otherwise. --kind/--column are not needed.
   --mode snapshots table maintenance on an existing stream sink: list the
                    committed snapshot history, export one (--as-of-version,
-                   time travel), bin-pack the live manifest (--compact N,
+                   time travel), export the delta since a version
+                   (--changes-since V, incremental read / changelog),
+                   bin-pack the live manifest (--compact N,
                    rewriteDataFiles analogue) and/or expire history
                    (--expire-keep-last N). Spec-agnostic.
   --mode cep       deploy a streaming CEP pattern (--pattern sequence |
@@ -101,6 +103,11 @@ def parse_args(argv):
                    help="snapshots mode: bin-pack the live manifest into "
                         "N consolidated state files (rewriteDataFiles "
                         "analogue); runs before any expire")
+    p.add_argument("--changes-since", type=int, default=None, metavar="V",
+                   help="snapshots mode: export only the window buckets "
+                        "whose data changed after committed version V "
+                        "(incremental read / changelog), tagged "
+                        "insert/update, to --sink; 0 = full table")
     p.add_argument("--queries", default=None,
                    help="query-stream table dir (querylatest mode); one "
                         "integer column named by --query-key")
@@ -170,6 +177,9 @@ def main(argv=None) -> None:
         print(json.dumps(job.snapshots()))
         if args.as_of_version is not None:
             (job.read_state(spark, as_of_version=args.as_of_version)
+             .write.mode("overwrite").parquet(args.sink))
+        if args.changes_since is not None:
+            (job.read_changes(spark, from_version=args.changes_since)
              .write.mode("overwrite").parquet(args.sink))
         if args.compact is not None:
             print(json.dumps(job.compact_snapshots(spark,

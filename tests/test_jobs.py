@@ -343,6 +343,10 @@ def test_spark_submit_snapshots_mode(tmp_path):
         "--input", sink, "--sink", export,
         "--as-of-version", "2", "--expire-keep-last", "2",
     ]
+    # a second maintenance run exports the incremental delta since v2
+    delta_dir = str(tmp_path / "delta2")
+    cmd_delta = cmd[:cmd.index("--sink") + 1] + [
+        delta_dir, "--changes-since", "2"]
     env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
     env["PYSPARK_PYTHON"] = sys.executable
     r = subprocess.run(cmd, cwd=str(tmp_path), env=env,
@@ -358,6 +362,16 @@ def test_spark_submit_snapshots_mode(tmp_path):
     # v1 expired by the CLI run (floor recorded in the shared ledger)
     with pytest.raises(ValueError, match="expired"):
         job.read_state(spark, as_of_version=1)
+
+    # incremental read from the CLI: delta since v2 == in-process delta
+    r = subprocess.run(cmd_delta, cwd=str(tmp_path), env=env,
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-4000:]
+    got = spark.read.parquet(delta_dir)
+    want = job.read_changes(spark, from_version=2)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    assert got.filter("_change_type not in ('insert','update')").count() == 0
 
 
 @pytest.mark.slow
