@@ -32,7 +32,9 @@ Modes:
   --mode features  materialize the decoded FEATURE TABLE once (the audio
                    scale lever from BASELINE.md: downstream synopses read
                    narrow numeric rows instead of re-shipping the 60 KB
-                   ``bytes`` column per job). Streaming append when
+                   ``bytes`` column per job). --spectral materializes the
+                   rfft shape features instead of the time-domain set.
+                   Streaming append when
                    --checkpoint is given (exactly-once file sink), one-shot
                    batch otherwise. --kind/--column are not needed.
   --mode snapshots table maintenance on an existing stream sink: list the
@@ -103,6 +105,10 @@ def parse_args(argv):
                    help="snapshots mode: bin-pack the live manifest into "
                         "N consolidated state files (rewriteDataFiles "
                         "analogue); runs before any expire")
+    p.add_argument("--spectral", action="store_true",
+                   help="features mode: materialize spectral-shape features "
+                        "(rfft centroid/bandwidth/rolloff/flatness) instead "
+                        "of the time-domain set")
     p.add_argument("--changes-since", type=int, default=None, metavar="V",
                    help="snapshots mode: export only the window buckets "
                         "whose data changed after committed version V "
@@ -150,21 +156,27 @@ def main(argv=None) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     if args.mode == "features":
-        from condor_spark.engine.audio import decode_features_arrow
+        from condor_spark.engine.audio import (decode_features_arrow,
+                                               spectral_features)
+        # --spectral materializes the rfft shape features instead of the
+        # time-domain set (separate operators so neither pays the other's
+        # kernel; run the mode twice to get both, amortizing nothing but
+        # the scan — PLANS.md §20)
+        extract = spectral_features if args.spectral else decode_features_arrow
         if args.checkpoint:
             src = (spark.readStream
                    .option("maxFilesPerTrigger", args.max_files_per_trigger)
                    .schema(spark.read.parquet(args.input).schema)
                    .parquet(args.input))
-            q = (decode_features_arrow(src, passthrough=(args.ts_column,))
+            q = (extract(src, passthrough=(args.ts_column,))
                  .writeStream.format("parquet")
                  .option("path", args.sink)
                  .option("checkpointLocation", args.checkpoint)
                  .trigger(availableNow=True).start())
             q.awaitTermination()
         else:
-            (decode_features_arrow(spark.read.parquet(args.input),
-                                   passthrough=(args.ts_column,))
+            (extract(spark.read.parquet(args.input),
+                     passthrough=(args.ts_column,))
              .write.mode("overwrite").parquet(args.sink))
         spark.stop()
         return

@@ -175,6 +175,22 @@ def test_spark_submit_features_job(tmp_path):
     assert r2.returncode == 0, r2.stderr[-4000:]
     assert spark.read.parquet(sink).count() == 120
 
+    # --spectral materializes the rfft shape features instead (one-shot
+    # batch path), equal to the in-process operator
+    from condor_spark.engine.audio import spectral_features
+    spec_sink = str(tmp_path / "spectral")
+    cmd_spec = cmd[:cmd.index("--sink") + 1] + [spec_sink, "--spectral"]
+    r3 = subprocess.run(cmd_spec, cwd=str(tmp_path), env=env,
+                        capture_output=True, text=True, timeout=600)
+    assert r3.returncode == 0, r3.stderr[-4000:]
+    got = (spark.read.parquet(spec_sink).toPandas()
+           .sort_values("clip_id").reset_index(drop=True))
+    want = (spectral_features(spark.read.parquet(src), passthrough=("ts",))
+            .toPandas().sort_values("clip_id").reset_index(drop=True))
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
 
 @pytest.mark.slow
 def test_spark_submit_querylatest_job(tmp_path):
