@@ -1403,18 +1403,15 @@ def q_stream_incremental(spark, sf_dir):
                                watermark_delay="1 hour")
     _await(job.start(spark, f"{tmp}/src", f"{tmp}/ckpt"))
     v1 = next(s["version"] for s in job.snapshots() if s["batch_id"] == 0)
-    delta = job.read_changes(spark, from_version=v1)
-    st = delta.select(
+    delta = job.read_changes(spark, from_version=v1).select(
         (F.col("window_start").cast("double") / 1e6).cast("timestamp")
         .alias("window_start"),
         (F.col("window_end").cast("double") / 1e6).cast("timestamp")
         .alias("window_end"),
-        "stratum", "state", "n")
-    res = ev.frequency_estimates(st, _user_keys(df))
-    ct = delta.select(
-        (F.col("window_start").cast("double") / 1e6).cast("timestamp")
-        .alias("window_start"),
-        F.col("_change_type").alias("change_type")).distinct()
+        "stratum", "state", "n",
+        F.col("_change_type").alias("change_type"))
+    res = ev.frequency_estimates(delta.drop("change_type"), _user_keys(df))
+    ct = delta.select("window_start", "change_type").distinct()
     return (res.join(F.broadcast(ct), "window_start")
             .select(F.col("window_start").cast(NTZ).alias("window_start"),
                     "change_type", "key", "est_count"))

@@ -496,7 +496,13 @@ def spectral_features(df, passthrough: tuple[str, ...] = ()):
     purpose: the rfft costs ~0.5 ms per 30k-sample clip, so pipelines that
     only need the time-domain features never pay for it — compose both by
     running each over the source (the scan is the shared cost, PLANS.md
-    §13) or by materializing features once (``--mode features``)."""
+    §13) or by materializing features once (``--mode features``).
+
+    Plain ``mapInPandas`` here, not the Arrow buffer-view path: the rfft
+    (~0.5 ms per 30k-sample clip) dominates the per-row ``bytes``
+    materialization the Arrow path exists to avoid (~tens of µs), so the
+    zero-copy machinery would buy a few percent on a kernel-bound
+    operator — the opposite economics of ``decode_features_arrow``."""
     extra_schema = "".join(
         f", {c} {dict(df.dtypes)[c]}" for c in passthrough)
     _SKEYS = ("centroid_hz", "bandwidth_hz", "rolloff_hz", "flatness")

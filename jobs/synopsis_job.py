@@ -187,6 +187,10 @@ def main(argv=None) -> None:
         # history — spec-agnostic, the manifest carries everything
         job = StreamingSynopsisJob(spec=None, sink_dir=args.input)
         print(json.dumps(job.snapshots()))
+        if args.as_of_version is not None and args.changes_since is not None:
+            raise SystemExit("--as-of-version and --changes-since both "
+                             "export to --sink; run snapshots mode twice "
+                             "with separate sinks")
         if args.as_of_version is not None:
             (job.read_state(spark, as_of_version=args.as_of_version)
              .write.mode("overwrite").parquet(args.sink))
