@@ -145,3 +145,20 @@ def test_fifo_chunk_invariance(data, splits):
         off += len(c)
         acc = p if acc is None else acc.merge(p)
     assert whole.sorted_sample()[0].tolist() == acc.sorted_sample()[0].tolist()
+
+
+@given(vals=st.lists(st.floats(min_value=-1.5, max_value=1.5,
+                               allow_nan=False, width=32),
+                     min_size=0, max_size=9000))
+@settings(max_examples=40, deadline=None)
+def test_lpc_fixed_lossless_property(vals):
+    """PROPERTY: for every float waveform (any length, including values
+    outside [-1,1] that the encoder clips), lpc_fixed round-trips to the
+    exact pcm_s16le lattice rendering — losslessness is an identity on the
+    int16 lattice, not an SNR bound."""
+    from condor_spark.engine.audio import decode, encode
+
+    w = np.asarray(vals, dtype=np.float32)
+    pcm = decode(encode(w, "pcm_s16le"), "pcm_s16le")
+    got = decode(encode(w, "lpc_fixed"), "lpc_fixed")
+    assert got.dtype == pcm.dtype and np.array_equal(got, pcm)
