@@ -1620,10 +1620,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     — plus the codegen point-query
     kinds (DD quantile / cuckoo membership / equi-width range / streamed
     quantile) whose kernels are in-window via ddsketch_quantiles,
-    cuckoo_membership, equiwidth_hist and stream_query_latest; all stay
+    cuckoo_membership, equiwidth_hist and stream_query_latest; and
+    stream_incremental (exact oracle — the changelog read over the same
+    manifest sink whose snapshot reads are in-window via
+    stream_compacted); all stay
     verified by tests/test_entry.py every run. The trailing block is the
     genuinely rows-only set (randomized samplers, LSH/IVF approximations,
-    media/audio feature pipelines)."""
+    media/audio feature pipelines, FFT-based audio_spectral)."""
     return {
         # ---- slots 1-50: exact-oracle, full component cover -------------
         # synopsis kernels through the distributed build
