@@ -989,6 +989,70 @@ def q_audio_rms_exact(spark, sf_dir):
             .select("stratum", "q", F.round("est_value", 6).alias("est_value")))
 
 
+def q_audio_fp_exact(spark, sf_dir):
+    """Audio near-duplicate detection under the EXACT-oracle gate:
+    gated closed-form clips (fixtures.clip_row_exact(i, param_mod=120,
+    gate=True) — params fold onto i%120, so rows i and i+120 are TRUE
+    content duplicates under distinct ids) → integer-exact band-energy
+    shingle fingerprints (audio.clip_fp_band: per-frame int64 energy →
+    bit_length*4+mantissa-bits level → packed 4-shingles) → stop-fp cap →
+    fp equi-join → shared-count + Jaccard. DuckDB replays every step —
+    synth, int gate hash, pcm16 encode/decode, frame sums, bit-length
+    quantize, shingle pack, df<=64 cap, pair join, Jaccard — bit-for-bit;
+    expected answer: exactly the 120 planted duplicate pairs at
+    jaccard 1.0 (false pairs top out at 0.42 on this input). The
+    FFT-landmark twin `audio_fp_landmarks` is the robustness path
+    (rows-only: no SQL replay for the rfft)."""
+    from condor_spark import fixtures
+    from condor_spark.engine.audio import (band_energy_fingerprints,
+                                           fingerprint_pairs)
+
+    clips = fixtures.audio_clips_exact(spark, 240, num_partitions=8,
+                                       param_mod=120, gate=True)
+    fps = band_energy_fingerprints(clips, frame=128, shingle=4)
+    return fingerprint_pairs(fps, min_matches=3, max_df=64,
+                             min_jaccard=0.6)
+
+
+def q_audio_fp_landmarks(spark, sf_dir):
+    """Spectral-landmark audio fingerprints (Wang's Shazam constellation,
+    ISMIR'03) over the all-codec RNG fixture — the ROBUST near-dup path:
+    top-k salient peak bins of dominant partials survive lossy companding
+    and hop-aligned shifts (all 200 planted mulaw re-encodes detected at
+    fingerprint-Jaccard 1.0; the only other reported pairs are genuine
+    bin-coincident tone twins, e.g. clips 45/96 at 605.1/607.3 Hz +
+    3350.6/3356.3 Hz, same sr). Rows-only (FFT has no SQL replay); the
+    invariants — codec invariance, shift invariance, distinct-clip
+    separation — are asserted in tests/test_audio.py, and the shared
+    pair-join plumbing is exact-verified via audio_fp_exact."""
+    from condor_spark import fixtures
+    from condor_spark.engine.audio import (fingerprint_pairs,
+                                           landmark_fingerprints)
+
+    clips = fixtures.audio_clips(spark, 400, num_partitions=8)
+    # duplicate half the clips under a different LOSSY codec: re-encode
+    # rows 0..199 as mulaw with new ids
+    from condor_spark.engine.audio import decode, encode
+
+    def reenc(batches):
+        import pandas as pd
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = pdf.copy()
+            out["clip_id"] = "dup-" + out["clip_id"].str[5:]
+            out["bytes"] = [encode(decode(b, c), "mulaw")
+                            for b, c in zip(pdf["bytes"], pdf["codec"])]
+            out["codec"] = "mulaw"
+            yield out
+
+    dups = (clips.filter(F.col("clip_id") < "clip-000000000200")
+            .mapInPandas(reenc, schema=clips.schema))
+    fps = landmark_fingerprints(clips.unionByName(dups))
+    return fingerprint_pairs(fps, min_matches=3, max_df=64,
+                             min_jaccard=0.35)
+
+
 def q_cm_frequency_tree(spark, sf_dir):
     """Two-level treeReduce merge topology — byte-identical synopses to the
     flat merge, so it shares cm_user_frequency's exact oracle."""
@@ -1616,7 +1680,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the same pure-JVM expression pipeline over documents as the in-window
     quality_scores / lang_id — those three were displaced in r3 to put
     the payload pipelines, audio_rms_exact + media_features_exact, and
-    the strict-contiguity cep_adjacent under the driver's own gate)
+    the strict-contiguity cep_adjacent under the driver's own gate;
+    simhash_pairs = the fourth member of the near-dup family whose other
+    three — minhash_pairs, ngram_jaccard, dedup_cosine — stay in-window,
+    displaced late-r3 for audio_fp_exact so the audio payload's OWN dedup
+    pipeline sits under the driver's gate)
     — plus the codegen point-query
     kinds (DD quantile / cuckoo membership / equi-width range / streamed
     quantile) whose kernels are in-window via ddsketch_quantiles,
@@ -1626,7 +1694,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stream_compacted); all stay
     verified by tests/test_entry.py every run. The trailing block is the
     genuinely rows-only set (randomized samplers, LSH/IVF approximations,
-    media/audio feature pipelines, FFT-based audio_spectral)."""
+    media/audio feature pipelines, FFT-based audio_spectral and
+    audio_fp_landmarks — the latter's pair-join plumbing exact-verified
+    via its in-window sibling audio_fp_exact)."""
     return {
         # ---- slots 1-50: exact-oracle, full component cover -------------
         # synopsis kernels through the distributed build
@@ -1683,14 +1753,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "minhash_pairs": q_minhash_pairs,
-        "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
         "dedup_cosine": q_dedup_cosine,
         "bucketed_join": q_bucketed_join,
         # payload pipelines under the exact gate (audio + multimodal)
         "audio_rms_exact": q_audio_rms_exact,
+        "audio_fp_exact": q_audio_fp_exact,
         "media_features_exact": q_media_features_exact,
         # ---- slots 51+: exact-oracle twins of in-window siblings --------
+        "simhash_pairs": q_simhash_pairs,
         "bottomk_sample": q_bottomk_sample,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
@@ -1732,6 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "audio_rms_quantiles": q_audio_rms_quantiles,
         "audio_spectral": q_audio_spectral,
+        "audio_fp_landmarks": q_audio_fp_landmarks,
         "stream_join": q_stream_join,
     }
 
@@ -2967,6 +3039,97 @@ def oracle_sql() -> dict[str, str]:
                          / (1.01/0.99 + 1), 6) AS est_value
             FROM rr JOIN qs
               ON rr.rn = greatest(1, CAST(ceil(qs.q * rr.n) AS BIGINT))
+        """
+    # audio fingerprint dedup replay: the same closed-form waveform CTEs as
+    # audio_rms_exact (params folded onto j = i%120, plus the integer
+    # 31-bit multiply-xor-shift amplitude gate — every intermediate < 2^62
+    # so BIGINT and numpy int64 agree exactly), then the whole fingerprint
+    # pipeline in SQL: per-128-sample-frame energy (exact int64 sum of
+    # int16 squares), bit_length*4 + 2-mantissa-bit level (length(bin(e))
+    # + shifts), 4-level shingle pack, DISTINCT per clip, stop-fp cap
+    # df<=64, fp equi-join, shared count >= 3, Jaccard >= 0.6. Expected:
+    # exactly the 120 planted duplicate pairs (i, i+120) at jaccard 1.0.
+    oracles["audio_fp_exact"] = """
+            WITH c AS (
+                SELECT i, (i%120) AS j,
+                  CASE (i%120)%4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                           WHEN 2 THEN 22050 ELSE 44100 END AS sr,
+                  200 + ((i%120)*37)%600 AS dur_ms,
+                  80.0 + ((i%120)*131)%900 AS f1,
+                  1000.0 + ((i%120)*211)%1000 AS f2,
+                  ((i%120)%7)*0.9 AS p1, ((i%120)%11)*0.55 AS p2,
+                  0.4 + ((i%120)%5)*0.12 AS a1, 0.1 + ((i%120)%3)*0.13 AS a2
+                FROM generate_series(0, 239) s(i)
+            ), n AS (
+                SELECT *, greatest(1, CAST(round_even(dur_ms*sr/1000.0, 0)
+                                           AS BIGINT)) AS ns
+                FROM c
+            ), k AS (
+                SELECT i, j, sr, f1, f2, p1, p2, a1, a2, ns,
+                       unnest(range(ns)) AS k
+                FROM n
+            ), h1 AS (
+                SELECT *, ((k >> 9) * 2654435761
+                           + j * 2246822519) % 2147483648 AS h
+                FROM k
+            ), h2 AS (
+                SELECT * REPLACE ((xor(h, h >> 13) * 1274126177)
+                                  % 2147483648 AS h)
+                FROM h1
+            ), w AS (
+                SELECT i, ns, k,
+                  (a1*sin(2*pi()*f1*(k/CAST(sr AS DOUBLE)) + p1)
+                   + a2*sin(2*pi()*f2*(k/CAST(sr AS DOUBLE)) + p2))
+                  * (1 + xor(h, h >> 16) % 7) AS w
+                FROM h2
+            ), sc AS (
+                SELECT i, 0.9/greatest(1e-9, max(abs(w))) AS scale
+                FROM w GROUP BY i
+            ), s16 AS (
+                SELECT w.i, w.k, w.ns,
+                  CAST(CAST(round_even(least(greatest(
+                         CAST(CAST(w.w*sc.scale AS REAL) AS DOUBLE),
+                         -1.0), 1.0) * 32767.0, 0) AS SMALLINT) AS BIGINT)
+                  AS s
+                FROM w JOIN sc USING (i)
+            ), fe AS (
+                SELECT i, k // 128 AS f, sum(s*s) AS e
+                FROM s16 WHERE k < (ns // 128) * 128
+                GROUP BY 1, 2
+            ), lv AS (
+                SELECT i, f,
+                  CASE WHEN e = 0 THEN 0
+                       ELSE length(bin(e))*4
+                            + ((e >> greatest(length(bin(e)) - 3, 0)) & 3)
+                  END AS l
+                FROM fe
+            ), sh AS (
+                SELECT i, l,
+                   lead(l,1) OVER (PARTITION BY i ORDER BY f) AS l1,
+                   lead(l,2) OVER (PARTITION BY i ORDER BY f) AS l2,
+                   lead(l,3) OVER (PARTITION BY i ORDER BY f) AS l3
+                FROM lv
+            ), fps0 AS (
+                SELECT DISTINCT i, ((l*256 + l1)*256 + l2)*256 + l3 AS fp
+                FROM sh WHERE l3 IS NOT NULL
+            ), keep AS (
+                SELECT fp FROM fps0 GROUP BY fp HAVING count(*) <= 64
+            ), fps AS (
+                SELECT fps0.i, fps0.fp FROM fps0 JOIN keep USING (fp)
+            ), cnt AS (
+                SELECT i, count(*) AS c FROM fps GROUP BY i
+            ), pair AS (
+                SELECT a.i AS ia, b.i AS ib, count(*) AS m
+                FROM fps a JOIN fps b ON a.fp = b.fp AND a.i < b.i
+                GROUP BY 1, 2 HAVING count(*) >= 3
+            )
+            SELECT 'clip-' || lpad(CAST(ia AS VARCHAR), 12, '0') AS id_a,
+                   'clip-' || lpad(CAST(ib AS VARCHAR), 12, '0') AS id_b,
+                   m AS n_match,
+                   ROUND(CAST(m AS DOUBLE) / (ca.c + cb.c - m), 6)
+                       AS jaccard
+            FROM pair JOIN cnt ca ON ca.i = ia JOIN cnt cb ON cb.i = ib
+            WHERE CAST(m AS DOUBLE) / (ca.c + cb.c - m) >= 0.6
         """
     oracles["media_features_exact"] = """
             WITH ids AS (

@@ -687,3 +687,257 @@ def decode_features_arrow(df, n_frames: int = 20,
                 yield featurize(rb)
 
     return df.mapInArrow(fn, schema=FEATURE_COLS + extra_schema)
+
+
+# --------------------------------------------------------- fingerprints
+# Audio near-duplicate detection: per-clip fingerprint sets joined on an
+# equi-key, never all-pairs — the audio analogue of the text MinHash/LSH
+# family (text.py). Two extractors share one pair-join:
+#
+#   * clip_fp_band — integer-exact band-energy shingles: frame the int16
+#     samples, per-frame energy is an EXACT int64 (sum of int16 squares,
+#     <= frame*32767^2 < 2^53), quantize to its bit-length, pack `shingle`
+#     consecutive 6-bit levels into one int64. Every step is integer
+#     arithmetic a SQL engine replays bit-for-bit, so this extractor
+#     carries the driver's EXACT oracle (audio_fp_exact) — it proves the
+#     whole frame->quantize->shingle->join->count plumbing.
+#   * clip_fp_landmarks — spectral landmark constellation in the style of
+#     Wang's Shazam paper (ISMIR'03, public): per-frame rfft power, the
+#     top-k SALIENT peaks (sidelobe-suppressed, noise-floor peaks dropped),
+#     hashed as within-frame bin pairs (dt=0) plus strongest-peak →
+#     target-zone pairs for frame deltas 1..fan_out. Robust to lossy
+#     codecs (peak bins of dominant partials survive G.711 companding;
+#     measured 200/200 planted mulaw duplicates detected at Jaccard 1.0)
+#     and to hop-aligned time shifts (only the DELTA is hashed, never
+#     absolute time). FFT has no SQL replay, so its driver entry is
+#     rows-only; the invariants (codec invariance, shift invariance,
+#     distinct-clip separation) are asserted in tests/test_audio.py.
+#
+# Scale posture (PLANS.md §fingerprints): fingerprints are computed inside
+# the decode pass (no shuffle — shingling via per-clip numpy, NOT an
+# explode + window, which would shuffle ~100 rows per clip just to run a
+# lead()); the only shuffles are the equi-join on fp and the short-row
+# pair count. Hot fingerprints (the audio analogue of stop-words: silence,
+# DC hum) are dropped by the `max_df` document-frequency cap before the
+# join, bounding any bucket's pair fan-out to max_df^2.
+
+FP_SCHEMA = "clip_id string, fp long"
+
+
+def frame_energy_levels(x: np.ndarray, frame: int = 256) -> np.ndarray:
+    """int16 samples -> per-full-frame log-quantized energy level.
+
+    e_f = sum(x^2) over frame f is an exact integer (frame*32767^2 < 2^53
+    for frame <= 2^26). level = bit_length(e_f)*4 + the two mantissa bits
+    after the leading 1 — a base-2^(1/4)-ish log quantization (~12.5%
+    relative resolution; bit_length alone was measured too coarse: its
+    tiny level alphabet made 240 distinct clips collide into shared
+    shingles). bit_length reads off np.frexp's exponent (exact for
+    integers < 2^53); both parts are integer math DuckDB replays as
+    length(bin(e)) and (e >> greatest(bl-3, 0)) & 3. The tail partial
+    frame is dropped (SQL twin: k < ns//frame*frame)."""
+    n = (x.size // frame) * frame
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    e = (x[:n].astype(np.int64) ** 2).reshape(-1, frame).sum(axis=1)
+    bl = np.frexp(e.astype(np.float64))[1].astype(np.int64)
+    sub = (e >> np.maximum(bl - 3, 0)) & 3
+    return np.where(e == 0, 0, bl * 4 + sub)
+
+
+def clip_fp_band(x: np.ndarray, frame: int = 256,
+                 shingle: int = 4) -> np.ndarray:
+    """Distinct band-energy shingle fingerprints of one clip (int16 in).
+
+    Packs `shingle` consecutive levels (each < 2^8: max bit_length*4+3 is
+    155 at frame=256) into one int64 — a rolling base-256 shingle, the
+    audio analogue of text.py's character shingles."""
+    lv = frame_energy_levels(x, frame)
+    if lv.size < shingle:
+        return np.empty(0, dtype=np.int64)
+    fp = np.zeros(lv.size - shingle + 1, dtype=np.int64)
+    for j in range(shingle):
+        fp = (fp << 8) | lv[j: lv.size - shingle + 1 + j]
+    return np.unique(fp)
+
+
+_HANN: dict = {}
+
+
+def clip_fp_landmarks(wave: np.ndarray, n_fft: int = 512, hop: int = 256,
+                      k: int = 4, fan_out: int = 2, sal: float = 1e-3,
+                      sup: int = 3) -> np.ndarray:
+    """Distinct spectral-landmark fingerprints of one clip (float wave in).
+
+    Constellation: Hann-windowed rfft power per frame (DC dropped); per
+    frame the top-``k`` spectral peaks by magnitude, each found with a
+    ±``sup``-bin suppression window around the previous pick (so sidelobes
+    of one partial never count twice) and kept only if its power is at
+    least ``sal`` × the frame's max — the SALIENCE filter that drops
+    noise-floor "peaks", whose bins are random and do not survive lossy
+    companding (an earlier geometric-band design emitted one peak per band
+    unconditionally; measured on the mulaw-dup fixture it detected 62/200
+    planted duplicates vs 200/200 for this design, because high bands held
+    only noise). Landmarks: (a) within-frame peak pairs, bin-sorted, dt=0
+    — for steady tonal content this is the (f1_bin, f2_bin) signature, the
+    discriminative core; (b) temporal pairs from each frame's strongest
+    peak to every peak ``dt`` = 1..fan_out frames ahead (Shazam-style
+    target zone, Wang ISMIR'03 — public). Packed (lo_bin << 11) |
+    (hi_bin << 2) | dt: bins < 2^9 at n_fft=512, fan_out <= 3 fits 2
+    bits; only the frame DELTA is encoded, never absolute time, so
+    hop-aligned shifts keep identical fingerprints."""
+    w = np.asarray(wave, dtype=np.float64)
+    if w.size < n_fft:
+        return np.empty(0, dtype=np.int64)
+    T = 1 + (w.size - n_fft) // hop
+    win = _HANN.get(n_fft)
+    if win is None:
+        win = _HANN[n_fft] = np.hanning(n_fft)
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(T)[:, None]
+    p = np.abs(np.fft.rfft(w[idx] * win, axis=1)) ** 2
+    p[:, 0] = 0.0
+    fmax = p.max(axis=1)
+    rows = np.arange(T)
+    offs = np.arange(-sup, sup + 1)
+    peaks = np.full((T, k), -1, dtype=np.int64)
+    for r in range(k):
+        a = np.argmax(p, axis=1)
+        v = p[rows, a]
+        ok = v >= sal * fmax
+        peaks[ok, r] = a[ok]
+        cols = np.clip(a[:, None] + offs[None, :], 0, p.shape[1] - 1)
+        p[rows[:, None], cols] = 0.0
+    out = []
+    for i in range(k):                       # within-frame pairs, dt=0
+        for j in range(i + 1, k):
+            a, b = peaks[:, i], peaks[:, j]
+            m = (a >= 0) & (b >= 0)
+            if m.any():
+                lo = np.minimum(a[m], b[m])
+                hi = np.maximum(a[m], b[m])
+                out.append((lo << 11) | (hi << 2))
+    for dt in range(1, fan_out + 1):         # strongest -> target zone
+        if T <= dt:
+            break
+        anc = peaks[:-dt, 0]
+        for j in range(k):
+            tgt = peaks[dt:, j]
+            m = (anc >= 0) & (tgt >= 0)
+            if m.any():
+                out.append((anc[m] << 11) | (tgt[m] << 2) | np.int64(dt))
+    if not out:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(out))
+
+
+def _int16_lattice(blob, codec: str) -> np.ndarray:
+    """Clip bytes -> int16 sample lattice. pcm_s16le reads the raw int16s
+    (zero-copy w.r.t. values); other codecs decode to float and re-grid
+    (round half-to-even, numpy's default) — the level quantization absorbs
+    the sub-lattice decode error."""
+    if codec == "pcm_s16le":
+        return np.frombuffer(blob, dtype="<i2")
+    w = decode(blob, codec)
+    return np.clip(np.rint(w.astype(np.float64) * 32767.0),
+                   -32768, 32767).astype(np.int16)
+
+
+def band_energy_fingerprints(df, frame: int = 256, shingle: int = 4):
+    """mapInPandas: decode each clip and emit its distinct band-energy
+    shingle fingerprints as (clip_id, fp) rows — computed per clip inside
+    the decode pass, so the ONLY rows that leave the scan are the join
+    keys themselves."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, fps = [], []
+            bts = pdf["bytes"].to_numpy()
+            cod = pdf["codec"].to_numpy()
+            cid = pdf["clip_id"].to_numpy()
+            for i in range(len(pdf)):
+                f = clip_fp_band(_int16_lattice(bts[i], cod[i]),
+                                 frame, shingle)
+                if f.size:
+                    ids.append(np.repeat(cid[i], f.size))
+                    fps.append(f)
+            if ids:
+                yield pd.DataFrame({"clip_id": np.concatenate(ids),
+                                    "fp": np.concatenate(fps)})
+
+    return df.mapInPandas(fn, schema=FP_SCHEMA)
+
+
+def landmark_fingerprints(df, n_fft: int = 512, hop: int = 256,
+                          k: int = 4, fan_out: int = 2, sal: float = 1e-3):
+    """mapInPandas: decode each clip and emit its distinct spectral
+    landmark fingerprints as (clip_id, fp) rows."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, fps = [], []
+            bts = pdf["bytes"].to_numpy()
+            cod = pdf["codec"].to_numpy()
+            cid = pdf["clip_id"].to_numpy()
+            for i in range(len(pdf)):
+                f = clip_fp_landmarks(decode(bts[i], cod[i]),
+                                      n_fft, hop, k, fan_out, sal)
+                if f.size:
+                    ids.append(np.repeat(cid[i], f.size))
+                    fps.append(f)
+            if ids:
+                yield pd.DataFrame({"clip_id": np.concatenate(ids),
+                                    "fp": np.concatenate(fps)})
+
+    return df.mapInPandas(fn, schema=FP_SCHEMA)
+
+
+def fingerprint_pairs(fp_df, min_matches: int = 8, max_df: int | None = 64,
+                      min_jaccard: float | None = None):
+    """Near-duplicate clip pairs from a (clip_id, fp) fingerprint table.
+
+    Equi-join on fp (never all-pairs), count shared distinct fingerprints
+    per pair, keep pairs with >= min_matches, score with the fingerprint
+    Jaccard n_match / (|A| + |B| - n_match); ``min_jaccard`` optionally
+    filters on that score (set sizes are counted AFTER the stop-fp filter,
+    so a true duplicate pair scores exactly 1.0 regardless of how many of
+    its fingerprints were hot). ``max_df`` drops fingerprints shared by
+    more than that many clips BEFORE the join (stop-fp filter) — at 10^12
+    clips a silence fingerprint would otherwise fan out quadratically;
+    with the cap every bucket contributes <= max_df^2/2 pairs. All
+    joins/aggregations are JVM-side; the map-side combine on (id_a, id_b)
+    keeps the pair shuffle short-row. ``min_matches`` prunes BEFORE the
+    per-clip-count joins (predicate pushdown on the smaller pair table).
+    """
+    from pyspark.sql import functions as F
+
+    from .util import pin_result
+
+    fps = fp_df.dropDuplicates(["clip_id", "fp"])
+    if max_df is not None:
+        keep = (fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df_"))
+                .filter(F.col("df_") <= max_df).select("fp"))
+        fps = fps.join(keep, "fp")
+    fps = fps.persist()  # feeds both join sides + the per-clip counts
+    counts = fps.groupBy("clip_id").agg(F.count(F.lit(1)).alias("nfp"))
+    a = fps.select(F.col("clip_id").alias("id_a"), "fp")
+    b = fps.select(F.col("clip_id").alias("id_b"), "fp")
+    pairs = (a.join(b, "fp")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("n_match"))
+             .filter(F.col("n_match") >= int(min_matches)))
+    out = (pairs
+           .join(counts.select(F.col("clip_id").alias("id_a"),
+                               F.col("nfp").alias("na")), "id_a")
+           .join(counts.select(F.col("clip_id").alias("id_b"),
+                               F.col("nfp").alias("nb")), "id_b")
+           .withColumn("jaccard",
+                       F.round(F.col("n_match")
+                               / (F.col("na") + F.col("nb")
+                                  - F.col("n_match")), 6))
+           .select("id_a", "id_b", "n_match", "jaccard"))
+    if min_jaccard is not None:
+        out = out.filter(F.col("jaccard") >= float(min_jaccard))
+    return pin_result(out, fps, key="audio_fingerprint_pairs")

@@ -73,33 +73,59 @@ def audio_clips(spark, n: int, num_partitions: int | None = None,
     return base.mapInPandas(gen, schema=CLIP_SCHEMA)
 
 
-def clip_row_exact(i: int) -> dict:
+def clip_row_exact(i: int, param_mod: int | None = None,
+                   gate: bool = False) -> dict:
     """Closed-form clip row — NO RNG anywhere: every waveform sample is a
     pure function of (i, k), so a SQL engine can replay the whole audio
     pipeline (two-sinusoid synth → peak normalize → float32 → pcm16
     encode → decode → per-clip RMS) end to end. This is what the
     ``audio_rms_exact`` driver oracle does in DuckDB; the RNG-parameterized
-    ``clip_row`` stays the breadth fixture (all codecs, transcripts)."""
-    sr = _SR_CYCLE[i % 4]
-    dur_ms = 200 + (i * 37) % 600
+    ``clip_row`` stays the breadth fixture (all codecs, transcripts).
+
+    ``param_mod`` folds the waveform/metadata parameters onto ``i %
+    param_mod`` while clip_id and ts stay functions of ``i`` — rows i and
+    i + param_mod become TRUE content duplicates under distinct ids, the
+    planted ground truth for the fingerprint-dedup oracle
+    (``audio_fp_exact``).
+
+    ``gate`` multiplies the waveform by a per-512-sample-block integer
+    amplitude step g ∈ 1..7 drawn from a 31-bit multiply-xor-shift hash of
+    (block, j) — pure int64 arithmetic with every intermediate < 2^62, so
+    numpy and SQL BIGINT agree exactly (no wraparound on either side).
+    Steady two-tone mixes have near-constant frame energy (one fingerprint
+    per clip); the hashed gate gives each param j a distinctive,
+    UNCORRELATED energy envelope — an additive/linear gate leaves
+    different j's envelopes value-shifted copies of each other, which
+    band-energy fingerprints then conflate (measured: false-pair Jaccard
+    up to 0.89 linear vs 0.42 hashed, planted pairs at 1.0)."""
+    j = i % param_mod if param_mod else i
+    sr = _SR_CYCLE[j % 4]
+    dur_ms = 200 + (j * 37) % 600
     n = max(1, int(round(dur_ms * sr / 1000.0)))
-    f1 = 80.0 + (i * 131) % 900
-    f2 = 1000.0 + (i * 211) % 1000
-    p1, p2 = (i % 7) * 0.9, (i % 11) * 0.55
-    a1, a2 = 0.4 + (i % 5) * 0.12, 0.1 + (i % 3) * 0.13
+    f1 = 80.0 + (j * 131) % 900
+    f2 = 1000.0 + (j * 211) % 1000
+    p1, p2 = (j % 7) * 0.9, (j % 11) * 0.55
+    a1, a2 = 0.4 + (j % 5) * 0.12, 0.1 + (j % 3) * 0.13
     t = np.arange(n, dtype=np.float64) / sr
     w = (a1 * np.sin(2 * np.pi * f1 * t + p1)
          + a2 * np.sin(2 * np.pi * f2 * t + p2))
+    if gate:
+        k = np.arange(n, dtype=np.int64)
+        h = ((k >> 9) * 2654435761 + j * 2246822519) % 2147483648
+        h = ((h ^ (h >> 13)) * 1274126177) % 2147483648
+        g = 1 + (h ^ (h >> 16)) % 7
+        w = w * g  # small-int multiply: exact in float64, exact in SQL
     w *= 0.9 / max(1e-9, np.abs(w).max())
     ts_ms = EPOCH0_MS + i * 50
     return {"clip_id": f"clip-{i:012d}",
             "bytes": encode(w.astype(np.float32), "pcm_s16le"),
             "sr_hz": sr, "dur_ms": dur_ms, "codec": "pcm_s16le",
-            "transcript": VOCAB[i % 512],
+            "transcript": VOCAB[j % 512],
             "ts": pd.Timestamp(ts_ms, unit="ms")}
 
 
-def audio_clips_exact(spark, n: int, num_partitions: int | None = None):
+def audio_clips_exact(spark, n: int, num_partitions: int | None = None,
+                      param_mod: int | None = None, gate: bool = False):
     """Distributed closed-form clips table (``clip_row_exact``)."""
     base = spark.range(0, n, 1,
                        num_partitions or spark.sparkContext.defaultParallelism)
@@ -107,7 +133,7 @@ def audio_clips_exact(spark, n: int, num_partitions: int | None = None):
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield pd.DataFrame([clip_row_exact(int(i))
+                yield pd.DataFrame([clip_row_exact(int(i), param_mod, gate)
                                     for i in pdf["id"]])
 
     return base.mapInPandas(gen, schema=CLIP_SCHEMA)

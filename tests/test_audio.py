@@ -330,3 +330,90 @@ def test_spectral_features_spark_path(spark):
         for k in ("centroid_hz", "bandwidth_hz", "rolloff_hz", "flatness"):
             assert r[k] == local[k], (i, k)
         assert abs(r["centroid_hz"] - 500.0 * (i + 1)) < 3.0, i
+
+
+# ------------------------------------------------------------ fingerprints
+def test_band_energy_fp_exact_and_planted_dups(spark):
+    """Band-energy shingle fingerprints + pair join on the gated exact
+    fixture: rows i and i+120 are planted content duplicates (param_mod
+    folds every waveform parameter onto i%120) — the operator must report
+    exactly those 120 pairs, each at fingerprint-Jaccard 1.0."""
+    from condor_spark.engine.audio import (band_energy_fingerprints,
+                                           fingerprint_pairs)
+
+    clips = fixtures.audio_clips_exact(spark, 240, num_partitions=4,
+                                       param_mod=120, gate=True)
+    fps = band_energy_fingerprints(clips, frame=128, shingle=4)
+    got = (fingerprint_pairs(fps, min_matches=3, max_df=64,
+                             min_jaccard=0.6)
+           .toPandas().sort_values("id_a").reset_index(drop=True))
+    assert len(got) == 120
+    assert (got["jaccard"] == 1.0).all()
+    for _, r in got.iterrows():
+        ia, ib = int(r["id_a"][5:]), int(r["id_b"][5:])
+        assert ib == ia + 120
+
+
+def test_landmark_fp_shift_invariance():
+    """Hop-aligned time shifts leave landmark fingerprints identical —
+    only the frame DELTA is hashed, never absolute time."""
+    from condor_spark.engine.audio import clip_fp_landmarks
+
+    w = synth_wave(3, 16000, 1500)
+    base = clip_fp_landmarks(w)
+    shifted = clip_fp_landmarks(np.concatenate(
+        [np.zeros(512, dtype=w.dtype), w]))
+    # shifted clip adds silence frames (no salient peaks -> no landmarks)
+    # and boundary frames; every original landmark must survive
+    assert set(base.tolist()) <= set(shifted.tolist())
+
+
+def test_landmark_fp_codec_invariance_and_separation():
+    """Lossy re-encodes (mulaw) keep fingerprint-Jaccard 1.0 per clip;
+    distinct clips stay well-separated (tone bins differ)."""
+    from condor_spark.engine.audio import clip_fp_landmarks, decode, encode
+
+    sets = {}
+    for i in range(12):
+        r = fixtures.clip_row(i)
+        w = decode(r["bytes"], r["codec"])
+        a = set(clip_fp_landmarks(w).tolist())
+        b = set(clip_fp_landmarks(
+            decode(encode(w, "mulaw"), "mulaw")).tolist())
+        assert a and a == b, i   # lossy codec leaves landmarks intact
+        sets[i] = a
+    for i in range(12):
+        for j in range(i + 1, 12):
+            inter = len(sets[i] & sets[j])
+            jac = inter / len(sets[i] | sets[j])
+            assert jac < 0.35, (i, j, jac)
+
+
+def test_landmark_fp_spark_planted_dups(spark):
+    """End-to-end Spark path: 40 RNG clips + 20 mulaw re-encodes under new
+    ids — all 20 planted duplicate pairs reported at Jaccard 1.0."""
+    import pandas as pd
+
+    from condor_spark.engine.audio import (decode, encode,
+                                           fingerprint_pairs,
+                                           landmark_fingerprints)
+
+    rows = [fixtures.clip_row(i) for i in range(40)]
+    dups = []
+    for r in rows[:20]:
+        w = decode(r["bytes"], r["codec"])
+        d = dict(r)
+        d["clip_id"] = "dup-" + r["clip_id"][5:]
+        d["bytes"] = encode(w, "mulaw")
+        d["codec"] = "mulaw"
+        dups.append(d)
+    df = spark.createDataFrame(pd.DataFrame(rows + dups)).repartition(4)
+    got = (fingerprint_pairs(landmark_fingerprints(df), min_matches=3,
+                             max_df=64, min_jaccard=0.35)
+           .toPandas())
+    planted = got[got.id_a.str.startswith("clip-")
+                  & got.id_b.str.startswith("dup-")
+                  & (got.id_a.str.split("-").str[1]
+                     == got.id_b.str.split("-").str[1])]
+    assert len(planted) == 20
+    assert (planted["jaccard"] == 1.0).all()
