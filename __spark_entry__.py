@@ -1053,6 +1053,28 @@ def q_audio_fp_landmarks(spark, sf_dir):
                              min_jaccard=0.35)
 
 
+def q_audio_prep_exact(spark, sf_dir):
+    """The audio PREPROCESSING pipeline (training-data prep: silence trim
+    → linear-interp resample to 16 kHz → RMS gain normalization → 100 ms /
+    50 ms-hop segmentation) under the EXACT-oracle gate. Closed-form gated
+    clips with PLANTED zero pads (fixtures.clip_row_exact(gate=True,
+    pad=True)) make every stage integer/IEEE-replayable: DuckDB reruns
+    synth → int gate → pad → pcm16 encode → per-128-sample int64 frame
+    energies → e*1000 >= max(e) trim rule → exact-rational (k*sr) divmod
+    16000 interp positions with a + frac*(b-a) float64 interpolation →
+    round-half-even requantize → g = 3276.7/sqrt(e/n) gain → per-segment
+    int64 energies, bit-for-bit (audio_prep.py kernel docstrings state
+    the IEEE argument per stage). One mapInPandas over the scan — no
+    decoded sample ever shuffles (PLANS.md §23)."""
+    from condor_spark import fixtures
+    from condor_spark.engine.audio_prep import prep_segments
+
+    clips = fixtures.audio_clips_exact(spark, 120, num_partitions=8,
+                                       gate=True, pad=True)
+    return prep_segments(clips, target_sr=16000, seg_ms=100, hop_ms=50,
+                         trim_frame=128, trim_rel=1000, target_rms=3276.7)
+
+
 def q_cm_frequency_tree(spark, sf_dir):
     """Two-level treeReduce merge topology — byte-identical synopses to the
     flat merge, so it shares cm_user_frequency's exact oracle."""
@@ -1682,9 +1704,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the payload pipelines, audio_rms_exact + media_features_exact, and
     the strict-contiguity cep_adjacent under the driver's own gate;
     simhash_pairs = the fourth member of the near-dup family whose other
-    three — minhash_pairs, ngram_jaccard, dedup_cosine — stay in-window,
+    three — minhash_pairs, ngram_jaccard, dedup_cosine — stayed in-window,
     displaced late-r3 for audio_fp_exact so the audio payload's OWN dedup
-    pipeline sits under the driver's gate)
+    pipeline sits under the driver's gate; ngram_jaccard = the explicitly
+    small-table all-pairs oracle of that same family (minhash_pairs +
+    dedup_clusters + dedup_cosine remain in-window), displaced late-r3
+    for audio_prep_exact so the NEW preprocessing operator family —
+    trim/resample/gain/segment, a component no in-window entry shares —
+    sits under the driver's gate)
     — plus the codegen point-query
     kinds (DD quantile / cuckoo membership / equi-width range / streamed
     quantile) whose kernels are in-window via ddsketch_quantiles,
@@ -1750,7 +1777,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
-        "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "minhash_pairs": q_minhash_pairs,
         "ann_topk": q_ann_topk,
@@ -1759,9 +1785,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # payload pipelines under the exact gate (audio + multimodal)
         "audio_rms_exact": q_audio_rms_exact,
         "audio_fp_exact": q_audio_fp_exact,
+        "audio_prep_exact": q_audio_prep_exact,
         "media_features_exact": q_media_features_exact,
         # ---- slots 51+: exact-oracle twins of in-window siblings --------
         "simhash_pairs": q_simhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
         "bottomk_sample": q_bottomk_sample,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
@@ -3130,6 +3158,132 @@ def oracle_sql() -> dict[str, str]:
                        AS jaccard
             FROM pair JOIN cnt ca ON ca.i = ia JOIN cnt cb ON cb.i = ib
             WHERE CAST(m AS DOUBLE) / (ca.c + cb.c - m) >= 0.6
+        """
+    # audio preprocessing replay: the gated closed-form waveform CTEs plus
+    # planted zero pads ((i*97)%1600 lead / (i*53)%1200 tail), then every
+    # prep stage in SQL — per-128-sample int64 frame energies and the
+    # e*1000 >= max(e) trim rule (pure integer compare), exact-rational
+    # (k2*sr) divmod 16000 resample positions with a + frac*(b-a) float64
+    # interpolation (the kernel uses the SAME expression form — IEEE
+    # exact-rounded on both sides), round_even requantize, the
+    # g = 3276.7/sqrt(e/n) gain (e < 2^53 so e/n is exact both sides),
+    # and per-1600-sample/800-hop segment energies via the two-candidate
+    # closed form (seg = 2*hop, so sample k2 lies in segments k2//800 and
+    # k2//800 - 1, bounds-filtered). Matches prep_segments bit-for-bit.
+    oracles["audio_prep_exact"] = """
+            WITH c AS (
+                SELECT i,
+                  CASE i%4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                           WHEN 2 THEN 22050 ELSE 44100 END AS sr,
+                  200 + (i*37)%600 AS dur_ms,
+                  80.0 + (i*131)%900 AS f1, 1000.0 + (i*211)%1000 AS f2,
+                  (i%7)*0.9 AS p1, (i%11)*0.55 AS p2,
+                  0.4 + (i%5)*0.12 AS a1, 0.1 + (i%3)*0.13 AS a2,
+                  (i*97)%1600 AS lead, (i*53)%1200 AS tail
+                FROM generate_series(0, 119) s(i)
+            ), n AS (
+                SELECT *, greatest(1, CAST(round_even(dur_ms*sr/1000.0, 0)
+                                           AS BIGINT)) AS ns
+                FROM c
+            ), k AS (
+                SELECT i, sr, f1, f2, p1, p2, a1, a2, ns, lead, tail,
+                       unnest(range(ns)) AS k
+                FROM n
+            ), h1 AS (
+                SELECT *, ((k >> 9) * 2654435761
+                           + i * 2246822519) % 2147483648 AS h
+                FROM k
+            ), h2 AS (
+                SELECT * REPLACE ((xor(h, h >> 13) * 1274126177)
+                                  % 2147483648 AS h)
+                FROM h1
+            ), w AS (
+                SELECT i, lead, ns, k,
+                  (a1*sin(2*pi()*f1*(k/CAST(sr AS DOUBLE)) + p1)
+                   + a2*sin(2*pi()*f2*(k/CAST(sr AS DOUBLE)) + p2))
+                  * (1 + xor(h, h >> 16) % 7) AS w
+                FROM h2
+            ), sc AS (
+                SELECT i, 0.9/greatest(1e-9, max(abs(w))) AS scale
+                FROM w GROUP BY i
+            ), s16 AS (
+                SELECT w.i, w.lead + w.k AS p,
+                  CAST(CAST(round_even(least(greatest(
+                         CAST(CAST(w.w*sc.scale AS REAL) AS DOUBLE),
+                         -1.0), 1.0) * 32767.0, 0) AS SMALLINT) AS BIGINT)
+                  AS s
+                FROM w JOIN sc USING (i)
+                UNION ALL
+                SELECT i, unnest(range(lead)) AS p, 0 AS s
+                FROM n WHERE lead > 0
+                UNION ALL
+                SELECT i, lead + ns + unnest(range(tail)) AS p, 0 AS s
+                FROM n WHERE tail > 0
+            ), nt AS (
+                SELECT i, lead + ns + tail AS ntot FROM n
+            ), fe AS (
+                SELECT i, p // 128 AS f, sum(s*s) AS e
+                FROM s16 GROUP BY 1, 2
+            ), mx AS (
+                SELECT i, max(e) AS mxe FROM fe GROUP BY i
+            ), act AS (
+                SELECT fe.i, min(f) AS fa, max(f) AS fb
+                FROM fe JOIN mx USING (i)
+                WHERE e * 1000 >= mxe GROUP BY fe.i
+            ), bounds AS (
+                SELECT act.i, fa * 128 AS strt,
+                       least(ntot, (fb + 1) * 128) AS stp
+                FROM act JOIN nt USING (i)
+            ), rs AS (
+                SELECT b.i, c.sr, b.strt, b.stp - b.strt AS nin,
+                       ((b.stp - b.strt) * 16000 + c.sr - 1) // c.sr
+                           AS nout
+                FROM bounds b JOIN c USING (i)
+            ), k2 AS (
+                SELECT i, sr, strt, nin, unnest(range(nout)) AS k2 FROM rs
+            ), pos AS (
+                SELECT i, strt, nin, k2, (k2 * sr) // 16000 AS idx,
+                       CAST((k2 * sr) % 16000 AS DOUBLE) / 16000.0 AS frac
+                FROM k2
+            ), y AS (
+                SELECT pos.i, pos.k2,
+                  CAST(round_even(a.s + pos.frac * (b.s - a.s), 0)
+                       AS BIGINT) AS s2
+                FROM pos
+                JOIN s16 a ON a.i = pos.i AND a.p = pos.strt + pos.idx
+                JOIN s16 b ON b.i = pos.i
+                          AND b.p = pos.strt
+                                    + least(pos.idx + 1, pos.nin - 1)
+            ), ge AS (
+                SELECT i, sum(s2*s2) AS e2, count(*) AS n2
+                FROM y GROUP BY i
+            ), gg AS (
+                SELECT i, 3276.7 / sqrt(CAST(e2 AS DOUBLE) / n2) AS g
+                FROM ge WHERE e2 > 0
+            ), y2 AS (
+                SELECT y.i, y.k2,
+                  CAST(least(greatest(round_even(y.s2 * gg.g, 0),
+                                      -32768.0), 32767.0) AS BIGINT) AS s3
+                FROM y JOIN gg USING (i)
+            ), ns2 AS (
+                SELECT i, count(*) AS nout FROM y2 GROUP BY i
+            ), cand AS (
+                SELECT i, k2 // 800 AS sg, s3 FROM y2
+                UNION ALL
+                SELECT i, k2 // 800 - 1 AS sg, s3 FROM y2
+            ), segf AS (
+                SELECT cand.i, cand.sg, sum(s3*s3) AS energy
+                FROM cand JOIN ns2 USING (i)
+                WHERE cand.sg >= 0
+                  AND cand.sg <= (ns2.nout - 1600) // 800
+                GROUP BY 1, 2
+            )
+            SELECT 'clip-' || lpad(CAST(i AS VARCHAR), 12, '0') AS clip_id,
+                   CAST(sg AS INTEGER) AS seg_idx,
+                   CAST(sg * 800 AS BIGINT) AS seg_start,
+                   CAST(1600 AS INTEGER) AS n_samples,
+                   CAST(energy AS BIGINT) AS energy
+            FROM segf
         """
     oracles["media_features_exact"] = """
             WITH ids AS (

@@ -74,7 +74,7 @@ def audio_clips(spark, n: int, num_partitions: int | None = None,
 
 
 def clip_row_exact(i: int, param_mod: int | None = None,
-                   gate: bool = False) -> dict:
+                   gate: bool = False, pad: bool = False) -> dict:
     """Closed-form clip row — NO RNG anywhere: every waveform sample is a
     pure function of (i, k), so a SQL engine can replay the whole audio
     pipeline (two-sinusoid synth → peak normalize → float32 → pcm16
@@ -97,7 +97,14 @@ def clip_row_exact(i: int, param_mod: int | None = None,
     UNCORRELATED energy envelope — an additive/linear gate leaves
     different j's envelopes value-shifted copies of each other, which
     band-energy fingerprints then conflate (measured: false-pair Jaccard
-    up to 0.89 linear vs 0.42 hashed, planted pairs at 1.0)."""
+    up to 0.89 linear vs 0.42 hashed, planted pairs at 1.0).
+
+    ``pad`` plants closed-form leading/trailing silence — (j*97)%1600
+    zero samples before and (j*53)%1200 after the scaled waveform — the
+    ground truth for the silence-trim stage of the preprocessing oracle
+    (``audio_prep_exact``). Pads are appended AFTER peak normalization,
+    so the scale factor is a function of the content samples only (zeros
+    never carry the peak) and the SQL replay pads with literal 0s."""
     j = i % param_mod if param_mod else i
     sr = _SR_CYCLE[j % 4]
     dur_ms = 200 + (j * 37) % 600
@@ -116,6 +123,9 @@ def clip_row_exact(i: int, param_mod: int | None = None,
         g = 1 + (h ^ (h >> 16)) % 7
         w = w * g  # small-int multiply: exact in float64, exact in SQL
     w *= 0.9 / max(1e-9, np.abs(w).max())
+    if pad:
+        w = np.concatenate([np.zeros((j * 97) % 1600), w,
+                            np.zeros((j * 53) % 1200)])
     ts_ms = EPOCH0_MS + i * 50
     return {"clip_id": f"clip-{i:012d}",
             "bytes": encode(w.astype(np.float32), "pcm_s16le"),
@@ -125,7 +135,8 @@ def clip_row_exact(i: int, param_mod: int | None = None,
 
 
 def audio_clips_exact(spark, n: int, num_partitions: int | None = None,
-                      param_mod: int | None = None, gate: bool = False):
+                      param_mod: int | None = None, gate: bool = False,
+                      pad: bool = False):
     """Distributed closed-form clips table (``clip_row_exact``)."""
     base = spark.range(0, n, 1,
                        num_partitions or spark.sparkContext.defaultParallelism)
@@ -133,7 +144,8 @@ def audio_clips_exact(spark, n: int, num_partitions: int | None = None,
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield pd.DataFrame([clip_row_exact(int(i), param_mod, gate)
+                yield pd.DataFrame([clip_row_exact(int(i), param_mod,
+                                                   gate, pad)
                                     for i in pdf["id"]])
 
     return base.mapInPandas(gen, schema=CLIP_SCHEMA)
