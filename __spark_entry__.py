@@ -1075,6 +1075,22 @@ def q_audio_prep_exact(spark, sf_dir):
                          trim_frame=128, trim_rel=1000, target_rms=3276.7)
 
 
+def q_audio_quality_exact(spark, sf_dir):
+    """Per-clip audio quality stats (audio_prep.clip_quality — the audio
+    analogue of text quality_scores: silence trim counts, active ratio,
+    clipping ratio, RMS, transcript tokens/sec) under the EXACT-oracle
+    gate: the same padded gated closed-form clips as audio_prep_exact;
+    DuckDB recomputes every stat from the replayed int16 lattice —
+    integer trim rule, exact int64 energy, ratio divisions ordered
+    identically and round-half-even to 6 places on both sides."""
+    from condor_spark import fixtures
+    from condor_spark.engine.audio_prep import clip_quality
+
+    clips = fixtures.audio_clips_exact(spark, 120, num_partitions=8,
+                                       gate=True, pad=True)
+    return clip_quality(clips, trim_frame=128, trim_rel=1000)
+
+
 def q_cm_frequency_tree(spark, sf_dir):
     """Two-level treeReduce merge topology — byte-identical synopses to the
     flat merge, so it shares cm_user_frequency's exact oracle."""
@@ -1790,6 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- slots 51+: exact-oracle twins of in-window siblings --------
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        "audio_quality_exact": q_audio_quality_exact,
         "bottomk_sample": q_bottomk_sample,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
@@ -3284,6 +3301,102 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1600 AS INTEGER) AS n_samples,
                    CAST(energy AS BIGINT) AS energy
             FROM segf
+        """
+    # per-clip quality stats on the same padded gated lattice: counts and
+    # ratios from the replayed s16 CTE — trim rule as above, exact int64
+    # energy, abs(s) >= 32767 saturation count (0 on this 0.9-peak fixture
+    # by design; the nonzero case is pytest-covered), divisions ordered
+    # identically to clip_quality and round_even(_, 6) = np.round on both
+    # sides.
+    oracles["audio_quality_exact"] = """
+            WITH c AS (
+                SELECT i,
+                  CASE i%4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                           WHEN 2 THEN 22050 ELSE 44100 END AS sr,
+                  200 + (i*37)%600 AS dur_ms,
+                  80.0 + (i*131)%900 AS f1, 1000.0 + (i*211)%1000 AS f2,
+                  (i%7)*0.9 AS p1, (i%11)*0.55 AS p2,
+                  0.4 + (i%5)*0.12 AS a1, 0.1 + (i%3)*0.13 AS a2,
+                  (i*97)%1600 AS lead, (i*53)%1200 AS tail,
+                  'tok' || lpad(CAST(i%512 AS VARCHAR), 3, '0') AS t
+                FROM generate_series(0, 119) s(i)
+            ), n AS (
+                SELECT *, greatest(1, CAST(round_even(dur_ms*sr/1000.0, 0)
+                                           AS BIGINT)) AS ns
+                FROM c
+            ), k AS (
+                SELECT i, sr, f1, f2, p1, p2, a1, a2, ns, lead, tail,
+                       unnest(range(ns)) AS k
+                FROM n
+            ), h1 AS (
+                SELECT *, ((k >> 9) * 2654435761
+                           + i * 2246822519) % 2147483648 AS h
+                FROM k
+            ), h2 AS (
+                SELECT * REPLACE ((xor(h, h >> 13) * 1274126177)
+                                  % 2147483648 AS h)
+                FROM h1
+            ), w AS (
+                SELECT i, lead, ns, k,
+                  (a1*sin(2*pi()*f1*(k/CAST(sr AS DOUBLE)) + p1)
+                   + a2*sin(2*pi()*f2*(k/CAST(sr AS DOUBLE)) + p2))
+                  * (1 + xor(h, h >> 16) % 7) AS w
+                FROM h2
+            ), sc AS (
+                SELECT i, 0.9/greatest(1e-9, max(abs(w))) AS scale
+                FROM w GROUP BY i
+            ), s16 AS (
+                SELECT w.i, w.lead + w.k AS p,
+                  CAST(CAST(round_even(least(greatest(
+                         CAST(CAST(w.w*sc.scale AS REAL) AS DOUBLE),
+                         -1.0), 1.0) * 32767.0, 0) AS SMALLINT) AS BIGINT)
+                  AS s
+                FROM w JOIN sc USING (i)
+                UNION ALL
+                SELECT i, unnest(range(lead)) AS p, 0 AS s
+                FROM n WHERE lead > 0
+                UNION ALL
+                SELECT i, lead + ns + unnest(range(tail)) AS p, 0 AS s
+                FROM n WHERE tail > 0
+            ), fe AS (
+                SELECT i, p // 128 AS f, sum(s*s) AS e
+                FROM s16 GROUP BY 1, 2
+            ), mx AS (
+                SELECT i, max(e) AS mxe FROM fe GROUP BY i
+            ), act AS (
+                SELECT fe.i, min(f) AS fa, max(f) AS fb
+                FROM fe JOIN mx USING (i)
+                WHERE e * 1000 >= mxe GROUP BY fe.i
+            ), nt AS (
+                SELECT i, lead + ns + tail AS ntot FROM n
+            ), bounds AS (
+                SELECT act.i, fa * 128 AS strt,
+                       least(ntot, (fb + 1) * 128) AS stp
+                FROM act JOIN nt USING (i)
+            ), stats AS (
+                SELECT i, count(*) AS nn, sum(s*s) AS e,
+                       sum(CASE WHEN abs(s) >= 32767 THEN 1 ELSE 0 END)
+                           AS nclip
+                FROM s16 GROUP BY i
+            )
+            SELECT 'clip-' || lpad(CAST(stats.i AS VARCHAR), 12, '0')
+                       AS clip_id,
+                   stats.nn AS n_samples,
+                   b.strt AS lead_trim,
+                   stats.nn - b.stp AS tail_trim,
+                   round_even(CAST(b.stp - b.strt AS DOUBLE) / stats.nn, 6)
+                       AS active_ratio,
+                   round_even(CAST(nclip AS DOUBLE) / stats.nn, 6)
+                       AS clip_ratio,
+                   round_even(sqrt(CAST(e AS DOUBLE) / stats.nn), 6) AS rms,
+                   round_even((CASE WHEN c.t = '' THEN 0
+                               ELSE length(c.t)
+                                    - length(replace(c.t, ' ', '')) + 1
+                               END)
+                              / (stats.nn / CAST(c.sr AS DOUBLE)), 6)
+                       AS tokens_per_sec
+            FROM stats JOIN bounds b ON b.i = stats.i
+                       JOIN c ON c.i = stats.i
         """
     oracles["media_features_exact"] = """
             WITH ids AS (

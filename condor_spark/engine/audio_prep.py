@@ -178,6 +178,66 @@ def prep_segments(df, target_sr: int = 16000, seg_ms: int = 100,
     return df.mapInPandas(fn, schema=SEGMENT_SCHEMA)
 
 
+QUALITY_SCHEMA = ("clip_id string, n_samples long, lead_trim long, "
+                  "tail_trim long, active_ratio double, clip_ratio double, "
+                  "rms double, tokens_per_sec double")
+
+
+def clip_quality(df, trim_frame: int = 128, trim_rel: int = 1000):
+    """Per-clip audio quality stats — the audio analogue of
+    ``text.quality_scores``: the columns a training pipeline filters on
+    before paying for feature extraction.
+
+    - lead_trim / tail_trim / active_ratio: samples the silence-trim rule
+      (``trim_bounds``) would cut, and the surviving fraction — drop
+      mostly-silent clips;
+    - clip_ratio: fraction of samples at |s| >= 32767 (saturated at
+      either int16 rail) — drop clipped recordings;
+    - rms: full-clip RMS on the int16 lattice — drop too-quiet clips;
+    - tokens_per_sec: transcript token count over the clip duration —
+      the transcript/audio consistency check (an ASR pair with 40
+      tokens/sec is mislabeled).
+
+    Ratios are round-half-even to 6 places (np.round / SQL round_even),
+    divisions ordered identically to the SQL twin, so the whole operator
+    replays exactly (driver query ``audio_quality_exact``). One
+    mapInPandas over the scan; output is one short row per clip."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows: dict[str, list] = {k: [] for k in
+                                     ("clip_id", "n_samples", "lead_trim",
+                                      "tail_trim", "active_ratio",
+                                      "clip_ratio", "rms",
+                                      "tokens_per_sec")}
+            for cid, blob, codec, sr, tr in zip(
+                    pdf["clip_id"], pdf["bytes"], pdf["codec"],
+                    pdf["sr_hz"], pdf["transcript"]):
+                x = _int16_lattice(blob, codec)
+                n = x.size
+                start, stop = trim_bounds(x, trim_frame, trim_rel)
+                e = int((x.astype(np.int64) ** 2).sum())
+                nclip = int((np.abs(x.astype(np.int32)) >= 32767).sum())
+                n_tok = (tr.count(" ") + 1) if tr else 0
+                rows["clip_id"].append(cid)
+                rows["n_samples"].append(n)
+                rows["lead_trim"].append(start)
+                rows["tail_trim"].append(n - stop)
+                rows["active_ratio"].append(
+                    float(np.round((stop - start) / n, 6)) if n else 0.0)
+                rows["clip_ratio"].append(
+                    float(np.round(nclip / n, 6)) if n else 0.0)
+                rows["rms"].append(
+                    float(np.round(math.sqrt(e / n), 6)) if n else 0.0)
+                rows["tokens_per_sec"].append(
+                    float(np.round(n_tok / (n / int(sr)), 6)) if n
+                    else 0.0)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(fn, schema=QUALITY_SCHEMA)
+
+
 def prep_clips(df, target_sr: int = 16000, trim_frame: int = 128,
                trim_rel: int = 1000,
                target_rms: float | None = DEFAULT_TARGET_RMS):

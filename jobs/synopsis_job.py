@@ -37,6 +37,13 @@ Modes:
                    Streaming append when
                    --checkpoint is given (exactly-once file sink), one-shot
                    batch otherwise. --kind/--column are not needed.
+  --mode prep      materialize the PREPROCESSED clips table (training-data
+                   prep, engine/audio_prep.py): silence trim → linear
+                   resample to --target-sr → RMS gain normalization, same
+                   schema as the input (write it back to the lake), or
+                   the per-segment audit rows with --segments. Streaming
+                   append when --checkpoint is given, one-shot batch
+                   otherwise. --kind/--column are not needed.
   --mode snapshots table maintenance on an existing stream sink: list the
                    committed snapshot history, export one (--as-of-version,
                    time travel), export the delta since a version
@@ -80,7 +87,7 @@ def parse_args(argv):
     p.add_argument("--watermark-delay", default="10 seconds")
     p.add_argument("--mode", choices=("stream", "stateful", "sql", "batch",
                                       "querylatest", "features", "snapshots",
-                                      "cep"),
+                                      "cep", "prep"),
                    default="stream")
     p.add_argument("--pattern", choices=("sequence", "absence", "kleene",
                                          "adjacent", "chain"),
@@ -109,6 +116,12 @@ def parse_args(argv):
                    help="features mode: materialize spectral-shape features "
                         "(rfft centroid/bandwidth/rolloff/flatness) instead "
                         "of the time-domain set")
+    p.add_argument("--target-sr", type=int, default=16000,
+                   help="prep mode: resample target sample rate")
+    p.add_argument("--segments", action="store_true",
+                   help="prep mode: materialize the per-segment audit rows "
+                        "(clip_id, seg_idx, seg_start, n_samples, energy) "
+                        "instead of the processed clips table")
     p.add_argument("--changes-since", type=int, default=None, metavar="V",
                    help="snapshots mode: export only the window buckets "
                         "whose data changed after committed version V "
@@ -178,6 +191,31 @@ def main(argv=None) -> None:
             (extract(spark.read.parquet(args.input),
                      passthrough=(args.ts_column,))
              .write.mode("overwrite").parquet(args.sink))
+        spark.stop()
+        return
+
+    if args.mode == "prep":
+        from condor_spark.engine.audio_prep import prep_clips, prep_segments
+
+        def prep(df):
+            if args.segments:
+                return prep_segments(df, target_sr=args.target_sr)
+            return prep_clips(df, target_sr=args.target_sr)
+
+        if args.checkpoint:
+            src = (spark.readStream
+                   .option("maxFilesPerTrigger", args.max_files_per_trigger)
+                   .schema(spark.read.parquet(args.input).schema)
+                   .parquet(args.input))
+            q = (prep(src)
+                 .writeStream.format("parquet")
+                 .option("path", args.sink)
+                 .option("checkpointLocation", args.checkpoint)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+        else:
+            prep(spark.read.parquet(args.input)) \
+                .write.mode("overwrite").parquet(args.sink)
         spark.stop()
         return
 

@@ -154,3 +154,41 @@ def test_prep_clips_matches_prep_segments(spark):
               .sort_values(["clip_id", "seg_idx"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(
         direct.astype(manual.dtypes.to_dict()), manual)
+
+
+# -------------------------------------------------------------- quality
+def test_clip_quality_stats(spark):
+    import pandas as pd
+
+    from condor_spark.engine.audio import encode
+    from condor_spark.engine.audio_prep import clip_quality
+
+    # one clean tone, one mostly-silent clip, one hard-clipped clip
+    sr = 16000
+    tone = 0.5 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)
+    rows = [
+        {"clip_id": "clean", "bytes": encode(tone, "pcm_s16le"),
+         "sr_hz": sr, "dur_ms": 1000, "codec": "pcm_s16le",
+         "transcript": "a b c d", "ts": pd.Timestamp("2026-01-01")},
+        {"clip_id": "padded",
+         "bytes": encode(np.concatenate([np.zeros(8000), tone]),
+                         "pcm_s16le"),
+         "sr_hz": sr, "dur_ms": 1500, "codec": "pcm_s16le",
+         "transcript": "", "ts": pd.Timestamp("2026-01-01")},
+        {"clip_id": "clipped", "bytes": encode(3.0 * tone, "pcm_s16le"),
+         "sr_hz": sr, "dur_ms": 1000, "codec": "pcm_s16le",
+         "transcript": "x", "ts": pd.Timestamp("2026-01-01")},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows)).repartition(2)
+    out = clip_quality(df).toPandas().set_index("clip_id")
+    clean = out.loc["clean"]
+    assert clean["lead_trim"] == 0 and clean["tail_trim"] == 0
+    assert clean["active_ratio"] == 1.0 and clean["clip_ratio"] == 0.0
+    assert abs(clean["tokens_per_sec"] - 4.0) < 1e-9
+    padded = out.loc["padded"]
+    assert padded["lead_trim"] >= 7800      # the 8000-sample pad, frame-
+    assert padded["lead_trim"] <= 8000      # aligned
+    assert padded["tokens_per_sec"] == 0.0
+    clipped = out.loc["clipped"]
+    assert clipped["clip_ratio"] > 0.3      # 3x gain saturates ~2/3 of a
+    assert clipped["rms"] > clean["rms"]    # sine period

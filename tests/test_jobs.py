@@ -497,3 +497,74 @@ def test_spark_submit_cep_job(tmp_path):
     want = sorted(map(tuple, sequence_matches(df, within="3 days")
                       .toPandas().astype(str).values.tolist()))
     assert got == want and len(got) > 0
+
+
+@pytest.mark.slow
+def test_spark_submit_prep_job(tmp_path):
+    """--mode prep materializes the preprocessed clips table (trim →
+    resample → gain; same schema as the input, written back to the lake)
+    as a resumable streaming append, and the per-segment audit rows with
+    --segments (one-shot batch path) — both equal to the in-process
+    operators."""
+    spark_submit = shutil.which("spark-submit")
+    assert spark_submit, "spark-submit not on PATH"
+
+    from pyspark.sql import SparkSession
+
+    from condor_spark import fixtures
+    from condor_spark.engine.audio_prep import prep_clips, prep_segments
+
+    spark = SparkSession.getActiveSession() or (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false").getOrCreate())
+    src = str(tmp_path / "clips")
+    fixtures.audio_clips(spark, 60, num_partitions=3).write.parquet(src)
+
+    sink = str(tmp_path / "prepped")
+    cmd = [
+        spark_submit, "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--py-files", _make_zip(tmp_path),
+        os.path.join(REPO, "jobs", "synopsis_job.py"),
+        "--mode", "prep",
+        "--input", src, "--sink", sink,
+        "--checkpoint", str(tmp_path / "ckpt"),
+    ]
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    r = subprocess.run(cmd, cwd=str(tmp_path), env=env,
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-4000:]
+
+    got = (spark.read.parquet(sink).toPandas()
+           .sort_values("clip_id").reset_index(drop=True))
+    want = (prep_clips(spark.read.parquet(src)).toPandas()
+            .sort_values("clip_id").reset_index(drop=True))
+    assert len(got) == 60
+    assert (got["sr_hz"] == 16000).all()
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+    # resume with the same checkpoint: no new input files -> no new rows
+    r2 = subprocess.run(cmd, cwd=str(tmp_path), env=env,
+                        capture_output=True, text=True, timeout=600)
+    assert r2.returncode == 0, r2.stderr[-4000:]
+    assert spark.read.parquet(sink).count() == 60
+
+    # --segments materializes the audit rows (one-shot batch path)
+    seg_sink = str(tmp_path / "segments")
+    cmd_seg = cmd[:cmd.index("--sink") + 1] + [seg_sink, "--segments"]
+    r3 = subprocess.run(cmd_seg, cwd=str(tmp_path), env=env,
+                        capture_output=True, text=True, timeout=600)
+    assert r3.returncode == 0, r3.stderr[-4000:]
+    got = (spark.read.parquet(seg_sink).toPandas()
+           .sort_values(["clip_id", "seg_idx"]).reset_index(drop=True))
+    want = (prep_segments(spark.read.parquet(src)).toPandas()
+            .sort_values(["clip_id", "seg_idx"]).reset_index(drop=True))
+    assert len(got) == len(want) > 60
+    for c in got.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
