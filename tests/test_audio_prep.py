@@ -192,3 +192,60 @@ def test_clip_quality_stats(spark):
     clipped = out.loc["clipped"]
     assert clipped["clip_ratio"] > 0.3      # 3x gain saturates ~2/3 of a
     assert clipped["rms"] > clean["rms"]    # sine period
+
+
+# ------------------------------------------------------ kernel properties
+try:
+    from hypothesis import given, settings, strategies as st
+
+    int16_arrays = st.lists(st.integers(-32768, 32767),
+                            min_size=0, max_size=2000).map(
+        lambda xs: np.array(xs, dtype=np.int16))
+
+    @given(x=int16_arrays)
+    @settings(max_examples=60, deadline=None)
+    def test_trim_is_idempotent(x):
+        """Trim boundaries are frame-aligned, so trimming a trimmed clip
+        changes nothing: the kept frames keep their energies and their
+        relative max."""
+        start, stop = trim_bounds(x, frame=128, rel=1000)
+        assert 0 <= start <= stop <= x.size
+        y = x[start:stop]
+        s2, e2 = trim_bounds(y, frame=128, rel=1000)
+        assert (s2, e2) == (0, y.size) or y.size == 0
+
+    @given(x=int16_arrays,
+           srs=st.tuples(st.sampled_from((8000, 16000, 22050, 44100)),
+                         st.sampled_from((8000, 16000, 22050, 44100))))
+    @settings(max_examples=60, deadline=None)
+    def test_resample_length_and_range(x, srs):
+        sr_in, sr_out = srs
+        y = resample_int16(x, sr_in, sr_out)
+        if sr_in == sr_out:
+            assert np.array_equal(y, x)
+        else:
+            assert y.size == (x.size * sr_out + sr_in - 1) // sr_in
+        if y.size:
+            # linear interp never leaves the input's value envelope
+            assert y.max() <= x.max() and y.min() >= x.min()
+
+    @given(x=int16_arrays, seg=st.integers(1, 400), hop=st.integers(1, 400))
+    @settings(max_examples=60, deadline=None)
+    def test_segment_energy_consistency(x, seg, hop):
+        starts, en = segment_energies(x, seg, hop)
+        assert (en >= 0).all()
+        cs = np.concatenate([[0], np.cumsum(x.astype(np.int64) ** 2)])
+        assert np.array_equal(en, cs[starts + seg] - cs[starts])
+        if x.size >= seg:
+            assert starts.size == 1 + (x.size - seg) // hop
+            assert starts[-1] + seg <= x.size
+
+    @given(x=int16_arrays, target=st.floats(1.0, 20000.0))
+    @settings(max_examples=60, deadline=None)
+    def test_gain_bounded_and_silence_fixed(x, target):
+        y = gain_normalize_int16(x, target)
+        assert y.dtype == np.int16 and y.size == x.size
+        if x.size and not x.any():
+            assert np.array_equal(y, x)
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
