@@ -1091,6 +1091,45 @@ def q_audio_quality_exact(spark, sf_dir):
     return clip_quality(clips, trim_frame=128, trim_rel=1000)
 
 
+def q_stream_fp_dedup(spark, sf_dir):
+    """Streaming dedup-on-INGEST (engine/dedup_stream.py): the 240 gated
+    exact clips arrive as 3 chronological micro-batches; each batch's
+    band-energy fingerprints join the accumulating committed store, so
+    every planted pair (i, i+120) surfaces in the batch where the second
+    member lands. max_df=4096 sits above this fixture's global max
+    fingerprint df (88), so no fingerprint is ever hot and the streamed
+    pair set equals the batch scorer EXACTLY — the oracle is the
+    audio_fp_exact replay with the cap lifted to 4096 (still exactly the
+    120 planted pairs at Jaccard 1.0; the loudest false pair scores 0.418,
+    under the 0.6 gate). Exactly-once: deterministic per-batch paths + an
+    atomic ledger commit; replay/crash behavior is pytest-covered
+    (tests/test_dedup_stream.py)."""
+    import pandas as pd
+
+    from condor_spark import fixtures
+    from condor_spark.engine.audio import band_energy_fingerprints
+    from condor_spark.engine.dedup_stream import StreamFpDedup
+
+    tmp = _fresh_tmp("fpdedup", sf_dir)
+    src = f"{tmp}/clips"
+    for f in range(3):
+        pdf = pd.DataFrame([fixtures.clip_row_exact(i, param_mod=120,
+                                                    gate=True)
+                            for i in range(f * 80, (f + 1) * 80)])
+        (spark.createDataFrame(pdf).coalesce(1)
+         .write.mode("append").parquet(src))
+    job = StreamFpDedup(
+        sink_dir=f"{tmp}/sink",
+        fingerprint_fn=lambda df: band_energy_fingerprints(
+            df, frame=128, shingle=4),
+        min_matches=3, max_df=4096, min_jaccard=0.6)
+    job.run(spark, src, f"{tmp}/ckpt")
+    return (job.read_pairs(spark)
+            .select(F.col("clip_id_a").alias("id_a"),
+                    F.col("clip_id_b").alias("id_b"),
+                    "n_match", "jaccard"))
+
+
 def q_cm_frequency_tree(spark, sf_dir):
     """Two-level treeReduce merge topology — byte-identical synopses to the
     flat merge, so it shares cm_user_frequency's exact oracle."""
@@ -1807,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "audio_quality_exact": q_audio_quality_exact,
+        "stream_fp_dedup": q_stream_fp_dedup,
         "bottomk_sample": q_bottomk_sample,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
@@ -3302,6 +3342,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(energy AS BIGINT) AS energy
             FROM segf
         """
+    # streaming dedup-on-ingest: with max_df=4096 above the fixture's
+    # global max fingerprint df (88), no fingerprint is ever hot, so the
+    # streamed pair set provably equals the batch scorer — the oracle IS
+    # the audio_fp_exact replay with the cap lifted (and the same 0.6
+    # Jaccard gate; the loudest false pair scores 0.418).
+    oracles["stream_fp_dedup"] = oracles["audio_fp_exact"].replace(
+        "count(*) <= 64", "count(*) <= 4096")
     # per-clip quality stats on the same padded gated lattice: counts and
     # ratios from the replayed s16 CTE — trim rule as above, exact int64
     # energy, abs(s) >= 32767 saturation count (0 on this 0.9-peak fixture

@@ -1,0 +1,126 @@
+"""Streaming dedup-on-ingest (engine/dedup_stream.py): stream == batch
+when no fingerprint crosses the df cap, exactly-once under replay, hot-fp
+bounding, and extractor genericity."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from condor_spark import fixtures
+from condor_spark.engine.audio import band_energy_fingerprints, \
+    fingerprint_pairs
+from condor_spark.engine.dedup_stream import StreamFpDedup
+
+
+def _write_stream_input(spark, tmp_path, n=240, files=3):
+    """Gated exact clips split chronologically into `files` parquet files
+    (one micro-batch each under maxFilesPerTrigger=1)."""
+    src = str(tmp_path / "clips")
+    per = n // files
+    for f in range(files):
+        pdf = pd.DataFrame([fixtures.clip_row_exact(i, param_mod=120,
+                                                    gate=True)
+                            for i in range(f * per, (f + 1) * per)])
+        spark.createDataFrame(pdf).repartition(2) \
+            .write.mode("append").parquet(src)
+    return src
+
+
+def _fps(df):
+    return band_energy_fingerprints(df, frame=128, shingle=4)
+
+
+def test_stream_equals_batch_when_nothing_hot(spark, tmp_path):
+    """240 gated clips in 3 micro-batches; max_df above the global max
+    fingerprint df (88 on this fixture) -> the streamed pair set equals
+    the batch scorer's output exactly: the 120 planted duplicate pairs,
+    each at Jaccard 1.0, discovered in the batch where the second member
+    arrived."""
+    src = _write_stream_input(spark, tmp_path)
+    job = StreamFpDedup(sink_dir=str(tmp_path / "sink"),
+                        fingerprint_fn=_fps, min_matches=3,
+                        max_df=4096, min_jaccard=0.6)
+    job.run(spark, src, str(tmp_path / "ckpt"))
+    got = (job.read_pairs(spark).toPandas()
+           .sort_values(["clip_id_a", "clip_id_b"]).reset_index(drop=True))
+    clips = fixtures.audio_clips_exact(spark, 240, num_partitions=4,
+                                       param_mod=120, gate=True)
+    want = (fingerprint_pairs(_fps(clips), min_matches=3, max_df=4096,
+                              min_jaccard=0.6)
+            .withColumnsRenamed({"id_a": "clip_id_a", "id_b": "clip_id_b"})
+            .toPandas().sort_values(["clip_id_a", "clip_id_b"])
+            .reset_index(drop=True))
+    assert len(got) == len(want) == 120
+    pd.testing.assert_frame_equal(got.drop(columns=["batch_id"]), want,
+                                  check_dtype=False)
+    # pairs surface when the SECOND member arrives: clips 120-239 land in
+    # batches 1-2, so no pair can come from batch 0
+    assert (got["batch_id"] > 0).all()
+
+
+def test_exactly_once_replay(spark, tmp_path):
+    """A replayed committed batch is a no-op, and a crash before the
+    ledger commit replays to identical output (deterministic paths +
+    committed-store input)."""
+    clips = fixtures.audio_clips_exact(spark, 80, num_partitions=2,
+                                       param_mod=40, gate=True)
+    job = StreamFpDedup(sink_dir=str(tmp_path / "sink"),
+                        fingerprint_fn=_fps, min_matches=3,
+                        max_df=4096, min_jaccard=0.6)
+    job.process_batch(clips, 0)
+    n1 = job.read_pairs(spark).count()
+    # replay of the committed batch: no-op
+    job.process_batch(clips, 0)
+    assert job.read_pairs(spark).count() == n1
+    # crash-before-commit replay: wipe the ledger entry (files stay) and
+    # reprocess -> same rows, no duplicates
+    led = job._read_ledger()
+    del led["committed"]["0"]
+    job._commit(led)
+    job.process_batch(clips, 0)
+    got = job.read_pairs(spark).toPandas()
+    assert len(got) == n1
+    assert not got.duplicated(["clip_id_a", "clip_id_b"]).any()
+
+
+def test_hot_fp_bounding(spark, tmp_path):
+    """A fingerprint shared by more than max_df ids is dropped from the
+    join — synthetic (id, fp) rows prove the cap and the extractor
+    genericity (fingerprint_fn is any df -> (id, fp) mapping)."""
+    # 10 ids share hot fp 1; ids 0 and 1 also share private fps 100..104
+    rows = [(f"id{i:02d}", 1) for i in range(10)]
+    rows += [(f"id{i:02d}", 100 + j) for i in (0, 1) for j in range(5)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "fp"])
+
+    job = StreamFpDedup(sink_dir=str(tmp_path / "sink"),
+                        fingerprint_fn=lambda df: df, min_matches=3,
+                        max_df=5, id_col="doc_id")
+    job.process_batch(spark.createDataFrame(pdf), 0)
+    got = job.read_pairs(spark).toPandas()
+    # only (id00, id01) share >= 3 non-hot fps; fp 1 (df=10 > 5) never
+    # joins, so no other pair appears and jaccard ignores the hot fp
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["doc_id_a"], r["doc_id_b"]) == ("id00", "id01")
+    assert r["n_match"] == 5 and r["jaccard"] == 1.0
+
+
+def test_cross_batch_discovery_order(spark, tmp_path):
+    """A pair whose members arrive in different batches is emitted once,
+    in the later batch; nothing is re-emitted by later unrelated
+    batches."""
+    def mk(ids_fps):
+        return spark.createDataFrame(
+            pd.DataFrame(ids_fps, columns=["clip_id", "fp"]))
+
+    job = StreamFpDedup(sink_dir=str(tmp_path / "sink"),
+                        fingerprint_fn=lambda df: df, min_matches=2,
+                        max_df=None)
+    job.process_batch(mk([("a", 1), ("a", 2), ("a", 3)]), 0)
+    assert job.read_pairs(spark).count() == 0
+    job.process_batch(mk([("b", 1), ("b", 2), ("b", 3)]), 1)
+    p = job.read_pairs(spark).toPandas()
+    assert len(p) == 1 and p.iloc[0]["batch_id"] == 1
+    assert p.iloc[0]["jaccard"] == 1.0
+    job.process_batch(mk([("c", 99), ("c", 98)]), 2)
+    assert job.read_pairs(spark).count() == 1  # (a, b) not re-emitted
