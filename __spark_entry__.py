@@ -1130,6 +1130,42 @@ def q_stream_fp_dedup(spark, sf_dir):
                     "n_match", "jaccard"))
 
 
+def q_audio_ann_topk(spark, sf_dir):
+    """Audio → similarity-family bridge: per-clip log-band spectral
+    embeddings (audio.clip_embedding — 64 geometric bands of the mean
+    Hann/rfft power shape, log-compressed, unit L2) flow UNCHANGED into
+    similarity.brute_force_topk. 200 RNG clips + 100 mulaw re-encodes
+    under new ids; each dup queries for its top-1 neighbor — the
+    invariant (asserted in tests/test_audio.py and visible in the rows:
+    neighbor_id == the source clip at cosine ≥ 0.989) is the check.
+    Rows-only: the rfft has no SQL replay; the consuming ANN plumbing
+    carries its own exact oracles on the embeddings table (ann_topk,
+    ann_topk_lsh_exact, ann_topk_ivf_exact)."""
+    from condor_spark import fixtures
+    from condor_spark.engine.audio import audio_embeddings, decode, encode
+    from condor_spark.engine.similarity import brute_force_topk
+
+    clips = fixtures.audio_clips(spark, 200, num_partitions=8)
+
+    def reenc(batches):
+        import pandas as pd
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = pdf.copy()
+            out["clip_id"] = "dup-" + out["clip_id"].str[5:]
+            out["bytes"] = [encode(decode(b, c), "mulaw")
+                            for b, c in zip(pdf["bytes"], pdf["codec"])]
+            out["codec"] = "mulaw"
+            yield out
+
+    dups = (clips.filter(F.col("clip_id") < "clip-000000000100")
+            .mapInPandas(reenc, schema=clips.schema))
+    emb = audio_embeddings(clips.unionByName(dups))
+    return brute_force_topk(emb, [f"dup-{i:012d}" for i in range(100)],
+                            k=1, id_col="clip_id")
+
+
 def q_cm_frequency_tree(spark, sf_dir):
     """Two-level treeReduce merge topology — byte-identical synopses to the
     flat merge, so it shares cm_user_frequency's exact oracle."""
@@ -1889,6 +1925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_rms_quantiles": q_audio_rms_quantiles,
         "audio_spectral": q_audio_spectral,
         "audio_fp_landmarks": q_audio_fp_landmarks,
+        "audio_ann_topk": q_audio_ann_topk,
         "stream_join": q_stream_join,
     }
 

@@ -417,3 +417,53 @@ def test_landmark_fp_spark_planted_dups(spark):
                      == got.id_b.str.split("-").str[1])]
     assert len(planted) == 20
     assert (planted["jaccard"] == 1.0).all()
+
+
+# ------------------------------------------------------------- embeddings
+def test_audio_embeddings_bridge_to_similarity(spark):
+    """audio_embeddings feeds the similarity family unchanged: mulaw
+    re-encodes of 20 clips are each other's top-1 cosine neighbor, and
+    cosine_near_dup_pairs at 0.95 returns exactly the 20 planted pairs."""
+    import pandas as pd
+
+    from condor_spark.engine.audio import (audio_embeddings, decode,
+                                           encode)
+    from condor_spark.engine.similarity import (brute_force_topk,
+                                                cosine_near_dup_pairs)
+
+    rows = [fixtures.clip_row(i) for i in range(40)]
+    dups = []
+    for r in rows[:20]:
+        w = decode(r["bytes"], r["codec"])
+        d = dict(r)
+        d["clip_id"] = "dup-" + r["clip_id"][5:]
+        d["bytes"] = encode(w, "mulaw")
+        d["codec"] = "mulaw"
+        dups.append(d)
+    df = spark.createDataFrame(pd.DataFrame(rows + dups)).repartition(4)
+    emb = audio_embeddings(df).persist()
+
+    pairs = cosine_near_dup_pairs(emb, threshold=0.95,
+                                  id_col="clip_id").toPandas()
+    planted = pairs[pairs.id_a.str.startswith("clip-")
+                    & pairs.id_b.str.startswith("dup-")
+                    & (pairs.id_a.str[5:] == pairs.id_b.str[4:])]
+    assert len(planted) == 20
+    assert len(pairs) == 20  # and nothing else crosses 0.95
+
+    top = brute_force_topk(emb, [f"dup-{i:012d}" for i in range(20)],
+                           k=1, id_col="clip_id").toPandas()
+    assert len(top) == 20
+    for _, r in top.iterrows():
+        assert r["neighbor_id"] == "clip-" + r["query_id"][4:], r
+    emb.unpersist()
+
+
+def test_clip_embedding_edge_cases():
+    from condor_spark.engine.audio import clip_embedding
+
+    assert not clip_embedding(np.zeros(10)).any()        # too short
+    assert not clip_embedding(np.zeros(4096)).any()      # silent
+    e = clip_embedding(synth_wave(3, 16000, 500))
+    assert abs(float(np.linalg.norm(e)) - 1.0) < 1e-5    # unit L2
+    assert e.dtype == np.float32 and e.size == 64
