@@ -493,6 +493,47 @@ def audio_throughput(spark, n_clips: int, cpus: int, reps: int = 2,
             "storm_detected": bool(max(walls) > 3 * min(walls))}
 
 
+def prep_fp_throughput(spark, n_clips: int, reps: int = 2) -> dict:
+    """clips/sec through the two round-3 audio pipelines over the same
+    materialized clips table as ``audio_throughput``:
+
+    * prep: read → decode → trim → resample(16k) → gain → segment
+      (``prep_segments``; the count() action forces every segment row);
+    * fp: read → decode → band-energy fingerprints → stop-fp cap →
+      pair equi-join + Jaccard (``fingerprint_pairs``; count() forces
+      the join).
+
+    Same storm discipline as the other audio metrics: untimed warmup,
+    best-of-``reps`` per pipeline, fresh child JVM (the parent probes the
+    size that won the decode metric)."""
+    from condor_spark.engine.audio import (band_energy_fingerprints,
+                                           fingerprint_pairs)
+    from condor_spark.engine.audio_prep import prep_segments
+
+    src = _clips_table(spark, n_clips)
+    clips = spark.read.parquet(src)
+
+    def run_prep():
+        prep_segments(clips).count()
+
+    def run_fp():
+        fingerprint_pairs(band_energy_fingerprints(clips),
+                          min_matches=3, max_df=64).count()
+
+    out: dict = {"clips": n_clips}
+    for key, fn in (("prep", run_prep), ("fp", run_fp)):
+        fn()  # warm
+        walls = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            walls.append(time.perf_counter() - t0)
+        out[f"{key}_clips_per_sec"] = n_clips / min(walls)
+        out[f"{key}_rep_secs"] = [round(w, 2) for w in walls]
+        out[f"{key}_storm_detected"] = bool(max(walls) > 3 * min(walls))
+    return out
+
+
 HEADLINE = [
     "cm_user_frequency", "hll_distinct", "ddsketch_quantiles",
     "equiwidth_hist", "sliding_counts", "session_windows", "count_windows",
@@ -521,6 +562,16 @@ def main() -> None:
         out = audio_throughput(spark, clips, cpus, reps=reps,
                                dur_cap=dur_cap,
                                materialized=dur_cap is None)
+        spark.stop()
+        print(json.dumps(out))
+        return
+
+    if len(sys.argv) >= 3 and sys.argv[1] == "--preptput":
+        cpus = int(sys.argv[2])
+        clips = int(sys.argv[3]) if len(sys.argv) >= 4 else 60_000
+        spark = make_spark(cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+        out = prep_fp_throughput(spark, clips)
         spark.stop()
         print(json.dumps(out))
         return
@@ -610,6 +661,19 @@ def main() -> None:
             continue  # a storm-stuck size is skipped, not fatal
         if audio is None or got["clips_per_sec"] > audio["clips_per_sec"]:
             audio, audio_n = got, n
+
+    # round-3 audio pipelines (prep + fingerprint dedup) in one fresh
+    # child at the size that won the decode metric (same storm reasoning)
+    preptput = None
+    try:
+        p = subprocess.run(
+            [sys.executable, __file__, "--preptput",
+             str(audio_n or min(8, CPUS))],
+            capture_output=True, text=True, cwd=REPO, timeout=600)
+        preptput = json.loads([l for l in p.stdout.strip().splitlines()
+                               if l.startswith("{")][-1])
+    except (subprocess.TimeoutExpired, IndexError, ValueError):
+        pass
 
     scaling = {}
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
@@ -714,6 +778,14 @@ def main() -> None:
                 (round(audio["clips_per_sec_materialized"])
                  if audio and "clips_per_sec_materialized" in audio else None),
             "audio_local_n": audio_n,
+            "audio_prep_clips_per_sec":
+                (round(preptput["prep_clips_per_sec"]) if preptput else None),
+            "audio_fp_clips_per_sec":
+                (round(preptput["fp_clips_per_sec"]) if preptput else None),
+            "audio_prep_rep_secs":
+                (preptput["prep_rep_secs"] if preptput else None),
+            "audio_fp_rep_secs":
+                (preptput["fp_rep_secs"] if preptput else None),
         },
         "scaling": scaling,
         "errors": errors,
