@@ -1032,22 +1032,8 @@ def q_audio_fp_landmarks(spark, sf_dir):
     clips = fixtures.audio_clips(spark, 400, num_partitions=8)
     # duplicate half the clips under a different LOSSY codec: re-encode
     # rows 0..199 as mulaw with new ids
-    from condor_spark.engine.audio import decode, encode
-
-    def reenc(batches):
-        import pandas as pd
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            out = pdf.copy()
-            out["clip_id"] = "dup-" + out["clip_id"].str[5:]
-            out["bytes"] = [encode(decode(b, c), "mulaw")
-                            for b, c in zip(pdf["bytes"], pdf["codec"])]
-            out["codec"] = "mulaw"
-            yield out
-
-    dups = (clips.filter(F.col("clip_id") < "clip-000000000200")
-            .mapInPandas(reenc, schema=clips.schema))
+    dups = fixtures.reencode_dups(
+        clips.filter(F.col("clip_id") < "clip-000000000200"))
     fps = landmark_fingerprints(clips.unionByName(dups))
     return fingerprint_pairs(fps, min_matches=3, max_df=64,
                              min_jaccard=0.35)
@@ -1142,25 +1128,12 @@ def q_audio_ann_topk(spark, sf_dir):
     carries its own exact oracles on the embeddings table (ann_topk,
     ann_topk_lsh_exact, ann_topk_ivf_exact)."""
     from condor_spark import fixtures
-    from condor_spark.engine.audio import audio_embeddings, decode, encode
+    from condor_spark.engine.audio import audio_embeddings
     from condor_spark.engine.similarity import brute_force_topk
 
     clips = fixtures.audio_clips(spark, 200, num_partitions=8)
-
-    def reenc(batches):
-        import pandas as pd
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            out = pdf.copy()
-            out["clip_id"] = "dup-" + out["clip_id"].str[5:]
-            out["bytes"] = [encode(decode(b, c), "mulaw")
-                            for b, c in zip(pdf["bytes"], pdf["codec"])]
-            out["codec"] = "mulaw"
-            yield out
-
-    dups = (clips.filter(F.col("clip_id") < "clip-000000000100")
-            .mapInPandas(reenc, schema=clips.schema))
+    dups = fixtures.reencode_dups(
+        clips.filter(F.col("clip_id") < "clip-000000000100"))
     emb = audio_embeddings(clips.unionByName(dups))
     return brute_force_topk(emb, [f"dup-{i:012d}" for i in range(100)],
                             k=1, id_col="clip_id")
@@ -3264,135 +3237,13 @@ def oracle_sql() -> dict[str, str]:
     # and per-1600-sample/800-hop segment energies via the two-candidate
     # closed form (seg = 2*hop, so sample k2 lies in segments k2//800 and
     # k2//800 - 1, bounds-filtered). Matches prep_segments bit-for-bit.
-    oracles["audio_prep_exact"] = """
-            WITH c AS (
-                SELECT i,
-                  CASE i%4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
-                           WHEN 2 THEN 22050 ELSE 44100 END AS sr,
-                  200 + (i*37)%600 AS dur_ms,
-                  80.0 + (i*131)%900 AS f1, 1000.0 + (i*211)%1000 AS f2,
-                  (i%7)*0.9 AS p1, (i%11)*0.55 AS p2,
-                  0.4 + (i%5)*0.12 AS a1, 0.1 + (i%3)*0.13 AS a2,
-                  (i*97)%1600 AS lead, (i*53)%1200 AS tail
-                FROM generate_series(0, 119) s(i)
-            ), n AS (
-                SELECT *, greatest(1, CAST(round_even(dur_ms*sr/1000.0, 0)
-                                           AS BIGINT)) AS ns
-                FROM c
-            ), k AS (
-                SELECT i, sr, f1, f2, p1, p2, a1, a2, ns, lead, tail,
-                       unnest(range(ns)) AS k
-                FROM n
-            ), h1 AS (
-                SELECT *, ((k >> 9) * 2654435761
-                           + i * 2246822519) % 2147483648 AS h
-                FROM k
-            ), h2 AS (
-                SELECT * REPLACE ((xor(h, h >> 13) * 1274126177)
-                                  % 2147483648 AS h)
-                FROM h1
-            ), w AS (
-                SELECT i, lead, ns, k,
-                  (a1*sin(2*pi()*f1*(k/CAST(sr AS DOUBLE)) + p1)
-                   + a2*sin(2*pi()*f2*(k/CAST(sr AS DOUBLE)) + p2))
-                  * (1 + xor(h, h >> 16) % 7) AS w
-                FROM h2
-            ), sc AS (
-                SELECT i, 0.9/greatest(1e-9, max(abs(w))) AS scale
-                FROM w GROUP BY i
-            ), s16 AS (
-                SELECT w.i, w.lead + w.k AS p,
-                  CAST(CAST(round_even(least(greatest(
-                         CAST(CAST(w.w*sc.scale AS REAL) AS DOUBLE),
-                         -1.0), 1.0) * 32767.0, 0) AS SMALLINT) AS BIGINT)
-                  AS s
-                FROM w JOIN sc USING (i)
-                UNION ALL
-                SELECT i, unnest(range(lead)) AS p, 0 AS s
-                FROM n WHERE lead > 0
-                UNION ALL
-                SELECT i, lead + ns + unnest(range(tail)) AS p, 0 AS s
-                FROM n WHERE tail > 0
-            ), nt AS (
-                SELECT i, lead + ns + tail AS ntot FROM n
-            ), fe AS (
-                SELECT i, p // 128 AS f, sum(s*s) AS e
-                FROM s16 GROUP BY 1, 2
-            ), mx AS (
-                SELECT i, max(e) AS mxe FROM fe GROUP BY i
-            ), act AS (
-                SELECT fe.i, min(f) AS fa, max(f) AS fb
-                FROM fe JOIN mx USING (i)
-                WHERE e * 1000 >= mxe GROUP BY fe.i
-            ), bounds AS (
-                SELECT act.i, fa * 128 AS strt,
-                       least(ntot, (fb + 1) * 128) AS stp
-                FROM act JOIN nt USING (i)
-            ), rs AS (
-                SELECT b.i, c.sr, b.strt, b.stp - b.strt AS nin,
-                       ((b.stp - b.strt) * 16000 + c.sr - 1) // c.sr
-                           AS nout
-                FROM bounds b JOIN c USING (i)
-            ), k2 AS (
-                SELECT i, sr, strt, nin, unnest(range(nout)) AS k2 FROM rs
-            ), pos AS (
-                SELECT i, strt, nin, k2, (k2 * sr) // 16000 AS idx,
-                       CAST((k2 * sr) % 16000 AS DOUBLE) / 16000.0 AS frac
-                FROM k2
-            ), y AS (
-                SELECT pos.i, pos.k2,
-                  CAST(round_even(a.s + pos.frac * (b.s - a.s), 0)
-                       AS BIGINT) AS s2
-                FROM pos
-                JOIN s16 a ON a.i = pos.i AND a.p = pos.strt + pos.idx
-                JOIN s16 b ON b.i = pos.i
-                          AND b.p = pos.strt
-                                    + least(pos.idx + 1, pos.nin - 1)
-            ), ge AS (
-                SELECT i, sum(s2*s2) AS e2, count(*) AS n2
-                FROM y GROUP BY i
-            ), gg AS (
-                SELECT i, 3276.7 / sqrt(CAST(e2 AS DOUBLE) / n2) AS g
-                FROM ge WHERE e2 > 0
-            ), y2 AS (
-                SELECT y.i, y.k2,
-                  CAST(least(greatest(round_even(y.s2 * gg.g, 0),
-                                      -32768.0), 32767.0) AS BIGINT) AS s3
-                FROM y JOIN gg USING (i)
-            ), ns2 AS (
-                SELECT i, count(*) AS nout FROM y2 GROUP BY i
-            ), cand AS (
-                SELECT i, k2 // 800 AS sg, s3 FROM y2
-                UNION ALL
-                SELECT i, k2 // 800 - 1 AS sg, s3 FROM y2
-            ), segf AS (
-                SELECT cand.i, cand.sg, sum(s3*s3) AS energy
-                FROM cand JOIN ns2 USING (i)
-                WHERE cand.sg >= 0
-                  AND cand.sg <= (ns2.nout - 1600) // 800
-                GROUP BY 1, 2
-            )
-            SELECT 'clip-' || lpad(CAST(i AS VARCHAR), 12, '0') AS clip_id,
-                   CAST(sg AS INTEGER) AS seg_idx,
-                   CAST(sg * 800 AS BIGINT) AS seg_start,
-                   CAST(1600 AS INTEGER) AS n_samples,
-                   CAST(energy AS BIGINT) AS energy
-            FROM segf
-        """
-    # streaming dedup-on-ingest: with max_df=4096 above the fixture's
-    # global max fingerprint df (88), no fingerprint is ever hot, so the
-    # streamed pair set provably equals the batch scorer — the oracle IS
-    # the audio_fp_exact replay with the cap lifted (and the same 0.6
-    # Jaccard gate; the loudest false pair scores 0.418).
-    oracles["stream_fp_dedup"] = oracles["audio_fp_exact"].replace(
-        "count(*) <= 64", "count(*) <= 4096")
-    # per-clip quality stats on the same padded gated lattice: counts and
-    # ratios from the replayed s16 CTE — trim rule as above, exact int64
-    # energy, abs(s) >= 32767 saturation count (0 on this 0.9-peak fixture
-    # by design; the nonzero case is pytest-covered), divisions ordered
-    # identically to clip_quality and round_even(_, 6) = np.round on both
-    # sides.
-    oracles["audio_quality_exact"] = """
+    # shared replay prefix for BOTH pad-lattice oracles (audio_prep_exact
+    # + audio_quality_exact): gated closed-form synth -> planted zero pads
+    # -> pcm16 int16 lattice -> per-128-sample int64 frame energies ->
+    # e*1000 >= max(e) trim bounds. One copy, composed below — any fix to
+    # the gate hash / pad formula edits exactly one string (the fp oracle
+    # keeps its own CTEs: param_mod folding, no pads).
+    pad_lattice = """
             WITH c AS (
                 SELECT i,
                   CASE i%4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
@@ -3442,6 +3293,8 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT i, lead + ns + unnest(range(tail)) AS p, 0 AS s
                 FROM n WHERE tail > 0
+            ), nt AS (
+                SELECT i, lead + ns + tail AS ntot FROM n
             ), fe AS (
                 SELECT i, p // 128 AS f, sum(s*s) AS e
                 FROM s16 GROUP BY 1, 2
@@ -3451,13 +3304,81 @@ def oracle_sql() -> dict[str, str]:
                 SELECT fe.i, min(f) AS fa, max(f) AS fb
                 FROM fe JOIN mx USING (i)
                 WHERE e * 1000 >= mxe GROUP BY fe.i
-            ), nt AS (
-                SELECT i, lead + ns + tail AS ntot FROM n
             ), bounds AS (
                 SELECT act.i, fa * 128 AS strt,
                        least(ntot, (fb + 1) * 128) AS stp
                 FROM act JOIN nt USING (i)
-            ), stats AS (
+            )"""
+    oracles["audio_prep_exact"] = pad_lattice + """, rs AS (
+                SELECT b.i, c.sr, b.strt, b.stp - b.strt AS nin,
+                       ((b.stp - b.strt) * 16000 + c.sr - 1) // c.sr
+                           AS nout
+                FROM bounds b JOIN c USING (i)
+            ), k2 AS (
+                SELECT i, sr, strt, nin, unnest(range(nout)) AS k2 FROM rs
+            ), pos AS (
+                SELECT i, strt, nin, k2, (k2 * sr) // 16000 AS idx,
+                       CAST((k2 * sr) % 16000 AS DOUBLE) / 16000.0 AS frac
+                FROM k2
+            ), y AS (
+                SELECT pos.i, pos.k2,
+                  CAST(round_even(a.s + pos.frac * (b.s - a.s), 0)
+                       AS BIGINT) AS s2
+                FROM pos
+                JOIN s16 a ON a.i = pos.i AND a.p = pos.strt + pos.idx
+                JOIN s16 b ON b.i = pos.i
+                          AND b.p = pos.strt
+                                    + least(pos.idx + 1, pos.nin - 1)
+            ), ge AS (
+                SELECT i, sum(s2*s2) AS e2, count(*) AS n2
+                FROM y GROUP BY i
+            ), gg AS (
+                SELECT i, 3276.7 / sqrt(CAST(e2 AS DOUBLE) / n2) AS g
+                FROM ge WHERE e2 > 0
+            ), y2 AS (
+                SELECT y.i, y.k2,
+                  CAST(least(greatest(round_even(y.s2 * gg.g, 0),
+                                      -32768.0), 32767.0) AS BIGINT) AS s3
+                FROM y JOIN gg USING (i)
+            ), ns2 AS (
+                SELECT i, count(*) AS nout FROM y2 GROUP BY i
+            ), cand AS (
+                SELECT i, k2 // 800 AS sg, s3 FROM y2
+                UNION ALL
+                SELECT i, k2 // 800 - 1 AS sg, s3 FROM y2
+            ), segf AS (
+                SELECT cand.i, cand.sg, sum(s3*s3) AS energy
+                FROM cand JOIN ns2 USING (i)
+                -- nout >= 1600 guards the short-clip case: DuckDB's //
+                -- truncates toward zero, so (nout-1600)//800 is 0 (not
+                -- -1) for nout in 801..1599 and would admit a spurious
+                -- seg 0 the kernel (n < seg -> nothing) never emits
+                WHERE ns2.nout >= 1600
+                  AND cand.sg >= 0
+                  AND cand.sg <= (ns2.nout - 1600) // 800
+                GROUP BY 1, 2
+            )
+            SELECT 'clip-' || lpad(CAST(i AS VARCHAR), 12, '0') AS clip_id,
+                   CAST(sg AS INTEGER) AS seg_idx,
+                   CAST(sg * 800 AS BIGINT) AS seg_start,
+                   CAST(1600 AS INTEGER) AS n_samples,
+                   CAST(energy AS BIGINT) AS energy
+            FROM segf
+        """
+    # streaming dedup-on-ingest: with max_df=4096 above the fixture's
+    # global max fingerprint df (88), no fingerprint is ever hot, so the
+    # streamed pair set provably equals the batch scorer — the oracle IS
+    # the audio_fp_exact replay with the cap lifted (and the same 0.6
+    # Jaccard gate; the loudest false pair scores 0.418).
+    oracles["stream_fp_dedup"] = oracles["audio_fp_exact"].replace(
+        "count(*) <= 64", "count(*) <= 4096")
+    # per-clip quality stats on the same padded gated lattice: counts and
+    # ratios from the replayed s16 CTE — trim rule as above, exact int64
+    # energy, abs(s) >= 32767 saturation count (0 on this 0.9-peak fixture
+    # by design; the nonzero case is pytest-covered), divisions ordered
+    # identically to clip_quality and round_even(_, 6) = np.round on both
+    # sides.
+    oracles["audio_quality_exact"] = pad_lattice + """, stats AS (
                 SELECT i, count(*) AS nn, sum(s*s) AS e,
                        sum(CASE WHEN abs(s) >= 32767 THEN 1 ELSE 0 END)
                            AS nclip

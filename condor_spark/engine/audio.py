@@ -728,7 +728,7 @@ def frame_energy_levels(x: np.ndarray, frame: int = 256) -> np.ndarray:
     """int16 samples -> per-full-frame log-quantized energy level.
 
     e_f = sum(x^2) over frame f is an exact integer (frame*32767^2 < 2^53
-    for frame <= 2^26). level = bit_length(e_f)*4 + the two mantissa bits
+    for frame <= 2^23). level = bit_length(e_f)*4 + the two mantissa bits
     after the leading 1 — a base-2^(1/4)-ish log quantization (~12.5%
     relative resolution; bit_length alone was measured too coarse: its
     tiny level alphabet made 240 distinct clips collide into shared
@@ -803,7 +803,10 @@ def clip_fp_landmarks(wave: np.ndarray, n_fft: int = 512, hop: int = 256,
     for r in range(k):
         a = np.argmax(p, axis=1)
         v = p[rows, a]
-        ok = v >= sal * fmax
+        # v > 0 guards the all-zero frame: with fmax = 0 the salience
+        # compare degenerates to 0 >= 0 and digital silence would emit
+        # bin-0 landmarks shared by EVERY clip containing a silent region
+        ok = (v > 0) & (v >= sal * fmax)
         peaks[ok, r] = a[ok]
         cols = np.clip(a[:, None] + offs[None, :], 0, p.shape[1] - 1)
         p[rows[:, None], cols] = 0.0
@@ -999,11 +1002,14 @@ def fingerprint_pairs(fp_df, min_matches: int = 8, max_df: int | None = 64,
                                F.col("nfp").alias("na")), "id_a")
            .join(counts.select(F.col("clip_id").alias("id_b"),
                                F.col("nfp").alias("nb")), "id_b")
-           .withColumn("jaccard",
-                       F.round(F.col("n_match")
+           .withColumn("_jac", F.col("n_match")
                                / (F.col("na") + F.col("nb")
-                                  - F.col("n_match")), 6))
-           .select("id_a", "id_b", "n_match", "jaccard"))
+                                  - F.col("n_match"))))
     if min_jaccard is not None:
-        out = out.filter(F.col("jaccard") >= float(min_jaccard))
+        # filter the RAW ratio, not the rounded display column — the SQL
+        # oracles do the same, and a ratio in [t - 5e-7, t) would
+        # otherwise round up to t and survive only on the Spark side
+        out = out.filter(F.col("_jac") >= float(min_jaccard))
+    out = out.select("id_a", "id_b", "n_match",
+                     F.round(F.col("_jac"), 6).alias("jaccard"))
     return pin_result(out, fps, key="audio_fingerprint_pairs")

@@ -130,15 +130,16 @@ class StreamFpDedup:
                                      F.col("nfp").alias("na")), "id_a")
                  .join(counts.select(F.col("id").alias("id_b"),
                                      F.col("nfp").alias("nb")), "id_b")
-                 .withColumn("jaccard",
-                             F.round(F.col("n_match")
+                 .withColumn("_jac", F.col("n_match")
                                      / (F.col("na") + F.col("nb")
-                                        - F.col("n_match")), 6))
-                 .select("id_a", "id_b", "n_match", "jaccard")
-                 .withColumn("batch_id", F.lit(int(batch_id))))
+                                        - F.col("n_match"))))
         if self.min_jaccard is not None:
-            pairs = pairs.filter(F.col("jaccard")
+            # raw-ratio filter, matching the batch scorer + SQL oracles
+            pairs = pairs.filter(F.col("_jac")
                                  >= float(self.min_jaccard))
+        pairs = pairs.select("id_a", "id_b", "n_match",
+                             F.round(F.col("_jac"), 6).alias("jaccard"),
+                             F.lit(int(batch_id)).alias("batch_id"))
         fps_path = os.path.join(self.sink_dir, "fps",
                                 f"b{int(batch_id)}.parquet")
         pairs_path = os.path.join(self.sink_dir, "pairs",

@@ -151,6 +151,28 @@ def audio_clips_exact(spark, n: int, num_partitions: int | None = None,
     return base.mapInPandas(gen, schema=CLIP_SCHEMA)
 
 
+def reencode_dups(df, codec: str = "mulaw", prefix: str = "dup-"):
+    """Re-encode every clip of ``df`` under a (lossy) ``codec`` with a new
+    ``prefix``-ed id — the planted-ground-truth builder for near-dup
+    detection tests and queries: each output row is a TRUE content
+    duplicate of its source clip under a distinct id. Distributed
+    (mapInPandas over the input partitions)."""
+    from .engine.audio import decode, encode
+
+    def reenc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = pdf.copy()
+            out["clip_id"] = prefix + out["clip_id"].str[5:]
+            out["bytes"] = [encode(decode(b, c), codec)
+                            for b, c in zip(pdf["bytes"], pdf["codec"])]
+            out["codec"] = codec
+            yield out
+
+    return df.mapInPandas(reenc, schema=df.schema)
+
+
 def ground_truth_wave(i: int) -> np.ndarray:
     """Pre-encoding float waveform for the per-row SNR>=30dB invariant."""
     r = clip_row(i)  # cheap metadata recompute

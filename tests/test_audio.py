@@ -392,24 +392,17 @@ def test_landmark_fp_codec_invariance_and_separation():
 def test_landmark_fp_spark_planted_dups(spark):
     """End-to-end Spark path: 40 RNG clips + 20 mulaw re-encodes under new
     ids — all 20 planted duplicate pairs reported at Jaccard 1.0."""
-    import pandas as pd
+    from pyspark.sql import functions as F
 
-    from condor_spark.engine.audio import (decode, encode,
-                                           fingerprint_pairs,
+    from condor_spark.engine.audio import (fingerprint_pairs,
                                            landmark_fingerprints)
 
-    rows = [fixtures.clip_row(i) for i in range(40)]
-    dups = []
-    for r in rows[:20]:
-        w = decode(r["bytes"], r["codec"])
-        d = dict(r)
-        d["clip_id"] = "dup-" + r["clip_id"][5:]
-        d["bytes"] = encode(w, "mulaw")
-        d["codec"] = "mulaw"
-        dups.append(d)
-    df = spark.createDataFrame(pd.DataFrame(rows + dups)).repartition(4)
-    got = (fingerprint_pairs(landmark_fingerprints(df), min_matches=3,
-                             max_df=64, min_jaccard=0.35)
+    base = fixtures.audio_clips(spark, 40, num_partitions=4)
+    dups = fixtures.reencode_dups(
+        base.filter(F.col("clip_id") < "clip-000000000020"))
+    got = (fingerprint_pairs(
+               landmark_fingerprints(base.unionByName(dups)),
+               min_matches=3, max_df=64, min_jaccard=0.35)
            .toPandas())
     planted = got[got.id_a.str.startswith("clip-")
                   & got.id_b.str.startswith("dup-")
@@ -424,24 +417,16 @@ def test_audio_embeddings_bridge_to_similarity(spark):
     """audio_embeddings feeds the similarity family unchanged: mulaw
     re-encodes of 20 clips are each other's top-1 cosine neighbor, and
     cosine_near_dup_pairs at 0.95 returns exactly the 20 planted pairs."""
-    import pandas as pd
+    from pyspark.sql import functions as F
 
-    from condor_spark.engine.audio import (audio_embeddings, decode,
-                                           encode)
+    from condor_spark.engine.audio import audio_embeddings
     from condor_spark.engine.similarity import (brute_force_topk,
                                                 cosine_near_dup_pairs)
 
-    rows = [fixtures.clip_row(i) for i in range(40)]
-    dups = []
-    for r in rows[:20]:
-        w = decode(r["bytes"], r["codec"])
-        d = dict(r)
-        d["clip_id"] = "dup-" + r["clip_id"][5:]
-        d["bytes"] = encode(w, "mulaw")
-        d["codec"] = "mulaw"
-        dups.append(d)
-    df = spark.createDataFrame(pd.DataFrame(rows + dups)).repartition(4)
-    emb = audio_embeddings(df).persist()
+    base = fixtures.audio_clips(spark, 40, num_partitions=4)
+    dups = fixtures.reencode_dups(
+        base.filter(F.col("clip_id") < "clip-000000000020"))
+    emb = audio_embeddings(base.unionByName(dups)).persist()
 
     pairs = cosine_near_dup_pairs(emb, threshold=0.95,
                                   id_col="clip_id").toPandas()

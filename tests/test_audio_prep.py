@@ -126,8 +126,7 @@ def test_prep_clips_roundtrip(spark):
     assert (out["codec"] == "pcm_s16le").all()
     for _, r in out.iterrows():
         x = np.frombuffer(r["bytes"], dtype="<i2")
-        assert x.size == r["dur_ms"] * 16 + (x.size - r["dur_ms"] * 16)
-        assert 0 <= x.size - r["dur_ms"] * 16 < 16  # dur_ms = floor
+        assert 0 <= x.size - r["dur_ms"] * 16 < 16  # dur_ms = floor(n/sr)
         rms = float(np.sqrt((x.astype(np.float64) ** 2).mean()))
         assert abs(rms - DEFAULT_TARGET_RMS) / DEFAULT_TARGET_RMS < 0.05
     # schema preserved exactly (a pipeline can write it back to the lake)
