@@ -1139,6 +1139,43 @@ def q_audio_ann_topk(spark, sf_dir):
                             k=1, id_col="clip_id")
 
 
+def q_stream_text_dedup(spark, sf_dir):
+    """Streaming EXACT dedup-on-ingest over the driver's own documents
+    table (the text twin of stream_fp_dedup, same engine): the originals
+    arrive as batch 0, then an upper-cased / whitespace-mangled copy of
+    every doc under doc_id+10000 arrives as batch 1 — content-identical
+    under the md5(lower(normalized-whitespace)) fingerprint
+    (text.fingerprints), so each planted pair surfaces in batch 1 with
+    n_match=1, jaccard=1.0. One whole-doc fingerprint per row and no df
+    cap, so stream == batch holds unconditionally and DuckDB replays the
+    union + mutation + normalization + md5 self-join directly against
+    the same parquet. The near-dup streaming variant is stream_fp_dedup
+    (shingle fps need the stop-fp cap; 3-gram text shingles are hot by
+    construction, so the text near-dup scale path stays MinHash/LSH)."""
+    from condor_spark.engine.dedup_stream import StreamFpDedup
+    from condor_spark.engine.text import fingerprints
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    mutated = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit("   ")).alias("text"))
+    tmp = _fresh_tmp("textdedup", sf_dir)
+    src = f"{tmp}/docs"
+    docs.coalesce(1).write.mode("append").parquet(src)
+    mutated.coalesce(1).write.mode("append").parquet(src)
+    job = StreamFpDedup(
+        sink_dir=f"{tmp}/sink",
+        fingerprint_fn=lambda df: fingerprints(df).select("doc_id",
+                                                          "fingerprint"),
+        min_matches=1, max_df=None, id_col="doc_id")
+    job.run(spark, src, f"{tmp}/ckpt")
+    return (job.read_pairs(spark)
+            .select(F.col("doc_id_a").alias("id_a"),
+                    F.col("doc_id_b").alias("id_b"),
+                    "n_match", "jaccard"))
+
+
 def q_cm_frequency_tree(spark, sf_dir):
     """Two-level treeReduce merge topology — byte-identical synopses to the
     flat merge, so it shares cm_user_frequency's exact oracle."""
@@ -1856,6 +1893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "audio_quality_exact": q_audio_quality_exact,
         "stream_fp_dedup": q_stream_fp_dedup,
+        "stream_text_dedup": q_stream_text_dedup,
         "bottomk_sample": q_bottomk_sample,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
@@ -3372,6 +3410,26 @@ def oracle_sql() -> dict[str, str]:
     # Jaccard gate; the loudest false pair scores 0.418).
     oracles["stream_fp_dedup"] = oracles["audio_fp_exact"].replace(
         "count(*) <= 64", "count(*) <= 4096")
+    # streaming exact text dedup: one whole-doc md5 fingerprint per row
+    # and no df cap -> stream == batch unconditionally; DuckDB replays
+    # the planted-duplicate union (doc_id+10000, case/whitespace-mangled
+    # text), the md5(lower(ws-normalized)) fingerprint and the self-join
+    # directly against the same documents parquet
+    oracles["stream_text_dedup"] = f"""
+            WITH all_docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000 AS doc_id,
+                       '  ' || upper(text) || '   ' AS text
+                FROM documents
+            ), f AS (
+                SELECT doc_id, md5({_NORM}) AS fp FROM all_docs
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(1 AS BIGINT) AS n_match,
+                   CAST(1.0 AS DOUBLE) AS jaccard
+            FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        """
     # per-clip quality stats on the same padded gated lattice: counts and
     # ratios from the replayed s16 CTE — trim rule as above, exact int64
     # energy, abs(s) >= 32767 saturation count (0 on this 0.9-peak fixture
