@@ -88,7 +88,10 @@ class StreamFpDedup:
                  .toDF("id", "fp")
                  .dropDuplicates(["id", "fp"])
                  .persist())
-        store_paths = [e["fps"] for e in ledger["committed"].values()]
+        # set(): after compact() many batches share one path — reading it
+        # once per batch would double-count store df and per-id counts
+        store_paths = sorted({e["fps"]
+                              for e in ledger["committed"].values()})
         if store_paths:
             store = spark.read.parquet(*store_paths).toDF("id", "fp")
             all_fps = store.unionByName(fps_b)
@@ -179,7 +182,39 @@ class StreamFpDedup:
 
     def read_fps(self, spark: SparkSession) -> DataFrame:
         led = self._read_ledger()
-        paths = [e["fps"] for e in led["committed"].values()]
+        paths = sorted({e["fps"] for e in led["committed"].values()})
         if not paths:
             return spark.createDataFrame([], "id string, fp long")
         return spark.read.parquet(*paths)
+
+    def compact(self, spark: SparkSession,
+                target_files: int = 8) -> dict:
+        """Bin-pack the committed fingerprint store into one compacted
+        parquet (the rewriteDataFiles analogue for the dedup store): a
+        long-running ingest stream otherwise accumulates one small file
+        per batch, and the per-batch store scan pays one file-open per
+        batch ever committed. Crash-safe in the same way as the batch
+        commit: the compacted file is written first, the ledger repoint
+        is one atomic os.replace, and only then are the orphaned
+        per-batch files removed (a crash between the two leaves readable
+        orphans, not a broken store). Pairs files are untouched — they
+        are the output log, not the working set."""
+        import shutil
+
+        ledger = self._read_ledger()
+        old = sorted({e["fps"] for e in ledger["committed"].values()})
+        if len(old) <= 1:
+            return {"compacted": 0, "files": len(old)}
+        n = ledger.get("compact_epoch", 0) + 1
+        path = os.path.join(self.sink_dir, "fps",
+                            f"compact_e{n}.parquet")
+        (spark.read.parquet(*old).coalesce(int(target_files))
+         .write.mode("overwrite").parquet(path))
+        for e in ledger["committed"].values():
+            e["fps"] = path
+        ledger["compact_epoch"] = n
+        self._commit(ledger)  # atomic repoint
+        for p in old:
+            if os.path.abspath(p) != os.path.abspath(path):
+                shutil.rmtree(p, ignore_errors=True)
+        return {"compacted": len(old), "files": 1, "path": path}

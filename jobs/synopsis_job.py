@@ -44,6 +44,15 @@ Modes:
                    the per-segment audit rows with --segments. Streaming
                    append when --checkpoint is given, one-shot batch
                    otherwise. --kind/--column are not needed.
+  --mode dedupstream  streaming near-dup dedup-on-ingest
+                   (engine/dedup_stream.py): each micro-batch's
+                   fingerprints join the accumulating committed store;
+                   pairs land under --sink/pairs, the fingerprint store
+                   under --sink/fps (exactly-once ledger). --params is
+                   the knob JSON: {"extractor": "band"|"landmark"|"text",
+                   "min_matches": N, "max_df": N|null, "min_jaccard": F,
+                   "compact": true} — "compact" bin-packs the store after
+                   the run. --kind/--column are not needed.
   --mode snapshots table maintenance on an existing stream sink: list the
                    committed snapshot history, export one (--as-of-version,
                    time travel), export the delta since a version
@@ -87,7 +96,7 @@ def parse_args(argv):
     p.add_argument("--watermark-delay", default="10 seconds")
     p.add_argument("--mode", choices=("stream", "stateful", "sql", "batch",
                                       "querylatest", "features", "snapshots",
-                                      "cep", "prep"),
+                                      "cep", "prep", "dedupstream"),
                    default="stream")
     p.add_argument("--pattern", choices=("sequence", "absence", "kleene",
                                          "adjacent", "chain"),
@@ -191,6 +200,49 @@ def main(argv=None) -> None:
             (extract(spark.read.parquet(args.input),
                      passthrough=(args.ts_column,))
              .write.mode("overwrite").parquet(args.sink))
+        spark.stop()
+        return
+
+    if args.mode == "dedupstream":
+        if not args.checkpoint:
+            raise SystemExit("--checkpoint is required in dedupstream mode")
+        from condor_spark.engine.dedup_stream import StreamFpDedup
+
+        knobs = json.loads(args.params)
+        extractor = knobs.get("extractor", "band")
+        if extractor == "band":
+            from condor_spark.engine.audio import band_energy_fingerprints
+
+            def fpfn(df):
+                return band_energy_fingerprints(df)
+            id_col = "clip_id"
+        elif extractor == "landmark":
+            from condor_spark.engine.audio import landmark_fingerprints
+
+            def fpfn(df):
+                return landmark_fingerprints(df)
+            id_col = "clip_id"
+        elif extractor == "text":
+            from condor_spark.engine.text import fingerprints
+
+            def fpfn(df):
+                return fingerprints(df).select("doc_id", "fingerprint")
+            id_col = "doc_id"
+        else:
+            raise SystemExit(f"unknown extractor {extractor!r}")
+        job = StreamFpDedup(
+            sink_dir=args.sink, fingerprint_fn=fpfn,
+            min_matches=int(knobs.get("min_matches", 3)),
+            max_df=knobs.get("max_df", 64),
+            min_jaccard=knobs.get("min_jaccard"),
+            id_col=knobs.get("id_col", id_col))
+        job.run(spark, args.input, args.checkpoint,
+                max_files_per_trigger=args.max_files_per_trigger)
+        summary = {"batches": len(job._read_ledger()["committed"]),
+                   "pairs": job.read_pairs(spark).count()}
+        if knobs.get("compact"):
+            summary["compact"] = job.compact(spark)
+        print(json.dumps(summary))
         spark.stop()
         return
 

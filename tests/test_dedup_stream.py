@@ -124,3 +124,36 @@ def test_cross_batch_discovery_order(spark, tmp_path):
     assert p.iloc[0]["jaccard"] == 1.0
     job.process_batch(mk([("c", 99), ("c", 98)]), 2)
     assert job.read_pairs(spark).count() == 1  # (a, b) not re-emitted
+
+
+def test_compact_store_preserves_behavior(spark, tmp_path):
+    """compact() bin-packs the fps store into one file; subsequent
+    batches read it once (no double-counted df) and produce the same
+    pairs a never-compacted run would."""
+    def mk(ids_fps):
+        return spark.createDataFrame(
+            pd.DataFrame(ids_fps, columns=["clip_id", "fp"]))
+
+    def run(sink, do_compact):
+        job = StreamFpDedup(sink_dir=str(sink),
+                            fingerprint_fn=lambda df: df, min_matches=2,
+                            max_df=3)
+        job.process_batch(mk([("a", 1), ("a", 2), ("a", 7)]), 0)
+        job.process_batch(mk([("b", 1), ("b", 2), ("b", 8)]), 1)
+        if do_compact:
+            out = job.compact(spark)
+            assert out["compacted"] == 2
+            # idempotent second call: nothing to do
+            assert job.compact(spark)["compacted"] == 0
+        # fp 1,2 reach df=3 here (cap is >3, so still not hot); pair
+        # (a,c) and (b,c) share exactly {1,2}
+        job.process_batch(mk([("c", 1), ("c", 2), ("c", 9)]), 2)
+        return (job.read_pairs(spark).toPandas()
+                .sort_values(["clip_id_a", "clip_id_b"])
+                .reset_index(drop=True))
+
+    plain = run(tmp_path / "plain", False)
+    comp = run(tmp_path / "comp", True)
+    pd.testing.assert_frame_equal(plain, comp)
+    assert len(comp) == 3  # (a,b) @1, (a,c)+(b,c) @2
+    assert (comp["n_match"] == 2).all()

@@ -2,6 +2,7 @@
 from a directory where the package is NOT importable, proving the zip is the
 only code channel — exactly how it ships to a multi-executor cluster."""
 
+import json
 import os
 import shutil
 import subprocess
@@ -568,3 +569,78 @@ def test_spark_submit_prep_job(tmp_path):
     assert len(got) == len(want) > 60
     for c in got.columns:
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+@pytest.mark.slow
+def test_spark_submit_dedupstream_job(tmp_path):
+    """--mode dedupstream deploys streaming dedup-on-ingest: band-energy
+    fingerprints over a 2-batch clip replay, pairs equal to the batch
+    scorer (nothing hot at this cap), resume adds nothing, and the
+    compact knob bin-packs the store."""
+    spark_submit = shutil.which("spark-submit")
+    assert spark_submit, "spark-submit not on PATH"
+
+    import pandas as pd
+    from pyspark.sql import SparkSession
+
+    from condor_spark import fixtures
+    from condor_spark.engine.audio import (band_energy_fingerprints,
+                                           fingerprint_pairs)
+
+    spark = SparkSession.getActiveSession() or (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false").getOrCreate())
+    src = str(tmp_path / "clips")
+    for f in range(2):
+        pdf = pd.DataFrame([fixtures.clip_row_exact(i, param_mod=40,
+                                                    gate=True)
+                            for i in range(f * 40, (f + 1) * 40)])
+        spark.createDataFrame(pdf).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    sink = str(tmp_path / "dedup")
+    cmd = [
+        spark_submit, "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--py-files", _make_zip(tmp_path),
+        os.path.join(REPO, "jobs", "synopsis_job.py"),
+        "--mode", "dedupstream",
+        "--input", src, "--sink", sink,
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--max-files-per-trigger", "1",
+        "--params", '{"min_matches": 3, "max_df": 4096, '
+                    '"min_jaccard": 0.6, "compact": true}',
+    ]
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    r = subprocess.run(cmd, cwd=str(tmp_path), env=env,
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-4000:]
+    summary = json.loads([l for l in r.stdout.strip().splitlines()
+                          if l.startswith("{")][-1])
+    assert summary["batches"] == 2
+    assert summary["compact"]["compacted"] == 2
+
+    got = (spark.read.parquet(f"{sink}/pairs/*.parquet")
+           .toPandas().sort_values(["id_a", "id_b"])
+           .reset_index(drop=True))
+    clips = fixtures.audio_clips_exact(spark, 80, num_partitions=4,
+                                       param_mod=40, gate=True)
+    want = (fingerprint_pairs(band_energy_fingerprints(clips),
+                              min_matches=3, max_df=4096, min_jaccard=0.6)
+            .toPandas().sort_values(["id_a", "id_b"])
+            .reset_index(drop=True))
+    assert len(got) == len(want) == 40
+    for c in ("id_a", "id_b", "n_match", "jaccard"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+    # resume with the same checkpoint: no new files -> nothing changes
+    r2 = subprocess.run(cmd, cwd=str(tmp_path), env=env,
+                        capture_output=True, text=True, timeout=600)
+    assert r2.returncode == 0, r2.stderr[-4000:]
+    s2 = json.loads([l for l in r2.stdout.strip().splitlines()
+                     if l.startswith("{")][-1])
+    assert s2["batches"] == 2 and s2["pairs"] == summary["pairs"]
