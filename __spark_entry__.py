@@ -1819,8 +1819,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     cuckoo_membership, equiwidth_hist and stream_query_latest; and
     stream_incremental (exact oracle — the changelog read over the same
     manifest sink whose snapshot reads are in-window via
-    stream_compacted); all stay
-    verified by tests/test_entry.py every run. The trailing block is the
+    stream_compacted); late-r3 exact-oracle tail additions:
+    audio_quality_exact (the quality stats recompute from the same
+    replayed lattice whose trim/energy math is in-window via
+    audio_prep_exact), stream_fp_dedup and stream_text_dedup (the
+    streaming dedup engine, provably batch-equal under their cap
+    configs, whose batch scorer is in-window via audio_fp_exact); all
+    stay verified by tests/test_entry.py every run. The trailing block is the
     genuinely rows-only set (randomized samplers, LSH/IVF approximations,
     media/audio feature pipelines, FFT-based audio_spectral and
     audio_fp_landmarks — the latter's pair-join plumbing exact-verified
