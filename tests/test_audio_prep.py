@@ -248,3 +248,47 @@ try:
             assert np.array_equal(y, x)
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+def test_prep_filtered_gates_and_matches_composition(spark):
+    """The fused filter+prep equals clip_quality -> filter -> prep_clips
+    composed, and actually rejects the planted bad clips."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from condor_spark.engine.audio import encode
+    from condor_spark.engine.audio_prep import clip_quality, prep_filtered
+
+    sr = 16000
+    tone = 0.5 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)
+    rows = [fixtures.clip_row(i) for i in range(12)]       # good clips
+    rows.append({"clip_id": "zz-silent",
+                 "bytes": encode(np.concatenate([np.zeros(3 * sr),
+                                                 0.4 * tone[:sr // 2]]),
+                                 "pcm_s16le"),
+                 "sr_hz": sr, "dur_ms": 3500, "codec": "pcm_s16le",
+                 "transcript": "x", "ts": pd.Timestamp("2026-01-01")})
+    rows.append({"clip_id": "zz-clipped",
+                 "bytes": encode(3.0 * tone, "pcm_s16le"), "sr_hz": sr,
+                 "dur_ms": 1000, "codec": "pcm_s16le",
+                 "transcript": "x", "ts": pd.Timestamp("2026-01-01")})
+    rows.append({"clip_id": "zz-quiet",
+                 "bytes": encode(0.001 * tone, "pcm_s16le"), "sr_hz": sr,
+                 "dur_ms": 1000, "codec": "pcm_s16le",
+                 "transcript": "x", "ts": pd.Timestamp("2026-01-01")})
+    df = spark.createDataFrame(pd.DataFrame(rows)).repartition(3)
+
+    got = (prep_filtered(df).toPandas()
+           .sort_values("clip_id").reset_index(drop=True))
+    assert not got["clip_id"].str.startswith("zz-").any()
+    assert len(got) == 12
+
+    # composition: quality -> gate -> prep_clips on the survivors
+    q = clip_quality(df).toPandas()
+    ok = q[(q.active_ratio >= 0.5) & (q.clip_ratio <= 0.01)
+           & (q.rms >= 100.0)]["clip_id"]
+    want = (prep_clips(df.filter(F.col("clip_id").isin(list(ok))))
+            .toPandas().sort_values("clip_id").reset_index(drop=True))
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
