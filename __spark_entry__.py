@@ -539,6 +539,23 @@ def q_ams_f2(spark, sf_dir):
                     F.round("est_f2", 2).alias("est_f2")))
 
 
+def q_ams_join_size(spark, sf_dir):
+    """AGMS equi-join size estimate between two event streams: 'click' vs
+    'view' events sketched on user_id with the SAME hash family, per
+    tumbling day — |A ⋈ B| ≈ median row inner product. The reference ships
+    only the self-join case (FastAGMS.java:219); the two-stream estimator
+    is the classic AGMS generalization, replayed exactly in SQL by the
+    same EH3/H3 oracle as ams_f2."""
+    df = _events(spark, sf_dir)
+    mk = lambda: SynopsisSpec(kind="ams", params=dict(width=1024, height=7, seed=7),
+                              column="user_id", ts_column="ts", window=Tumbling(DAY))
+    a = build_batch(df.filter(F.col("event_type") == "click"), mk())
+    b = build_batch(df.filter(F.col("event_type") == "view"), mk())
+    return (ev.join_size_estimates(a, b)
+            .select(F.col("window_start").cast(NTZ).alias("window_start"),
+                    F.round("est_join", 2).alias("est_join")))
+
+
 def q_cm_sql_frequency(spark, sf_dir):
     """Count-Min built by the pure-JVM SQL path (sqlbuild.build_sketch_sql:
     H3 as byte-LUT expressions, scatter/merge as SQL aggregation). Blob
@@ -1820,6 +1837,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stream_incremental (exact oracle — the changelog read over the same
     manifest sink whose snapshot reads are in-window via
     stream_compacted); late-r3 exact-oracle tail additions:
+    ams_join_size (the two-stream AGMS join-size generalization — its
+    build path is ams_f2's in-window distributed build twice over, and
+    its EH3/H3 replay oracle is _ams_oracle_sql extended to an inner
+    product, so the only new surface is the blob-pair evaluator),
     audio_quality_exact (the quality stats recompute from the same
     replayed lattice whose trim/energy math is in-window via
     audio_prep_exact), stream_fp_dedup and stream_text_dedup (the
@@ -1926,6 +1947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equiwidth_sql_hist": q_equiwidth_sql_hist,
         "ams_sql_f2": q_ams_sql_f2,
         "hll_sql_distinct": q_hll_sql_distinct,
+        "ams_join_size": q_ams_join_size,
         "dd_quantile_pointquery": q_dd_quantile_pointquery,
         "cuckoo_pointquery": q_cuckoo_pointquery,
         "equiwidth_rangequery": q_equiwidth_rangequery,
@@ -2180,6 +2202,66 @@ def _ams_oracle_sql(width: int = 1024, height: int = 7, seed: int = 7) -> str:
                         FROM cells GROUP BY 1, 2)
         SELECT ws AS window_start, ROUND(median(f2), 2) AS est_f2
         FROM rowsum GROUP BY 1
+    """
+
+
+def _ams_join_oracle_sql(width: int = 1024, height: int = 7, seed: int = 7,
+                         type_a: str = "click", type_b: str = "view") -> str:
+    """Exact SQL replay of the two-stream AGMS join-size estimate: both
+    sketches' cells materialize relationally from the same embedded H3/EH3
+    constants as ``_ams_oracle_sql``, the per-row inner product sums only
+    over cells nonzero in BOTH (absent cells contribute 0), every (window,
+    row) pair is kept via the window-intersection × row-domain frame, and
+    the median over rows reproduces ``FastAGMS.estimate_join`` exactly."""
+    from condor_spark.synopsis.hashing import EH3Family, H3Family
+
+    h3, e3 = H3Family(height, seed), EH3Family(height, seed)
+    qvals = ", ".join(f"({r}, {j}, {int(h3.q[r, j])})"
+                      for r in range(height) for j in range(32))
+    evals = ", ".join(f"({r}, {int(e3.s0[r])}, {int(e3.S[r])})"
+                      for r in range(height))
+    return f"""
+        WITH q(r, j, qv) AS (VALUES {qvals}),
+             e3(r, s0, S) AS (VALUES {evals}),
+             keys AS (SELECT DISTINCT user_id FROM events
+                      WHERE event_type IN ('{type_a}', '{type_b}')),
+             h3 AS (SELECT k.user_id, q.r,
+                           bit_xor(CASE WHEN (k.user_id >> q.j) & 1 = 1
+                                        THEN q.qv ELSE 0 END) AS acc
+                    FROM keys k CROSS JOIN q GROUP BY 1, 2),
+             colsgn AS (SELECT h.user_id, h.r,
+                               (h.acc & 2147483647) % {width} AS col,
+                               CASE WHEN xor(xor(e3.s0,
+                                          bit_count(e3.S & k.user_id) % 2),
+                                          bit_count((k.user_id & 1431655765)
+                                                    & ((k.user_id >> 1) & 1431655765)) % 2
+                                         ) = 1 THEN 1 ELSE -1 END AS sgn
+                        FROM h3 h JOIN e3 ON e3.r = h.r
+                        JOIN keys k ON k.user_id = h.user_id),
+             cells_a AS (SELECT time_bucket(INTERVAL '1 day', ev.ts) AS ws,
+                                cs.r, cs.col, SUM(cs.sgn) AS cell
+                         FROM events ev JOIN colsgn cs USING (user_id)
+                         WHERE ev.event_type = '{type_a}'
+                         GROUP BY 1, 2, 3),
+             cells_b AS (SELECT time_bucket(INTERVAL '1 day', ev.ts) AS ws,
+                                cs.r, cs.col, SUM(cs.sgn) AS cell
+                         FROM events ev JOIN colsgn cs USING (user_id)
+                         WHERE ev.event_type = '{type_b}'
+                         GROUP BY 1, 2, 3),
+             prods AS (SELECT a.ws, a.r, SUM(a.cell * b.cell) AS ip
+                       FROM cells_a a
+                       JOIN cells_b b ON a.ws = b.ws AND a.r = b.r
+                                     AND a.col = b.col
+                       GROUP BY 1, 2),
+             wins AS (SELECT DISTINCT ws FROM cells_a
+                      INTERSECT SELECT DISTINCT ws FROM cells_b),
+             frame AS (SELECT w.ws, r.r FROM wins w
+                       CROSS JOIN (SELECT DISTINCT r FROM q) r),
+             rowip AS (SELECT f.ws, f.r, COALESCE(p.ip, 0) AS ip
+                       FROM frame f LEFT JOIN prods p
+                            ON p.ws = f.ws AND p.r = f.r)
+        SELECT ws AS window_start, ROUND(median(ip), 2) AS est_join
+        FROM rowip GROUP BY 1
     """
 
 
@@ -2795,6 +2877,7 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["ams_f2"] = _ams_oracle_sql(width=1024, height=7, seed=7)
     oracles["ams_sql_f2"] = _ams_oracle_sql(width=1024, height=7, seed=7)
+    oracles["ams_join_size"] = _ams_join_oracle_sql(width=1024, height=7, seed=7)
     oracles["hll_distinct"] = _hll_oracle_sql(log_reg_num=14, seed=7)
     oracles["hll_sql_distinct"] = _hll_oracle_sql(log_reg_num=14, seed=7)
     # codegen point-query twins: DD quantile estimator replayed in SQL

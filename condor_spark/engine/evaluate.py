@@ -147,6 +147,39 @@ def f2_estimates(syn_df: DataFrame) -> DataFrame:
         "window_start timestamp, window_end timestamp, stratum string, est_f2 double")
 
 
+def join_size_estimates(syn_a: DataFrame, syn_b: DataFrame) -> DataFrame:
+    """AGMS equi-join size |A ⋈ B| per window: the two synopsis streams are
+    joined on (window, stratum) and each pair of blobs answers via
+    ``FastAGMS.estimate_join`` (median row inner product).
+
+    The reference only ships the self-join case (FastAGMS.estimateF2,
+    core/.../Sketches/FastAGMS.java:219); this is the two-stream
+    generalization. Scale: the join carries one sketch blob per (window,
+    stratum) — row counts are window counts, not event counts — so the
+    equi-join shuffles O(windows×strata) short rows regardless of input
+    size, and both sides were already reduced by the distributed build."""
+    b = syn_b.select("window_start", "window_end", "stratum",
+                     F.col("state").alias("state_b"))
+    joined = syn_a.join(b, ["window_start", "window_end", "stratum"], "inner")
+
+    def mapper(batches):
+        for pdf in batches:
+            outs = []
+            for _, row in pdf.iterrows():
+                sa = Synopsis.from_bytes(row["state"])
+                sb = Synopsis.from_bytes(row["state_b"])
+                outs.append({"window_start": row["window_start"],
+                             "window_end": row["window_end"],
+                             "stratum": row["stratum"],
+                             "est_join": float(sa.estimate_join(sb))})
+            if outs:
+                yield pd.DataFrame(outs)
+
+    return joined.mapInPandas(
+        mapper, schema=("window_start timestamp, window_end timestamp, "
+                        "stratum string, est_join double"))
+
+
 def histogram_counts(syn_df: DataFrame) -> DataFrame:
     """Equi-width bucket counts per window (EquiWidthHistogramAccuracy.java:72-80)."""
     def fn(syn, row):

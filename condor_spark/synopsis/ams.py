@@ -79,6 +79,28 @@ class FastAGMS(Synopsis):
     def error_probability(self) -> float:
         return 1.0 / (2 ** self.height)
 
+    def estimate_join(self, other: "FastAGMS") -> float:
+        """Equi-join size |A ⋈ B| = Σ_k f_A(k)·f_B(k): median over rows of
+        the inner product of two sketches built with the SAME hash family.
+
+        The classic AGMS estimator (Alon/Gibbons/Matias/Szegedy, "Tracking
+        join and self-join sizes in limited storage"); the reference exposes
+        only the self-join special case (FastAGMS.estimateF2,
+        core/.../Sketches/FastAGMS.java:219) — ``estimate_f2()`` ==
+        ``estimate_join(self)``. Requires identical (width, height, seed);
+        ``_check_same`` enforces it."""
+        self._check_same(other)
+        per_row = (self.counts.astype(np.float64)
+                   * other.counts.astype(np.float64)).sum(axis=1)
+        return float(np.median(per_row))
+
+    def join_error_bound(self, other: "FastAGMS") -> float:
+        """One per-row std dev of the join estimate: Var ≤ 2·F2_A·F2_B/w
+        under 4-wise independent signs ⇒ 1σ_row = √2·√(F2_A·F2_B)/√w
+        (same algebra as ``error_bound``'s note with A=B)."""
+        return float(np.sqrt(2.0 * self.estimate_f2() * other.estimate_f2()
+                             / self.width))
+
     def merge(self, other: "FastAGMS") -> "FastAGMS":
         self._check_same(other)
         self.counts += other.counts

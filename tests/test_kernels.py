@@ -177,6 +177,31 @@ class TestAMS:
         c.update_batch(DATA[1000:2000])
         assert np.array_equal(a.counts, c.counts)
 
+    def test_join_size_estimate(self):
+        # |A join B| = sum_k fA(k)*fB(k); AGMS estimator within 4 sigma_row
+        # (sigma_row = sqrt(2*F2A*F2B/w) — join_error_bound)
+        rng = np.random.default_rng(11)
+        xa = rng.integers(0, 500, size=6000)
+        xb = rng.integers(0, 500, size=4000)
+        a = make("ams", width=1024, height=7, seed=7)
+        b = make("ams", width=1024, height=7, seed=7)
+        a.update_batch(xa)
+        b.update_batch(xb)
+        fa = np.bincount(xa, minlength=500).astype(np.float64)
+        fb = np.bincount(xb, minlength=500).astype(np.float64)
+        truth = float((fa * fb).sum())
+        assert abs(a.estimate_join(b) - truth) <= 4 * a.join_error_bound(b)
+        # self-join specializes to F2
+        assert a.estimate_join(a) == a.estimate_f2()
+        # symmetric
+        assert a.estimate_join(b) == b.estimate_join(a)
+
+    def test_join_size_rejects_mismatched_family(self):
+        a = make("ams", width=128, height=5, seed=7)
+        b = make("ams", width=128, height=5, seed=8)
+        with pytest.raises(ValueError):
+            a.estimate_join(b)
+
 
 # ---------------------------------------------------------------- Cuckoo
 class TestCuckoo:
