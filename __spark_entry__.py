@@ -556,6 +556,23 @@ def q_ams_join_size(spark, sf_dir):
                     F.round("est_join", 2).alias("est_join")))
 
 
+def q_cm_join_size(spark, sf_dir):
+    """Count-Min inner-product join-size estimate (Cormode–Muthukrishnan
+    §4.2: MIN over rows of the grid inner product, one-sided) between the
+    'click' and 'view' event streams per tumbling day — the upper-biased
+    twin of ams_join_size, sharing evaluate.join_size_estimates and the
+    relational H3 cell replay of the CM oracles."""
+    df = _events(spark, sf_dir)
+    mk = lambda: SynopsisSpec(kind="countmin",
+                              params=dict(width=2048, height=5, seed=7),
+                              column="user_id", ts_column="ts", window=Tumbling(DAY))
+    a = build_batch(df.filter(F.col("event_type") == "click"), mk())
+    b = build_batch(df.filter(F.col("event_type") == "view"), mk())
+    return (ev.join_size_estimates(a, b)
+            .select(F.col("window_start").cast(NTZ).alias("window_start"),
+                    F.round("est_join", 2).alias("est_join")))
+
+
 def q_cm_sql_frequency(spark, sf_dir):
     """Count-Min built by the pure-JVM SQL path (sqlbuild.build_sketch_sql:
     H3 as byte-LUT expressions, scatter/merge as SQL aggregation). Blob
@@ -1840,7 +1857,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ams_join_size (the two-stream AGMS join-size generalization — its
     build path is ams_f2's in-window distributed build twice over, and
     its EH3/H3 replay oracle is _ams_oracle_sql extended to an inner
-    product, so the only new surface is the blob-pair evaluator),
+    product, so the only new surface is the blob-pair evaluator) and
+    cm_join_size (the one-sided CM inner-product twin over the same
+    evaluator and the in-window CM build),
     audio_quality_exact (the quality stats recompute from the same
     replayed lattice whose trim/energy math is in-window via
     audio_prep_exact), stream_fp_dedup and stream_text_dedup (the
@@ -1948,6 +1967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ams_sql_f2": q_ams_sql_f2,
         "hll_sql_distinct": q_hll_sql_distinct,
         "ams_join_size": q_ams_join_size,
+        "cm_join_size": q_cm_join_size,
         "dd_quantile_pointquery": q_dd_quantile_pointquery,
         "cuckoo_pointquery": q_cuckoo_pointquery,
         "equiwidth_rangequery": q_equiwidth_rangequery,
@@ -2261,6 +2281,53 @@ def _ams_join_oracle_sql(width: int = 1024, height: int = 7, seed: int = 7,
                        FROM frame f LEFT JOIN prods p
                             ON p.ws = f.ws AND p.r = f.r)
         SELECT ws AS window_start, ROUND(median(ip), 2) AS est_join
+        FROM rowip GROUP BY 1
+    """
+
+
+def _cm_join_oracle_sql(width: int = 2048, height: int = 5, seed: int = 7,
+                        type_a: str = "click", type_b: str = "view") -> str:
+    """Exact SQL replay of the CM inner-product join-size estimate: H3
+    buckets from the embedded q-matrix, per-stream cell counts, per-row
+    inner product over cells nonzero in both (absent cells contribute 0),
+    MIN over the full row domain via the window-intersection frame."""
+    from condor_spark.synopsis.hashing import H3Family
+
+    h3 = H3Family(height, seed)
+    qvals = ", ".join(f"({r}, {j}, {int(h3.q[r, j])})"
+                      for r in range(height) for j in range(32))
+    return f"""
+        WITH q(r, j, qv) AS (VALUES {qvals}),
+             keys AS (SELECT DISTINCT user_id FROM events
+                      WHERE event_type IN ('{type_a}', '{type_b}')),
+             buck AS (SELECT k.user_id, q.r,
+                             (bit_xor(CASE WHEN (k.user_id >> q.j) & 1 = 1
+                                           THEN q.qv ELSE 0 END)
+                              & 2147483647) % {width} AS col
+                      FROM keys k CROSS JOIN q GROUP BY 1, 2),
+             cells_a AS (SELECT time_bucket(INTERVAL '1 day', ev.ts) AS ws,
+                                b.r, b.col, COUNT(*) AS cell
+                         FROM events ev JOIN buck b USING (user_id)
+                         WHERE ev.event_type = '{type_a}'
+                         GROUP BY 1, 2, 3),
+             cells_b AS (SELECT time_bucket(INTERVAL '1 day', ev.ts) AS ws,
+                                b.r, b.col, COUNT(*) AS cell
+                         FROM events ev JOIN buck b USING (user_id)
+                         WHERE ev.event_type = '{type_b}'
+                         GROUP BY 1, 2, 3),
+             prods AS (SELECT a.ws, a.r, SUM(a.cell * b.cell) AS ip
+                       FROM cells_a a
+                       JOIN cells_b b ON a.ws = b.ws AND a.r = b.r
+                                     AND a.col = b.col
+                       GROUP BY 1, 2),
+             wins AS (SELECT DISTINCT ws FROM cells_a
+                      INTERSECT SELECT DISTINCT ws FROM cells_b),
+             frame AS (SELECT w.ws, r.r FROM wins w
+                       CROSS JOIN (SELECT DISTINCT r FROM q) r),
+             rowip AS (SELECT f.ws, f.r, COALESCE(p.ip, 0) AS ip
+                       FROM frame f LEFT JOIN prods p
+                            ON p.ws = f.ws AND p.r = f.r)
+        SELECT ws AS window_start, ROUND(MIN(ip), 2) AS est_join
         FROM rowip GROUP BY 1
     """
 
@@ -2878,6 +2945,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["ams_f2"] = _ams_oracle_sql(width=1024, height=7, seed=7)
     oracles["ams_sql_f2"] = _ams_oracle_sql(width=1024, height=7, seed=7)
     oracles["ams_join_size"] = _ams_join_oracle_sql(width=1024, height=7, seed=7)
+    oracles["cm_join_size"] = _cm_join_oracle_sql(width=2048, height=5, seed=7)
     oracles["hll_distinct"] = _hll_oracle_sql(log_reg_num=14, seed=7)
     oracles["hll_sql_distinct"] = _hll_oracle_sql(log_reg_num=14, seed=7)
     # codegen point-query twins: DD quantile estimator replayed in SQL

@@ -100,6 +100,27 @@ class CountMinSketch(Synopsis):
         ests = np.take_along_axis(self.counts, cols, axis=1)  # (height, n)
         return ests.min(axis=0)
 
+    def estimate_join(self, other: "CountMinSketch") -> float:
+        """Equi-join size |A ⋈ B| = Σ_k f_A(k)·f_B(k): MIN over rows of the
+        inner product of two CM grids built with the SAME hash family.
+
+        The Cormode–Muthukrishnan inner-product estimate ("An improved data
+        stream summary: the count-min sketch and its applications", §4.2):
+        one-sided like the point query — each row's inner product equals the
+        true join size plus non-negative collision mass ≤ N_A·N_B/width in
+        expectation, so the min is an upper-biased estimate with additive
+        error ≤ e·N_A·N_B/w at probability 1−δ. The reference exposes no
+        join estimator (CountMinSketch.java has query/merge/invert only);
+        the AGMS twin is ``FastAGMS.estimate_join`` (unbiased, two-sided)."""
+        self._check_same(other)
+        per_row = (self.counts.astype(np.float64)
+                   * other.counts.astype(np.float64)).sum(axis=1)
+        return float(per_row.min())
+
+    def join_error_bound(self, other: "CountMinSketch") -> float:
+        """Expected per-row collision mass e·N_A·N_B/width (CM §4.2)."""
+        return float(np.e * self.n_processed * other.n_processed / self.width)
+
     def merge(self, other: "CountMinSketch") -> "CountMinSketch":
         self._check_same(other)
         self.counts += other.counts

@@ -25,6 +25,24 @@ class TestCountMin:
         cm.update_batch(DATA)
         assert (cm.counts.sum(axis=1) == DATA.size).all()
 
+    def test_join_size_estimate(self):
+        # CM inner product is one-sided (>= truth) with expected collision
+        # mass e*Na*Nb/w per row (Cormode-Muthukrishnan sec 4.2)
+        rng = np.random.default_rng(13)
+        xa = rng.integers(0, 500, size=6000)
+        xb = rng.integers(0, 500, size=4000)
+        a = make("countmin", width=2048, height=5, seed=7)
+        b = make("countmin", width=2048, height=5, seed=7)
+        a.update_batch(xa)
+        b.update_batch(xb)
+        fa = np.bincount(xa, minlength=500).astype(np.float64)
+        fb = np.bincount(xb, minlength=500).astype(np.float64)
+        truth = float((fa * fb).sum())
+        est = a.estimate_join(b)
+        assert est >= truth                       # one-sided like query()
+        assert est - truth <= a.join_error_bound(b)
+        assert a.estimate_join(b) == b.estimate_join(a)
+
     def test_error_bound(self):
         # |est - true| <= residual mass / width (CountMinSketchTest.java:97-122)
         cm = make("countmin", width=150, height=8, seed=7)
