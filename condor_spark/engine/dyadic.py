@@ -1,0 +1,471 @@
+"""Dyadic Count-Min hierarchy: range counts, heavy hitters and quantiles
+over an integer key domain ``[0, 2**bits)`` — the canonical query suite of
+the Count-Min paper (Cormode & Muthukrishnan, "An improved data stream
+summary: the count-min sketch and its applications", J. Algorithms 55(1),
+2005, §4.2-4.3; public knowledge).
+
+Why this exists: the reference implements the FLAT sketch only
+(``core/.../Sketches/CountMinSketch.java``), so its query surface needs the
+caller to enumerate candidate keys (``ApproximateDataAnalytics.queryLatest``
+joins a key stream against the snapshot — every frequency query in this
+repo's driver contract feeds ``_user_keys(df)``, a distinct-scan of the
+data). That is fine at test scale and impossible at 100 TB where the
+distinct-key set itself is too large to enumerate or even hold. The dyadic
+hierarchy removes the key scan:
+
+  * range count  — ``count(lo <= key <= hi)`` answers from the canonical
+    dyadic decomposition, at most 2 node lookups per level (O(bits·height)
+    gathers per query row, zero data scan);
+  * heavy hitters — all keys with frequency >= T descend the prefix tree
+    touching O(bits · n_true_hh + false-positive slack) nodes, never the
+    key universe (CM never underestimates, so no true heavy hitter is ever
+    pruned — the classic descent guarantee);
+  * quantile / rank — binary descent over prefix counts, O(bits·height)
+    gathers per query.
+
+Build: one ``dyadiccm`` sketch per level l summarizing ``key >> l`` (level
+``bits`` is the 1-node root), ALL LEVELS FROM ONE SHARED SCAN via
+``build_batch_many`` — at 100 TB the scan dominates, so bits+1 sketches
+cost ~1 pass, and each level is an ordinary mergeable CM (partition-
+parallel partials, one O(sketch-bytes) shuffle, row-count-independent —
+PLANS.md §1).
+
+Query-plan shape (PLANS.md §25 — this was iterated, the first two cuts
+were wrong at scale):
+
+  * All bucket/endpoint/flag columns are staged FIRST as scalar-only
+    Projects. The dyadic endpoints have closed forms — ``lo_l =
+    (lo + 2**l - 1) >> l`` (= ceil(lo/2^l)), ``hi_l = ((hi+1) >> l) - 1``
+    — so no level-to-level recurrence exists in the plan, and the
+    ``dyadiccm`` kernel's splitmix64 bucketing keeps every staged bucket
+    ~15 arithmetic nodes (``sqlbuild.splitmix64_expr``, bit-exact with the
+    kernel; H3's byte-LUT form would cost 4x256 literals per hash).
+  * THEN one 1-row broadcast (``pointquery._attach_many``) carries every
+    level's cell grid, and ONE final Project gathers + sums. Array columns
+    therefore cross exactly one operator edge. Chaining one broadcast per
+    level measured 66x slower at 3 levels (10k q/s vs 1.2M single-level):
+    once the fused span exceeds janino's 64 KB method limit, every
+    ``BroadcastNestedLoopJoin`` in the chain materializes its output rows,
+    copying the multi-MB cell arrays per query row (and an early variant
+    that staged buckets BETWEEN attach and use OOMed outright — interpreted
+    Projects copied ~26 MB of arrays into every intermediate row).
+
+Decomposition take rules (no parked state, closed-form only): at level l
+take ``lo_l`` iff it is odd, take ``hi_l`` iff it is even, both only while
+``lo_l <= hi_l``. A singleton level (``lo_l == hi_l``) is taken by exactly
+one rule (odd -> lo rule, even -> hi rule) and the NEXT level's closed
+forms are already inverted (empty), so nothing double-counts and recursion
+self-terminates — verified exhaustively against brute force in
+tests/test_dyadic.py.
+
+Accuracy: every level is a standard CM, so node estimates only ever
+OVERestimate. Range sums inherit one-sided error (sum of <= 2·bits node
+errors, each <= eps·N w.h.p.); heavy-hitter output has NO false negatives
+at any sizing, and false positives exactly when the LEVEL-0 estimate of a
+non-heavy key clears the threshold. The driver queries size each level at
+``oversample``x its key-domain width so every touched node estimate is
+exact on the fixture (the same exactness promotion as cm_user_frequency,
+asserted — not assumed — by tests/test_dyadic.py against exact counts).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..synopsis.countmin import row_seed
+from .builder import SynopsisSpec, build_batch_many
+from .pointquery import _attach_many, _require_int_key, cm_cells
+
+
+@dataclass
+class DyadicCM:
+    """Snapshot of one window's dyadic CM hierarchy, driver-decoded once
+    (O(sketch bytes), never per query). ``levels[l]`` is level l's cell
+    grid flattened row-major; level l summarizes ``key >> l``; level
+    ``bits`` is the root (1 node)."""
+    bits: int
+    height: int
+    seed: int
+    widths: list[int]        # len bits+1, per-level CM width (powers of 2)
+    levels: list[list[int]]  # len bits+1, per-level flat cells
+    n: int                   # total updates in the window (root count)
+    window_start: object = None
+    window_end: object = None
+
+    @property
+    def n_levels(self) -> int:
+        return self.bits + 1
+
+
+def _pow2ceil(x: int) -> int:
+    return 1 << max(0, (x - 1).bit_length())
+
+
+def level_widths(bits: int, oversample: int = 64, min_width: int = 1024,
+                 max_width: int = 1 << 17) -> list[int]:
+    """Per-level CM widths: ``oversample``x the level's key-domain size,
+    clamped and rounded to powers of two (the ``dyadiccm`` kernel needs
+    pow-2 so SQL ``h & (width-1)`` == kernel uint64 modulo) — small levels
+    stay cheap, level 0 carries the accuracy."""
+    return [_pow2ceil(max(min_width,
+                          min(max_width, (1 << (bits - l)) * oversample)))
+            for l in range(bits + 1)]
+
+
+def dyadic_specs(df: DataFrame, key_col: str, bits: int, height: int = 5,
+                 seed: int = 7, ts_column: str | None = None,
+                 window=None, oversample: int = 64, min_width: int = 1024,
+                 max_width: int = 1 << 17
+                 ) -> tuple[DataFrame, list[SynopsisSpec], list[int]]:
+    """Derive the per-level shifted-key columns and one ``dyadiccm`` spec
+    per level (shared window/ts so ``build_batch_many`` takes them in ONE
+    scan). ``key_col`` must be integer-typed and non-negative."""
+    _require_int_key(df, key_col, "dyadic_specs")
+    widths = level_widths(bits, oversample, min_width, max_width)
+    key = F.col(key_col).cast("long")
+    work = df
+    for l in range(bits + 1):
+        work = work.withColumn(f"__dy{l}", F.shiftright(key, l))
+    specs = [SynopsisSpec(kind="dyadiccm",
+                          params=dict(width=widths[l], height=height, seed=seed),
+                          column=f"__dy{l}", ts_column=ts_column, window=window)
+             for l in range(bits + 1)]
+    return work, specs, widths
+
+
+def build_dyadic_latest(df: DataFrame, key_col: str, bits: int,
+                        height: int = 5, seed: int = 7,
+                        ts_column: str | None = None, window=None,
+                        oversample: int = 64, min_width: int = 1024,
+                        max_width: int = 1 << 17) -> DyadicCM:
+    """Build all levels in one shared scan and decode the LATEST window's
+    snapshot (the reference's queryLatest semantics —
+    ``ApproximateDataAnalytics.java`` answers against the newest window).
+    The build is windows x levels sketch blobs; only the newest window's
+    bits+1 rows reach the driver."""
+    from ..synopsis.base import Synopsis
+
+    work, specs, widths = dyadic_specs(df, key_col, bits, height, seed,
+                                       ts_column, window, oversample,
+                                       min_width, max_width)
+    built = build_batch_many(work, specs)
+    if window is not None:
+        # persist so the max-window probe and the snapshot read share one
+        # build (blobs only; released before returning)
+        built = built.persist()
+        mx = built.agg(F.max("window_end")).collect()[0][0]
+        rows = built.where(F.col("window_end") == F.lit(mx)).collect()
+        built.unpersist(blocking=False)
+    else:
+        rows = built.collect()
+    levels: list = [None] * (bits + 1)
+    n = 0
+    ws = we = None
+    for r in rows:
+        syn = Synopsis.from_bytes(bytes(r["state"]))
+        levels[r["spec_id"]] = cm_cells(syn)
+        if r["spec_id"] == bits:
+            n = syn.n_processed
+            ws, we = r["window_start"], r["window_end"]
+    missing = [l for l, c in enumerate(levels) if c is None]
+    if len(missing) == bits + 1:
+        # empty input: the snapshot of nothing is all-zero cells (n=0 —
+        # every range answers 0, heavy hitters are empty)
+        levels = [[0] * (widths[l] * height) for l in range(bits + 1)]
+    elif missing:
+        raise ValueError(f"no snapshot rows for levels {missing}")
+    return DyadicCM(bits=bits, height=height, seed=seed, widths=widths,
+                    levels=levels, n=int(n), window_start=ws, window_end=we)
+
+
+# ------------------------------------------------------------------ exprs
+
+def _stage_buckets(q: DataFrame, specs: dict[str, tuple],
+                   dy: DyadicCM) -> DataFrame:
+    """Stage bucket columns ``__{name}r{r}`` for every ``name -> (key
+    Column, level)`` in ``specs``: ``splitmix64(key, row_seed) & (width-1)``
+    — bit-exact with ``DyadicCountMin._cols`` (pow-2 width makes signed AND
+    == uint64 mod). Scalar-only: stageable long before any cell array is
+    attached.
+
+    The splitmix steps are staged as FOUR batched ``withColumns`` Projects
+    (t1 -> t2 -> t3 -> bucket), each step referencing the previous step's
+    COLUMN. Two plan-construction pathologies force this shape, both
+    measured: (a) one ``withColumn`` per column re-analyzes the whole plan
+    per call — ~130 chained calls OOMed the driver; (b) inlining
+    ``sqlbuild.splitmix64_expr`` whole is exponential — every
+    ``_wrap_mul_const`` references its input ~16x, so the nested tree is
+    ~3k nodes per bucket, ~350k for a bits=10 decomposition: analysis OOM.
+    Column-leaf steps keep each expression ~40 nodes, and CollapseProject
+    leaves multiply-referenced non-cheap step columns alone."""
+    from .sqlbuild import _slit, _wrap_add_const, _wrap_mul_const
+
+    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    names = [(n, r) for n in specs for r in range(dy.height)]
+    q = q.withColumns({
+        f"__{n}r{r}t1": _wrap_add_const(
+            specs[n][0].cast("long").bitwiseXOR(_slit(row_seed(dy.seed, r))),
+            0x9E3779B97F4A7C15)
+        for n, r in names})
+    for step, (shift, mul) in enumerate(((30, c1), (27, c2)), start=2):
+        q = q.withColumns({
+            f"__{n}r{r}t{step}": _wrap_mul_const(
+                F.col(f"__{n}r{r}t{step - 1}").bitwiseXOR(
+                    F.shiftrightunsigned(F.col(f"__{n}r{r}t{step - 1}"), shift)),
+                mul)
+            for n, r in names})
+    q = q.withColumns({
+        f"__{n}r{r}": F.col(f"__{n}r{r}t3").bitwiseXOR(
+            F.shiftrightunsigned(F.col(f"__{n}r{r}t3"), 31))
+        .bitwiseAND(F.lit(dy.widths[specs[n][1]] - 1)).cast("int")
+        for n, r in names})
+    # drop the step columns so they never cross the cells join
+    drop = [f"__{n}r{r}t{s}" for n, r in names for s in (1, 2, 3)]
+    return q.drop(*drop)
+
+
+def _gather_expr(cells_col: str, tag: str, dy: DyadicCM, level: int):
+    """min over rows of ``cells[r*width + bucket_r]`` — the CM point
+    estimate over staged bucket columns."""
+    w = dy.widths[level]
+    gathers = [F.element_at(F.col(cells_col),
+                            F.col(f"__{tag}r{r}") + F.lit(r * w + 1))
+               for r in range(dy.height)]
+    return gathers[0] if dy.height == 1 else F.least(*gathers)
+
+
+def _cells_arrays(dy: DyadicCM, levels) -> dict[str, tuple[list, str]]:
+    return {f"__c{l}": (dy.levels[l], "long") for l in levels}
+
+
+# -------------------------------------------------- vectorized Arrow path
+
+def _np_levels(dy: DyadicCM) -> list:
+    import numpy as np
+    return [np.asarray(c, dtype=np.int64) for c in dy.levels]
+
+
+def _np_node_est(levels_np, dy: DyadicCM, level: int, keys):
+    """Vectorized ``DyadicCountMin.query`` for node keys at one level."""
+    import numpy as np
+
+    from ..synopsis.hashing import hash64
+
+    w = dy.widths[level]
+    est = None
+    for r in range(dy.height):
+        b = (hash64(keys, row_seed(dy.seed, r))
+             & np.uint64(w - 1)).astype(np.int64)
+        g = levels_np[level][r * w + b]
+        est = g if est is None else np.minimum(est, g)
+    return est
+
+
+def range_count_queries(queries_df: DataFrame, lo_col: str, hi_col: str,
+                        dy: DyadicCM, out_col: str = "est_count",
+                        impl: str = "arrow") -> DataFrame:
+    """``count(lo <= key <= hi)`` per query row via the canonical dyadic
+    decomposition (closed-form endpoints, take-iff-odd/even rules — module
+    docstring). Estimates only ever overestimate (each node is a CM
+    estimate); ranges are clamped into ``[0, 2**bits)``; an empty range
+    answers 0.
+
+    ``impl="arrow"`` (default, the bulk path): a VECTORIZED pandas UDF —
+    the per-level cell grids ship once per worker as a Spark broadcast
+    (O(sketch bytes)); per Arrow batch the whole decomposition is numpy
+    (hash64 + fancy-index gathers over all rows at once, zero per-row
+    Python). No shuffle, no key scan; measured 510k rows/s PER CORE at
+    bits=10 — every JVM-expression variant tried was 2-40x slower because
+    >100 ``element_at`` gathers per row against multi-MB broadcast arrays
+    hit generated-code pathologies (PLANS.md §25: 64 KB janino overflow ->
+    interpreted Projects copying the arrays per row; sub-8000-byte JIT
+    bail; per-gather slowdowns vs the same code on small arrays).
+
+    ``impl="sql"`` keeps the pure-JVM form (scalar bucket staging, one
+    1-row broadcast, one gathering Project) — bit-identical answers,
+    right choice for SMALL query sets composed into larger SQL-only plans."""
+    if impl == "arrow":
+        bc = queries_df.sparkSession.sparkContext.broadcast(_np_levels(dy))
+        bits, n_levels = dy.bits, dy.n_levels
+        dy_meta = DyadicCM(dy.bits, dy.height, dy.seed, dy.widths,
+                           [], dy.n)  # cells travel via bc, not the closure
+
+        @pandas_udf("long")
+        def _range(lo_s: pd.Series, hi_s: pd.Series) -> pd.Series:
+            import numpy as np
+            levels_np = bc.value
+            lo = np.maximum(lo_s.to_numpy(np.int64, copy=False), 0)
+            hi = np.minimum(hi_s.to_numpy(np.int64, copy=False),
+                            (1 << bits) - 1)
+            total = np.zeros(lo.shape[0], dtype=np.int64)
+            for l in range(n_levels):
+                lo_l = (lo + (1 << l) - 1) >> l
+                hi_l = ((hi + 1) >> l) - 1
+                active = lo_l <= hi_l
+                for keys, take in ((lo_l, active & ((lo_l & 1) == 1)),
+                                   (hi_l, active & ((hi_l & 1) == 0))):
+                    idx = np.flatnonzero(take)
+                    if idx.size:
+                        total[idx] += _np_node_est(levels_np, dy_meta, l,
+                                                   keys[idx])
+            return pd.Series(total)
+
+        return queries_df.withColumn(
+            out_col, _range(F.col(lo_col).cast("long"),
+                            F.col(hi_col).cast("long")))
+    if impl != "sql":
+        raise ValueError(f"impl must be 'arrow' or 'sql', got {impl!r}")
+    _require_int_key(queries_df, lo_col, "range_count_queries")
+    _require_int_key(queries_df, hi_col, "range_count_queries")
+    keep = list(queries_df.columns)
+    lo0 = F.greatest(F.col(lo_col).cast("long"), F.lit(0))
+    hi0 = F.least(F.col(hi_col).cast("long"), F.lit((1 << dy.bits) - 1))
+    # scalar staging: the closed-form per-level endpoints in one batched
+    # Project (no level recurrence), then the bucket batches
+    q = queries_df.withColumns(
+        {name: expr
+         for l in range(dy.n_levels)
+         for name, expr in (
+             (f"__lo{l}", F.shiftright(lo0 + F.lit((1 << l) - 1), l)),
+             (f"__hi{l}", F.shiftright(hi0 + F.lit(1), l) - F.lit(1)))})
+    specs = {}
+    for l in range(dy.n_levels):
+        specs[f"L{l}"] = (F.col(f"__lo{l}"), l)
+        specs[f"H{l}"] = (F.col(f"__hi{l}"), l)
+    q = _stage_buckets(q, specs, dy)
+    # one attach, one gathering Project
+    q = _attach_many(q, _cells_arrays(dy, range(dy.n_levels)))
+    total = None
+    for l in range(dy.n_levels):
+        lo_c, hi_c = F.col(f"__lo{l}"), F.col(f"__hi{l}")
+        active = lo_c <= hi_c
+        take_lo = active & (lo_c.bitwiseAND(F.lit(1)) == 1)
+        take_hi = active & (hi_c.bitwiseAND(F.lit(1)) == 0)
+        term = (F.when(take_lo, _gather_expr(f"__c{l}", f"L{l}", dy, l))
+                 .otherwise(F.lit(0))
+                + F.when(take_hi, _gather_expr(f"__c{l}", f"H{l}", dy, l))
+                   .otherwise(F.lit(0))).cast("long")
+        total = term if total is None else total + term
+    return q.select(*keep, total.alias(out_col))
+
+
+# ----------------------------------------------------------- heavy hitters
+
+def heavy_hitters(spark, dy: DyadicCM, threshold: int,
+                  key_col: str = "key", out_col: str = "est_count"
+                  ) -> DataFrame:
+    """All keys with frequency >= ``threshold``, by prefix-tree descent —
+    never enumerating the key universe (CM paper §4.2). Start from the two
+    level-(bits-1) prefixes; at each level estimate the candidates (codegen
+    gathers against that level's broadcast cells), prune below threshold,
+    expand survivors into their two children. CM never underestimates, so
+    pruning never drops a true heavy hitter (no false negatives at ANY
+    sizing); a false positive needs the LEVEL-0 estimate of a non-heavy key
+    to clear the threshold.
+
+    Unlike the per-row query streams above, this is a PER-WINDOW answer
+    whose working set is the snapshot itself — which ``build_dyadic_latest``
+    already decoded on the driver (the same O(sketch bytes) posture as
+    ``pointquery``'s snapshot kernels) — and whose frontier is O(N/threshold
+    + slack) keys. The descent therefore runs as vectorized numpy on that
+    snapshot (microseconds) rather than as bits chained broadcast-join
+    stages (a first cut did; ~19s of plan/scheduling overhead to move <100
+    rows, plus the chained-join array-copy pathology in the module
+    docstring). No data scan, no shuffle, nothing driver-side that grows
+    with rows, partitions, or key-universe size."""
+    import numpy as np
+
+    if threshold < 1:
+        raise ValueError(f"threshold must be >= 1, got {threshold}")
+    levels_np = _np_levels(dy)
+    cand = np.array([0, 1], dtype=np.int64)
+    est = np.zeros(2, dtype=np.int64)
+    for l in range(dy.bits - 1, -1, -1):
+        est = _np_node_est(levels_np, dy, l, cand)
+        keep = est >= threshold
+        cand, est = cand[keep], est[keep]
+        if cand.size == 0:
+            break
+        if l > 0:
+            cand = np.repeat(cand * 2, 2)
+            cand[1::2] += 1
+    rows = [(int(k), int(v)) for k, v in zip(cand, est)]
+    return spark.createDataFrame(rows, f"{key_col} long, {out_col} long")
+
+
+# ---------------------------------------------------------------- quantile
+
+def quantile_queries(queries_df: DataFrame, q_col: str, dy: DyadicCM,
+                     out_col: str = "est_key", impl: str = "arrow"
+                     ) -> DataFrame:
+    """phi-quantile per query row: the smallest key whose prefix count
+    reaches ``ceil(phi * n)``, by binary descent over node counts (CM paper
+    §4.3). Per level the walk holds a node and an accumulated left count:
+    descend left if ``acc + count(left child) >= target`` else absorb the
+    left child and descend right.
+
+    ``impl="arrow"`` (default): the descent is vectorized numpy over each
+    Arrow batch — sequential in LEVEL (bits steps) but parallel over rows,
+    cells via one per-worker broadcast (same shape and rationale as
+    ``range_count_queries``). This operator's value over
+    ``pointquery.quantile_point_queries`` (DDSketch) is rank queries on
+    key domains too large for a DDSketch bin map.
+
+    ``impl="sql"``: pure-JVM form. The level-l node depends on the
+    level-(l+1) comparison, so buckets cannot be pre-staged: each level
+    stages the left child's buckets, attaches that level's cells, and
+    folds the state in one scalar-out Project — bits chained broadcast
+    joins, ~10-15k q/s once the fused span exceeds the 64 KB codegen limit
+    (module docstring). Fine for a handful of phis per window; use arrow
+    for bulk streams."""
+    if impl == "arrow":
+        bc = queries_df.sparkSession.sparkContext.broadcast(_np_levels(dy))
+        bits, n_total = dy.bits, dy.n
+        dy_meta = DyadicCM(dy.bits, dy.height, dy.seed, dy.widths, [], dy.n)
+
+        @pandas_udf("long")
+        def _quant(q_s: pd.Series) -> pd.Series:
+            import numpy as np
+            levels_np = bc.value
+            tgt = np.maximum(
+                np.ceil(q_s.to_numpy(np.float64, copy=False) * n_total), 1
+            ).astype(np.int64)
+            node = np.zeros(tgt.shape[0], dtype=np.int64)
+            acc = np.zeros_like(node)
+            for l in range(bits - 1, -1, -1):
+                left = node * 2
+                cnt = _np_node_est(levels_np, dy_meta, l, left)
+                go = (acc + cnt) >= tgt
+                node = np.where(go, left, left + 1)
+                acc = np.where(go, acc, acc + cnt)
+            return pd.Series(node)
+
+        return queries_df.withColumn(
+            out_col, _quant(F.col(q_col).cast("double")))
+    if impl != "sql":
+        raise ValueError(f"impl must be 'arrow' or 'sql', got {impl!r}")
+    keep = list(queries_df.columns)
+    target = F.ceil(F.col(q_col).cast("double") * F.lit(dy.n)).cast("long")
+    q = queries_df.withColumns({
+        "__tgt": F.greatest(target, F.lit(1).cast("long")),
+        "__node": F.lit(0).cast("long"),
+        "__acc": F.lit(0).cast("long"),
+    })
+    for l in range(dy.bits - 1, -1, -1):
+        left = (F.col("__node") * 2).cast("long")
+        q = q.withColumn("__left", left)
+        q = _stage_buckets(q, {f"Q{l}": (F.col("__left"), l)}, dy)
+        q = _attach_many(q, _cells_arrays(dy, [l]))
+        cnt = _gather_expr(f"__c{l}", f"Q{l}", dy, l).cast("long")
+        go_left = (F.col("__acc") + cnt) >= F.col("__tgt")
+        q = q.select(
+            *keep, F.col("__tgt"),
+            F.when(go_left, F.col("__left"))
+             .otherwise(F.col("__left") + 1).alias("__node"),
+            F.when(go_left, F.col("__acc"))
+             .otherwise(F.col("__acc") + cnt).alias("__acc"))
+    return q.select(*keep, F.col("__node").alias(out_col))

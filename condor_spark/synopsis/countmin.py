@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 
 from .base import Synopsis, Trait, register
-from .hashing import H3Family, strings_to_ints
+from .hashing import H3Family, hash64_multi, strings_to_ints
 
 
 def _pack_counts(counts: np.ndarray):
@@ -132,3 +132,47 @@ class CountMinSketch(Synopsis):
         self.counts -= other.counts
         self.n_processed -= other.n_processed
         return self
+
+
+@register
+class DyadicCountMin(CountMinSketch):
+    """CountMin with splitmix64 row bucketing over a power-of-two width —
+    the per-level sketch of ``engine/dyadic.py``'s dyadic hierarchy.
+
+    Same grid/merge/invert/query semantics as ``CountMinSketch`` (the
+    reference kernel, ``core/.../Sketches/CountMinSketch.java``); only the
+    row-hash family differs, and for an expressible reason: H3's SQL form is
+    4x256-literal byte-LUT arrays PER ROW HASH (``sqlbuild.h3_bucket_exprs``)
+    — fine for one sketch, but a dyadic range decomposition stages
+    ``2 endpoints x height x (bits+1)`` bucket expressions, which would put
+    ~100k literal nodes in the plan. ``hash64``'s splitmix64 finalizer is
+    ~15 arithmetic nodes as a Column (``sqlbuild.splitmix64_expr``, bit-exact
+    with the kernel), so the full decomposition stays plan-light and
+    whole-stage-codegen-friendly. Power-of-two width makes the SQL-side
+    signed ``h & (width-1)`` identical to the kernel's uint64 modulo.
+
+    Accuracy is the standard CM bound (pairwise-independent row hashes;
+    splitmix64 is the same family HLL/minhash/bottom-k here already rely
+    on): overestimate-only, additive error eps·N w.p. 1-delta at
+    width=e/eps, height=ln(1/delta)."""
+
+    KIND = "dyadiccm"
+
+    def __init__(self, width: int = 1024, height: int = 5, seed: int = 7):
+        if width & (width - 1) or width <= 0:
+            raise ValueError(f"dyadiccm width must be a power of two, got {width}")
+        super().__init__(width=width, height=height, seed=seed)
+        self._row_seeds = np.array(
+            [row_seed(self.seed, r) for r in range(self.height)], dtype=np.uint64)
+
+    def _cols(self, values) -> np.ndarray:
+        x = strings_to_ints(values)
+        h = hash64_multi(x, self._row_seeds)  # (height, n) uint64
+        return (h & np.uint64(self.width - 1)).astype(np.int64)
+
+
+def row_seed(seed: int, r: int) -> int:
+    """Per-row seed derivation shared by the kernel and the SQL/codegen
+    query path (``engine/dyadic.py``): distinct odd-ish offsets off the
+    golden ratio, masked to 64 bits."""
+    return (seed + 0x9E3779B97F4A7C15 * (r + 1)) & 0xFFFFFFFFFFFFFFFF
