@@ -1224,6 +1224,62 @@ def q_cm_frequency_tree(spark, sf_dir):
                       "key", "est_count")
 
 
+_DYADIC_RANGES = [(0, 15), (16, 63), (0, 127), (37, 201), (100, 421),
+                  (200, 200), (480, 600), (0, 1023)]
+_DYADIC_QS = [0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def _dyadic_events(spark, sf_dir):
+    """floor(value) as the integer key in [0, 1024) for the dyadic family
+    (events.value spans ~[0, 561) across scale factors)."""
+    from condor_spark.engine import dyadic
+
+    df = _events(spark, sf_dir).withColumn(
+        "vkey", F.floor("value").cast("long"))
+    return dyadic.build_dyadic_latest(
+        df, "vkey", bits=10, height=5, seed=7,
+        ts_column="ts", window=Tumbling(DAY))
+
+
+def q_dyadic_range_count(spark, sf_dir):
+    """Dyadic CM range counts over the latest 1-day window — answers
+    count(lo <= floor(value) <= hi) from sketch node lookups alone, no key
+    scan (engine/dyadic.py; CM paper §4.2). EXACT at this sizing: every
+    level is oversampled 64x its key domain, so all touched node estimates
+    equal true counts (promotion asserted by tests/test_dyadic.py)."""
+    from condor_spark.engine import dyadic
+
+    dy = _dyadic_events(spark, sf_dir)
+    qdf = spark.createDataFrame(_DYADIC_RANGES, "lo long, hi long")
+    return (dyadic.range_count_queries(qdf, "lo", "hi", dy)
+            .select("lo", "hi", "est_count"))
+
+
+def q_dyadic_heavy_hitters(spark, sf_dir):
+    """Dyadic CM heavy hitters over user_id (global window): every user
+    with >= ceil(0.8% of N) events, found by prefix-tree descent without
+    enumerating the user universe (CM paper §4.2). Exact at this sizing:
+    descent never drops a true heavy hitter (CM overestimates only) and
+    level-0 estimates are exact, so output == the true HH set."""
+    from condor_spark.engine import dyadic
+
+    df = _events(spark, sf_dir)
+    dy = dyadic.build_dyadic_latest(df, "user_id", bits=11, height=5, seed=7)
+    thr = (dy.n * 8 + 999) // 1000
+    return dyadic.heavy_hitters(spark, dy, thr).select("key", "est_count")
+
+
+def q_dyadic_quantile(spark, sf_dir):
+    """Dyadic CM rank quantiles of floor(value) over the latest 1-day
+    window: binary descent over prefix counts (CM paper §4.3) — the
+    large-domain rank twin of ddsketch_quantiles. Exact at this sizing."""
+    from condor_spark.engine import dyadic
+
+    dy = _dyadic_events(spark, sf_dir)
+    qdf = spark.createDataFrame([(x,) for x in _DYADIC_QS], "q double")
+    return dyadic.quantile_queries(qdf, "q", dy).select("q", "est_key")
+
+
 def q_cep_sequence(spark, sf_dir):
     """CEP batch: every signup followed by a purchase of the same user
     within 3 days (JVM equi-join + event-time range predicate)."""
@@ -1864,7 +1920,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     replayed lattice whose trim/energy math is in-window via
     audio_prep_exact), stream_fp_dedup and stream_text_dedup (the
     streaming dedup engine, provably batch-equal under their cap
-    configs, whose batch scorer is in-window via audio_fp_exact); all
+    configs, whose batch scorer is in-window via audio_fp_exact), and
+    the dyadic CM family (dyadic_range_count / dyadic_heavy_hitters /
+    dyadic_quantile — no-key-scan range/HH/rank queries, an EXTENSION
+    beyond the reference's flat CM rather than a SURVEY §2 component,
+    so the in-window slots stay with the component set; its build path
+    is the in-window shared-scan builder and its exactness promotion
+    is asserted by tests/test_dyadic.py); all
     stay verified by tests/test_entry.py every run. The trailing block is the
     genuinely rows-only set (randomized samplers, LSH/IVF approximations,
     media/audio feature pipelines, FFT-based audio_spectral and
@@ -1972,6 +2034,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuckoo_pointquery": q_cuckoo_pointquery,
         "equiwidth_rangequery": q_equiwidth_rangequery,
         "stream_quantile_latest": q_stream_quantile_latest,
+        "dyadic_range_count": q_dyadic_range_count,
+        "dyadic_heavy_hitters": q_dyadic_heavy_hitters,
+        "dyadic_quantile": q_dyadic_quantile,
         # ---- rows-only (genuinely randomized / approximate / media) -----
         "reservoir_sample": q_reservoir_sample,
         "biased_reservoir": q_biased_reservoir,
@@ -3657,5 +3722,39 @@ def oracle_sql() -> dict[str, str]:
                        FROM events)
             SELECT idx // 1000 AS window_id, count(*) AS n FROM o
             GROUP BY 1 HAVING count(*) = 1000
+        """
+    # dyadic CM family: exact at the driver sizing (64x oversampled levels,
+    # promotion asserted by tests/test_dyadic.py), so the oracles are plain
+    # exact counts — same promotion as cm_user_frequency
+    rng_vals = ", ".join(f"({lo}, {hi})" for lo, hi in _DYADIC_RANGES)
+    oracles["dyadic_range_count"] = f"""
+            WITH w AS (SELECT max(time_bucket(INTERVAL '1 day', ts)) ws FROM events),
+                 e AS (SELECT CAST(floor(value) AS BIGINT) k FROM events, w
+                       WHERE time_bucket(INTERVAL '1 day', ts) = w.ws),
+                 r AS (SELECT CAST(lo AS BIGINT) lo, CAST(hi AS BIGINT) hi
+                       FROM (VALUES {rng_vals}) t(lo, hi))
+            SELECT r.lo, r.hi,
+                   (SELECT count(*) FROM e WHERE e.k BETWEEN r.lo AND r.hi)
+                       AS est_count
+            FROM r
+        """
+    oracles["dyadic_heavy_hitters"] = """
+            WITH t AS (SELECT CAST((count(*) * 8 + 999) // 1000 AS BIGINT) thr
+                       FROM events)
+            SELECT user_id AS key, count(*) AS est_count
+            FROM events, t GROUP BY user_id, t.thr
+            HAVING count(*) >= t.thr
+        """
+    qs_vals = ", ".join(f"({x})" for x in _DYADIC_QS)
+    oracles["dyadic_quantile"] = f"""
+            WITH w AS (SELECT max(time_bucket(INTERVAL '1 day', ts)) ws FROM events),
+                 e AS (SELECT CAST(floor(value) AS BIGINT) k FROM events, w
+                       WHERE time_bucket(INTERVAL '1 day', ts) = w.ws),
+                 r AS (SELECT k, row_number() OVER (ORDER BY k) rn,
+                              count(*) OVER () n FROM e),
+                 qs AS (SELECT CAST(q AS DOUBLE) q FROM (VALUES {qs_vals}) t(q))
+            SELECT qs.q, r.k AS est_key
+            FROM qs JOIN r
+              ON r.rn = greatest(1, CAST(ceil(qs.q * r.n) AS BIGINT))
         """
     return oracles
