@@ -539,6 +539,25 @@ def q_ams_f2(spark, sf_dir):
                     F.round("est_f2", 2).alias("est_f2")))
 
 
+def _two_stream_builds(spark, sf_dir, spec, type_a, type_b):
+    """ONE stratified build over both event types, split into the two
+    per-stream synopsis frames join_size_estimates expects (a first cut
+    ran build_batch twice — two full scans; per-stratum synopses from one
+    scan are identical since merge is commutative counter addition)."""
+    import dataclasses
+
+    from condor_spark.engine.util import pin_result
+
+    df = _events(spark, sf_dir).filter(
+        F.col("event_type").isin(type_a, type_b))
+    built = pin_result(
+        build_batch(df, dataclasses.replace(spec, stratify_by="event_type")),
+        key=f"two_stream_builds_{spec.kind}")  # bounded: one cached per kind
+    split = lambda t: (built.filter(F.col("stratum") == t)
+                       .withColumn("stratum", F.lit("")))
+    return split(type_a), split(type_b)
+
+
 def q_ams_join_size(spark, sf_dir):
     """AGMS equi-join size estimate between two event streams: 'click' vs
     'view' events sketched on user_id with the SAME hash family, per
@@ -546,11 +565,9 @@ def q_ams_join_size(spark, sf_dir):
     only the self-join case (FastAGMS.java:219); the two-stream estimator
     is the classic AGMS generalization, replayed exactly in SQL by the
     same EH3/H3 oracle as ams_f2."""
-    df = _events(spark, sf_dir)
-    mk = lambda: SynopsisSpec(kind="ams", params=dict(width=1024, height=7, seed=7),
-                              column="user_id", ts_column="ts", window=Tumbling(DAY))
-    a = build_batch(df.filter(F.col("event_type") == "click"), mk())
-    b = build_batch(df.filter(F.col("event_type") == "view"), mk())
+    spec = SynopsisSpec(kind="ams", params=dict(width=1024, height=7, seed=7),
+                        column="user_id", ts_column="ts", window=Tumbling(DAY))
+    a, b = _two_stream_builds(spark, sf_dir, spec, "click", "view")
     return (ev.join_size_estimates(a, b)
             .select(F.col("window_start").cast(NTZ).alias("window_start"),
                     F.round("est_join", 2).alias("est_join")))
@@ -562,12 +579,10 @@ def q_cm_join_size(spark, sf_dir):
     'click' and 'view' event streams per tumbling day — the upper-biased
     twin of ams_join_size, sharing evaluate.join_size_estimates and the
     relational H3 cell replay of the CM oracles."""
-    df = _events(spark, sf_dir)
-    mk = lambda: SynopsisSpec(kind="countmin",
-                              params=dict(width=2048, height=5, seed=7),
-                              column="user_id", ts_column="ts", window=Tumbling(DAY))
-    a = build_batch(df.filter(F.col("event_type") == "click"), mk())
-    b = build_batch(df.filter(F.col("event_type") == "view"), mk())
+    spec = SynopsisSpec(kind="countmin",
+                        params=dict(width=2048, height=5, seed=7),
+                        column="user_id", ts_column="ts", window=Tumbling(DAY))
+    a, b = _two_stream_builds(spark, sf_dir, spec, "click", "view")
     return (ev.join_size_estimates(a, b)
             .select(F.col("window_start").cast(NTZ).alias("window_start"),
                     F.round("est_join", 2).alias("est_join")))
@@ -1260,11 +1275,13 @@ def q_dyadic_heavy_hitters(spark, sf_dir):
     with >= ceil(0.8% of N) events, found by prefix-tree descent without
     enumerating the user universe (CM paper §4.2). Exact at this sizing:
     descent never drops a true heavy hitter (CM overestimates only) and
-    level-0 estimates are exact, so output == the true HH set."""
+    level-0 estimates are exact, so output == the true HH set. bits=12
+    leaves ~2.7x headroom over sf0.1's max user_id (1499); a bigger
+    fixture fails LOUDLY via the build's domain guard, never silently."""
     from condor_spark.engine import dyadic
 
     df = _events(spark, sf_dir)
-    dy = dyadic.build_dyadic_latest(df, "user_id", bits=11, height=5, seed=7)
+    dy = dyadic.build_dyadic_latest(df, "user_id", bits=12, height=5, seed=7)
     thr = (dy.n * 8 + 999) // 1000
     return dyadic.heavy_hitters(spark, dy, thr).select("key", "est_count")
 

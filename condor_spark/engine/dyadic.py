@@ -95,10 +95,29 @@ class DyadicCM:
     n: int                   # total updates in the window (root count)
     window_start: object = None
     window_end: object = None
+    _bc: object = None       # cached spark broadcast of the numpy grids
 
     @property
     def n_levels(self) -> int:
         return self.bits + 1
+
+    def broadcast(self, spark):
+        """One Spark broadcast of the numpy level grids per snapshot,
+        shared by every arrow-impl query call (a first cut re-broadcast
+        the multi-MB grids per call and leaked them until GC)."""
+        if self._bc is None:
+            self._bc = spark.sparkContext.broadcast(_np_levels(self))
+        return self._bc
+
+    def unpersist(self) -> None:
+        """Release the cached broadcast (safe to call repeatedly; the next
+        query re-broadcasts)."""
+        if self._bc is not None:
+            try:
+                self._bc.unpersist()
+            except Exception:
+                pass  # session already stopped
+            self._bc = None
 
 
 def _pow2ceil(x: int) -> int:
@@ -126,7 +145,16 @@ def dyadic_specs(df: DataFrame, key_col: str, bits: int, height: int = 5,
     scan). ``key_col`` must be integer-typed and non-negative."""
     _require_int_key(df, key_col, "dyadic_specs")
     widths = level_widths(bits, oversample, min_width, max_width)
+    # fail LOUDLY on keys outside [0, 2**bits): an out-of-domain key would
+    # still update every level but under shifted node ids the queries never
+    # visit — silently missing from range counts and heavy hitters (a false
+    # negative the descent guarantee forbids) while still counted in n.
+    # The guard folds into the same scan: zero-cost happy path, per-row
+    # raise on the bad branch.
     key = F.col(key_col).cast("long")
+    key = F.when((key >= 0) & (key < F.lit(1 << bits)), key).otherwise(
+        F.raise_error(F.format_string(
+            f"dyadic key out of domain [0, {1 << bits}): %s", key)))
     work = df
     for l in range(bits + 1):
         work = work.withColumn(f"__dy{l}", F.shiftright(key, l))
@@ -289,7 +317,7 @@ def range_count_queries(queries_df: DataFrame, lo_col: str, hi_col: str,
     1-row broadcast, one gathering Project) — bit-identical answers,
     right choice for SMALL query sets composed into larger SQL-only plans."""
     if impl == "arrow":
-        bc = queries_df.sparkSession.sparkContext.broadcast(_np_levels(dy))
+        bc = dy.broadcast(queries_df.sparkSession)
         bits, n_levels = dy.bits, dy.n_levels
         dy_meta = DyadicCM(dy.bits, dy.height, dy.seed, dy.widths,
                            [], dy.n)  # cells travel via bc, not the closure
@@ -423,7 +451,7 @@ def quantile_queries(queries_df: DataFrame, q_col: str, dy: DyadicCM,
     (module docstring). Fine for a handful of phis per window; use arrow
     for bulk streams."""
     if impl == "arrow":
-        bc = queries_df.sparkSession.sparkContext.broadcast(_np_levels(dy))
+        bc = dy.broadcast(queries_df.sparkSession)
         bits, n_total = dy.bits, dy.n
         dy_meta = DyadicCM(dy.bits, dy.height, dy.seed, dy.widths, [], dy.n)
 

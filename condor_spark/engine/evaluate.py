@@ -157,7 +157,11 @@ def join_size_estimates(syn_a: DataFrame, syn_b: DataFrame) -> DataFrame:
     generalization. Scale: the join carries one sketch blob per (window,
     stratum) — row counts are window counts, not event counts — so the
     equi-join shuffles O(windows×strata) short rows regardless of input
-    size, and both sides were already reduced by the distributed build."""
+    size, and both sides were already reduced by the distributed build.
+
+    Windows where either stream has NO events are OMITTED (inner join),
+    not emitted as est_join=0 — callers averaging per-window sizes over a
+    fixed window set must outer-join a window spine themselves."""
     b = syn_b.select("window_start", "window_end", "stratum",
                      F.col("state").alias("state_b"))
     joined = syn_a.join(b, ["window_start", "window_end", "stratum"], "inner")

@@ -161,3 +161,24 @@ def test_dyadiccm_kernel_props():
     assert s2.n_processed == 10
     with pytest.raises(ValueError):
         make("dyadiccm", width=100)  # pow-2 guard
+
+
+def test_empty_input_builds_zero_snapshot(spark):
+    empty = spark.createDataFrame([], "key long")
+    dy = dyadic.build_dyadic_latest(empty, "key", bits=4)
+    assert dy.n == 0
+    qdf = spark.createDataFrame([(0, 15), (3, 3)], "lo long, hi long")
+    got = dyadic.range_count_queries(qdf, "lo", "hi", dy).collect()
+    assert all(r["est_count"] == 0 for r in got)
+    assert dyadic.heavy_hitters(spark, dy, 1).count() == 0
+
+
+def test_out_of_domain_key_fails_loudly(spark):
+    """Keys outside [0, 2**bits) would silently vanish from range counts
+    and heavy hitters (still counted in n) — the build must raise."""
+    df = spark.createDataFrame([(1,), (100,)], "key long")
+    with pytest.raises(Exception, match="out of domain"):
+        dyadic.build_dyadic_latest(df, "key", bits=4)
+    neg = spark.createDataFrame([(-1,), (3,)], "key long")
+    with pytest.raises(Exception, match="out of domain"):
+        dyadic.build_dyadic_latest(neg, "key", bits=4)
