@@ -1297,6 +1297,44 @@ def q_dyadic_quantile(spark, sf_dir):
     return dyadic.quantile_queries(qdf, "q", dy).select("q", "est_key")
 
 
+def q_stream_dyadic_range(spark, sf_dir):
+    """The dyadic hierarchy maintained as STREAMING state: because the
+    whole tree is one registered kernel (synopsis.countmin.DyadicSketch),
+    the applyInPandasWithState path (StatefulSynopsisStream) takes it
+    unchanged — ordered file replay → watermark → keyed tree state →
+    event-time-timeout emission. The latest closed window's blob answers
+    the same range set as dyadic_range_count; closed-window state must
+    equal the batch build exactly, so they share the exact oracle."""
+    from condor_spark import fixtures
+    from condor_spark.engine import dyadic
+    from condor_spark.engine.stateful import StatefulSynopsisStream
+    from condor_spark.synopsis.base import Synopsis
+
+    df = _events(spark, sf_dir).withColumn("vkey", F.floor("value").cast("long"))
+    max_ts = df.agg(F.max("ts")).collect()[0][0]
+    cutoff = pd.Timestamp(max_ts) + pd.Timedelta(days=1)
+    tmp = _fresh_tmp("dyadicstream", sf_dir)
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    fixtures.replay_in_order(
+        spark, df, src, n_chunks=5,
+        flush_ts=[cutoff + pd.Timedelta(days=40), cutoff + pd.Timedelta(days=80)])
+
+    spec = dyadic.dyadic_spec("vkey", bits=10, height=5, seed=7,
+                              ts_column="ts", window=Tumbling(DAY))
+    job = StatefulSynopsisStream(spec, watermark_delay="1 hour")
+    q = job.start(spark, src, out, ckpt, max_files_per_trigger=1)
+    _await(q)
+
+    row = (spark.read.parquet(out)
+           .filter(F.col("window_end") <= F.lit(cutoff))
+           .orderBy(F.col("window_end").desc()).limit(1).collect())[0]
+    dy = dyadic.snapshot_from(Synopsis.from_bytes(bytes(row["state"])),
+                              row["window_start"], row["window_end"])
+    qdf = spark.createDataFrame(_DYADIC_RANGES, "lo long, hi long")
+    return (dyadic.range_count_queries(qdf, "lo", "hi", dy)
+            .select("lo", "hi", "est_count"))
+
+
 def q_cep_sequence(spark, sf_dir):
     """CEP batch: every signup followed by a purchase of the same user
     within 3 days (JVM equi-join + event-time range predicate)."""
@@ -1939,11 +1977,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     streaming dedup engine, provably batch-equal under their cap
     configs, whose batch scorer is in-window via audio_fp_exact), and
     the dyadic CM family (dyadic_range_count / dyadic_heavy_hitters /
-    dyadic_quantile — no-key-scan range/HH/rank queries, an EXTENSION
-    beyond the reference's flat CM rather than a SURVEY §2 component,
-    so the in-window slots stay with the component set; its build path
-    is the in-window shared-scan builder and its exactness promotion
-    is asserted by tests/test_dyadic.py); all
+    dyadic_quantile / stream_dyadic_range — no-key-scan range/HH/rank
+    queries, an EXTENSION beyond the reference's flat CM rather than a
+    SURVEY §2 component, so the in-window slots stay with the component
+    set; the whole tree is ONE registered kernel, so the batch build and
+    the stateful streaming build are the in-window paths themselves and
+    its exactness promotion is asserted by tests/test_dyadic.py); all
     stay verified by tests/test_entry.py every run. The trailing block is the
     genuinely rows-only set (randomized samplers, LSH/IVF approximations,
     media/audio feature pipelines, FFT-based audio_spectral and
@@ -2054,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dyadic_range_count": q_dyadic_range_count,
         "dyadic_heavy_hitters": q_dyadic_heavy_hitters,
         "dyadic_quantile": q_dyadic_quantile,
+        "stream_dyadic_range": q_stream_dyadic_range,
         # ---- rows-only (genuinely randomized / approximate / media) -----
         "reservoir_sample": q_reservoir_sample,
         "biased_reservoir": q_biased_reservoir,
@@ -3762,6 +3802,9 @@ def oracle_sql() -> dict[str, str]:
             FROM events, t GROUP BY user_id, t.thr
             HAVING count(*) >= t.thr
         """
+    oracles["stream_dyadic_range"] = oracles["dyadic_range_count"]
+    # closed streaming windows must equal the batch build byte-for-byte,
+    # so the streamed tree shares the batch range oracle
     qs_vals = ", ".join(f"({x})" for x in _DYADIC_QS)
     oracles["dyadic_quantile"] = f"""
             WITH w AS (SELECT max(time_bucket(INTERVAL '1 day', ts)) ws FROM events),

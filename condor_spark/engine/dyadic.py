@@ -23,12 +23,14 @@ hierarchy removes the key scan:
   * quantile / rank — binary descent over prefix counts, O(bits·height)
     gathers per query.
 
-Build: one ``dyadiccm`` sketch per level l summarizing ``key >> l`` (level
-``bits`` is the 1-node root), ALL LEVELS FROM ONE SHARED SCAN via
-``build_batch_many`` — at 100 TB the scan dominates, so bits+1 sketches
-cost ~1 pass, and each level is an ordinary mergeable CM (partition-
-parallel partials, one O(sketch-bytes) shuffle, row-count-independent —
-PLANS.md §1).
+Build: the WHOLE hierarchy is one registered kernel
+(``synopsis.countmin.DyadicSketch``): bits+1 grids, level l summarizing
+``key >> l`` (level ``bits`` is the 1-node root), all levels hashed in the
+kernel's whole-batch fast path from ONE scan. One spec, one blob per
+window — so the batch builder, the applyInPandasWithState streaming build,
+the exactly-once manifest sink and checkpoint resume all take it
+unchanged (partition-parallel mergeable partials, one O(sketch-bytes)
+shuffle, row-count-independent — PLANS.md §1).
 
 Query-plan shape (PLANS.md §25 — this was iterated, the first two cuts
 were wrong at scale):
@@ -76,9 +78,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
-from ..synopsis.countmin import row_seed
-from .builder import SynopsisSpec, build_batch_many
-from .pointquery import _attach_many, _require_int_key, cm_cells
+from ..synopsis.countmin import level_widths, row_seed  # noqa: F401 — level_widths re-exported
+from .builder import SynopsisSpec
+from .pointquery import _attach_many, _require_int_key
 
 
 @dataclass
@@ -120,49 +122,33 @@ class DyadicCM:
             self._bc = None
 
 
-def _pow2ceil(x: int) -> int:
-    return 1 << max(0, (x - 1).bit_length())
+def dyadic_spec(key_col: str, bits: int, height: int = 5, seed: int = 7,
+                ts_column: str | None = None, window=None,
+                oversample: int = 64, min_width: int = 1024,
+                max_width: int = 1 << 17) -> SynopsisSpec:
+    """One ``dyadic``-kind spec: the WHOLE hierarchy is a single registered
+    kernel (``synopsis.countmin.DyadicSketch``), so every existing path —
+    batch builder (whole-batch fast path included), shared-scan multi-build,
+    applyInPandasWithState streaming, the exactly-once manifest sink,
+    checkpoint resume — takes it unchanged, one blob per window. The kernel
+    raises on keys outside [0, 2**bits) (silent misses otherwise — see its
+    docstring)."""
+    return SynopsisSpec(
+        kind="dyadic",
+        params=dict(bits=bits, height=height, seed=seed,
+                    oversample=oversample, min_width=min_width,
+                    max_width=max_width),
+        column=key_col, ts_column=ts_column, window=window)
 
 
-def level_widths(bits: int, oversample: int = 64, min_width: int = 1024,
-                 max_width: int = 1 << 17) -> list[int]:
-    """Per-level CM widths: ``oversample``x the level's key-domain size,
-    clamped and rounded to powers of two (the ``dyadiccm`` kernel needs
-    pow-2 so SQL ``h & (width-1)`` == kernel uint64 modulo) — small levels
-    stay cheap, level 0 carries the accuracy."""
-    return [_pow2ceil(max(min_width,
-                          min(max_width, (1 << (bits - l)) * oversample)))
-            for l in range(bits + 1)]
-
-
-def dyadic_specs(df: DataFrame, key_col: str, bits: int, height: int = 5,
-                 seed: int = 7, ts_column: str | None = None,
-                 window=None, oversample: int = 64, min_width: int = 1024,
-                 max_width: int = 1 << 17
-                 ) -> tuple[DataFrame, list[SynopsisSpec], list[int]]:
-    """Derive the per-level shifted-key columns and one ``dyadiccm`` spec
-    per level (shared window/ts so ``build_batch_many`` takes them in ONE
-    scan). ``key_col`` must be integer-typed and non-negative."""
-    _require_int_key(df, key_col, "dyadic_specs")
-    widths = level_widths(bits, oversample, min_width, max_width)
-    # fail LOUDLY on keys outside [0, 2**bits): an out-of-domain key would
-    # still update every level but under shifted node ids the queries never
-    # visit — silently missing from range counts and heavy hitters (a false
-    # negative the descent guarantee forbids) while still counted in n.
-    # The guard folds into the same scan: zero-cost happy path, per-row
-    # raise on the bad branch.
-    key = F.col(key_col).cast("long")
-    key = F.when((key >= 0) & (key < F.lit(1 << bits)), key).otherwise(
-        F.raise_error(F.format_string(
-            f"dyadic key out of domain [0, {1 << bits}): %s", key)))
-    work = df
-    for l in range(bits + 1):
-        work = work.withColumn(f"__dy{l}", F.shiftright(key, l))
-    specs = [SynopsisSpec(kind="dyadiccm",
-                          params=dict(width=widths[l], height=height, seed=seed),
-                          column=f"__dy{l}", ts_column=ts_column, window=window)
-             for l in range(bits + 1)]
-    return work, specs, widths
+def snapshot_from(syn, window_start=None, window_end=None) -> DyadicCM:
+    """Driver-decoded query snapshot from a ``DyadicSketch`` kernel (e.g. a
+    window row of a batch build, a streaming sink, or a resumed state)."""
+    return DyadicCM(bits=syn.bits, height=syn.height, seed=syn.seed,
+                    widths=list(syn.widths),
+                    levels=[g.ravel().tolist() for g in syn.grids],
+                    n=int(syn.n_processed),
+                    window_start=window_start, window_end=window_end)
 
 
 def build_dyadic_latest(df: DataFrame, key_col: str, bits: int,
@@ -170,44 +156,27 @@ def build_dyadic_latest(df: DataFrame, key_col: str, bits: int,
                         ts_column: str | None = None, window=None,
                         oversample: int = 64, min_width: int = 1024,
                         max_width: int = 1 << 17) -> DyadicCM:
-    """Build all levels in one shared scan and decode the LATEST window's
+    """Build the hierarchy (one ``build_batch`` pass — all levels hash in
+    the kernel's whole-batch fast path) and decode the LATEST window's
     snapshot (the reference's queryLatest semantics —
     ``ApproximateDataAnalytics.java`` answers against the newest window).
-    The build is windows x levels sketch blobs; only the newest window's
-    bits+1 rows reach the driver."""
+    Only the newest window's single blob reaches the driver."""
     from ..synopsis.base import Synopsis
+    from .builder import build_batch
 
-    work, specs, widths = dyadic_specs(df, key_col, bits, height, seed,
-                                       ts_column, window, oversample,
-                                       min_width, max_width)
-    built = build_batch_many(work, specs)
-    if window is not None:
-        # persist so the max-window probe and the snapshot read share one
-        # build (blobs only; released before returning)
-        built = built.persist()
-        mx = built.agg(F.max("window_end")).collect()[0][0]
-        rows = built.where(F.col("window_end") == F.lit(mx)).collect()
-        built.unpersist(blocking=False)
-    else:
-        rows = built.collect()
-    levels: list = [None] * (bits + 1)
-    n = 0
-    ws = we = None
-    for r in rows:
-        syn = Synopsis.from_bytes(bytes(r["state"]))
-        levels[r["spec_id"]] = cm_cells(syn)
-        if r["spec_id"] == bits:
-            n = syn.n_processed
-            ws, we = r["window_start"], r["window_end"]
-    missing = [l for l, c in enumerate(levels) if c is None]
-    if len(missing) == bits + 1:
-        # empty input: the snapshot of nothing is all-zero cells (n=0 —
+    _require_int_key(df, key_col, "build_dyadic_latest")
+    spec = dyadic_spec(key_col, bits, height, seed, ts_column, window,
+                       oversample, min_width, max_width)
+    built = build_batch(df, spec)
+    rows = (built.orderBy(F.col("window_end").desc()).limit(1).collect()
+            if window is not None else built.collect())
+    if not rows:
+        # empty input: the snapshot of nothing is all-zero grids (n=0 —
         # every range answers 0, heavy hitters are empty)
-        levels = [[0] * (widths[l] * height) for l in range(bits + 1)]
-    elif missing:
-        raise ValueError(f"no snapshot rows for levels {missing}")
-    return DyadicCM(bits=bits, height=height, seed=seed, widths=widths,
-                    levels=levels, n=int(n), window_start=ws, window_end=we)
+        return snapshot_from(spec.make_synopsis())
+    row = rows[0]
+    syn = Synopsis.from_bytes(bytes(row["state"]))
+    return snapshot_from(syn, row["window_start"], row["window_end"])
 
 
 # ------------------------------------------------------------------ exprs

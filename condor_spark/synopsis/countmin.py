@@ -176,3 +176,121 @@ def row_seed(seed: int, r: int) -> int:
     query path (``engine/dyadic.py``): distinct odd-ish offsets off the
     golden ratio, masked to 64 bits."""
     return (seed + 0x9E3779B97F4A7C15 * (r + 1)) & 0xFFFFFFFFFFFFFFFF
+
+
+def _pow2ceil(x: int) -> int:
+    return 1 << max(0, (x - 1).bit_length())
+
+
+def level_widths(bits: int, oversample: int = 64, min_width: int = 1024,
+                 max_width: int = 1 << 17) -> list[int]:
+    """Per-level width policy of the dyadic hierarchy: ``oversample``x the
+    level's key-domain size, clamped and rounded to powers of two (pow-2
+    keeps SQL ``h & (width-1)`` == the kernel's uint64 modulo) — small
+    levels stay cheap, level 0 carries the accuracy."""
+    return [_pow2ceil(max(min_width,
+                          min(max_width, (1 << (bits - l)) * oversample)))
+            for l in range(bits + 1)]
+
+
+@register
+class DyadicSketch(Synopsis):
+    """The WHOLE dyadic Count-Min hierarchy as one mergeable synopsis:
+    bits+1 ``DyadicCountMin``-style grids, level l summarizing ``key >> l``
+    (level ``bits`` is the 1-node root).
+
+    Packaging all levels into a single registered kernel (rather than bits+1
+    separate specs through ``build_batch_many``) makes the hierarchy a
+    first-class citizen of EVERY existing execution path with one spec and
+    one blob per window: the batch builder and its whole-batch fast path,
+    the applyInPandasWithState streaming build (``StatefulSynopsisStream``),
+    the exactly-once manifest sink, checkpoint resume — none of them need to
+    know the blob holds a tree. Query surface: ``engine/dyadic.py``
+    (range counts / heavy hitters / rank quantiles without key
+    enumeration, CM paper §4.2-4.3).
+
+    Keys MUST lie in ``[0, 2**bits)`` — out-of-domain keys would update
+    shifted node ids the queries never visit (silently missing from range
+    counts and heavy hitters while still counted in n), so ``update_batch``
+    raises instead."""
+
+    KIND = "dyadic"
+    TRAIT = Trait.INVERTIBLE
+
+    def __init__(self, bits: int, height: int = 5, seed: int = 7,
+                 oversample: int = 64, min_width: int = 1024,
+                 max_width: int = 1 << 17):
+        super().__init__(bits=int(bits), height=int(height), seed=int(seed),
+                         oversample=int(oversample),
+                         min_width=int(min_width), max_width=int(max_width))
+        self.bits = int(bits)
+        self.height = int(height)
+        self.seed = int(seed)
+        self.widths = level_widths(self.bits, int(oversample),
+                                   int(min_width), int(max_width))
+        self.grids = [np.zeros((self.height, w), dtype=np.int64)
+                      for w in self.widths]
+        self.n_processed = 0
+        self._row_seeds = np.array(
+            [row_seed(self.seed, r) for r in range(self.height)],
+            dtype=np.uint64)
+
+    def _state(self) -> dict:
+        return {"grids": [_pack_counts(g) for g in self.grids],
+                "n_processed": self.n_processed}
+
+    def _load_state(self, state: dict) -> None:
+        self.grids = [_unpack_counts(p, (self.height, self.widths[l]))
+                      for l, p in enumerate(state["grids"])]
+        self.n_processed = int(state["n_processed"])
+
+    def _guard(self, x: np.ndarray) -> np.ndarray:
+        x = x.astype(np.int64, copy=False)
+        if x.size and (int(x.min()) < 0 or int(x.max()) >= (1 << self.bits)):
+            bad = x[(x < 0) | (x >= (1 << self.bits))][0]
+            raise ValueError(
+                f"dyadic key out of domain [0, {1 << self.bits}): {int(bad)}")
+        return x
+
+    # whole-batch fast path (builder._partial_builder): hash ALL levels for
+    # the entire Arrow batch once; groups scatter their [lo, hi) views
+    def precompute(self, values):
+        x = self._guard(strings_to_ints(values))
+        pre = []
+        for l, w in enumerate(self.widths):
+            h = hash64_multi(x >> l, self._row_seeds)  # (height, n) uint64
+            pre.append((h & np.uint64(w - 1)).astype(np.int64))
+        return pre
+
+    def update_precomputed(self, pre, lo: int, hi: int) -> None:
+        for l, cols in enumerate(pre):
+            g = self.grids[l]
+            for r in range(self.height):
+                np.add.at(g[r], cols[r, lo:hi], 1)
+        self.n_processed += hi - lo
+
+    def update_batch(self, values, ts=None) -> None:
+        pre = self.precompute(values)
+        self.update_precomputed(pre, 0, pre[0].shape[1])
+
+    def merge(self, other: "DyadicSketch") -> "DyadicSketch":
+        self._check_same(other)
+        for g, og in zip(self.grids, other.grids):
+            g += og
+        self.n_processed += other.n_processed
+        return self
+
+    def invert(self, other: "DyadicSketch") -> "DyadicSketch":
+        self._check_same(other)
+        for g, og in zip(self.grids, other.grids):
+            g -= og
+        self.n_processed -= other.n_processed
+        return self
+
+    def query(self, values) -> np.ndarray:
+        """Point (level-0) frequency estimates, CM semantics."""
+        x = self._guard(strings_to_ints(values))
+        h = (hash64_multi(x, self._row_seeds)
+             & np.uint64(self.widths[0] - 1)).astype(np.int64)
+        ests = np.take_along_axis(self.grids[0], h, axis=1)
+        return ests.min(axis=0)
