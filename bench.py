@@ -238,6 +238,50 @@ def query_throughput_job(spark, sf_dir: str, n_queries: int = 20_000_000,
             "storm_detected": bool(max(walls) > 3 * min(walls))}
 
 
+def dyadic_throughput_job(spark, sf_dir: str, n_queries: int = 2_000_000,
+                          reps: int = 2) -> dict:
+    """Dyadic CM range-query rate (engine/dyadic.py, arrow kernel over one
+    cached broadcast) plus the one-pass tree build rate. Runs in the main
+    session: the kernel is numpy-per-Arrow-batch, insensitive to the
+    kernel-time storms that force the other metrics into pinned children."""
+    import pyspark.sql.functions as F
+
+    from condor_spark.engine import dyadic
+
+    base = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # replicate to ~target rows like throughput_job: 100k rows measure stage
+    # overhead, not tree-build throughput (untimed, materialized once)
+    k = max(1, 2_000_000 // max(base.count(), 1))
+    path = (f"/tmp/condor_spark_bench_events_{k}_"
+            f"{os.path.basename(sf_dir.rstrip('/'))}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (base.withColumn("__r",
+                         F.explode(F.array(*[F.lit(i) for i in range(k)])))
+             .drop("__r").repartition(64).write.mode("overwrite").parquet(path))
+    df = (spark.read.parquet(path)
+          .withColumn("vkey", F.floor("value").cast("long")))
+    n_rows = df.count()
+    walls = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        dy = dyadic.build_dyadic_latest(df, "vkey", bits=10, height=5, seed=7)
+        walls.append(time.perf_counter() - t0)
+    qdf = spark.range(n_queries).select(
+        (F.col("id") % 900).cast("long").alias("lo"),
+        ((F.col("id") % 900) + F.col("id") % 97).cast("long").alias("hi"))
+    out = dyadic.range_count_queries(qdf, "lo", "hi", dy)
+    out.count()  # warm (broadcast ship + python worker spin-up)
+    qwalls = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out.agg(F.sum("est_count")).collect()
+        qwalls.append(time.perf_counter() - t0)
+    dy.unpersist()
+    return {"range_queries_per_sec": n_queries / min(qwalls),
+            "build_rows_per_sec": n_rows / min(walls),
+            "rep_secs": [round(w, 2) for w in qwalls]}
+
+
 def error_metrics(spark, sf_dir: str) -> dict:
     """Per-synopsis estimate error vs the reference's own bounds — the other
     half of the BASELINE metric. Each estimate flows through the real
@@ -625,6 +669,7 @@ def main() -> None:
 
     tput = throughput_job(spark, SF_DIR)
     errors = error_metrics(spark, SF_DIR)
+    dytput = dyadic_throughput_job(spark, SF_DIR)
     spark.stop()
 
     # query-eval rate in fresh pinned-size children, best of two local sizes
@@ -773,6 +818,9 @@ def main() -> None:
                 (round(qtput["quantile_queries_per_sec"]) if qtput else None),
             "qtput_local_n": qtput_n,
             "qtput_rep_secs": qtput["rep_secs"] if qtput else None,
+            "dyadic_range_queries_per_sec":
+                round(dytput["range_queries_per_sec"]),
+            "dyadic_build_rows_per_sec": round(dytput["build_rows_per_sec"]),
             "audio_clips_per_sec": round(audio["clips_per_sec"]) if audio else None,
             "audio_clips_per_sec_materialized":
                 (round(audio["clips_per_sec_materialized"])

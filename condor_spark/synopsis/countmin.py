@@ -252,26 +252,67 @@ class DyadicSketch(Synopsis):
                 f"dyadic key out of domain [0, {1 << self.bits}): {int(bad)}")
         return x
 
-    # whole-batch fast path (builder._partial_builder): hash ALL levels for
-    # the entire Arrow batch once; groups scatter their [lo, hi) views
+    # Update strategy. Naively every row hashes at every level x row —
+    # (bits+1)·height hashes per value, ~11x a flat CM build. Instead the
+    # batch is reduced to a level-0 COUNT VECTOR (one O(n) bincount) and
+    # folded up the tree (c_{l+1} = c_l[0::2] + c_l[1::2], O(domain) per
+    # level); each level then scatters count MASS for its present node ids
+    # only. Node-id buckets don't depend on the data, so for small domains
+    # they come from a lazily-built per-level table (O(2^{bits+1}·height)
+    # ints, built once per kernel instance, shared by every batch/group).
+    # Above _TABLE_BITS the table would dominate memory and the per-batch
+    # hash covers only np.unique node ids instead. Identical grids either
+    # way (integer adds commute) — asserted by the parity pytest.
+    _TABLE_BITS = 16
+
+    def _bucket_table(self, level: int) -> np.ndarray:
+        """(height, 2^{bits-level}) bucket ids of every node at ``level``."""
+        tables = getattr(self, "_tables", None)
+        if tables is None:
+            tables = self._tables = [None] * (self.bits + 1)
+        if tables[level] is None:
+            dom = np.arange(1 << (self.bits - level), dtype=np.int64)
+            h = hash64_multi(dom, self._row_seeds)
+            tables[level] = (h & np.uint64(self.widths[level] - 1)).astype(
+                np.int64)
+        return tables[level]
+
+    def _add_counts(self, c: np.ndarray, sign: int = 1) -> None:
+        """Scatter a level-0 count vector (len 2^bits) into every grid."""
+        total = int(c.sum())
+        use_tables = self.bits <= self._TABLE_BITS
+        for l in range(self.bits + 1):
+            nz = np.flatnonzero(c)
+            if nz.size:
+                vals = (sign * c[nz]).astype(np.int64)
+                if use_tables:
+                    cols = self._bucket_table(l)[:, nz]
+                else:
+                    h = hash64_multi(nz, self._row_seeds)
+                    cols = (h & np.uint64(self.widths[l] - 1)).astype(np.int64)
+                g = self.grids[l]
+                for r in range(self.height):
+                    np.add.at(g[r], cols[r], vals)
+            if l < self.bits:
+                c = c[0::2] + c[1::2]
+        self.n_processed += sign * total
+
+    # whole-batch fast path (builder._partial_builder): the precompute is
+    # just guard+convert; each (slice, stratum) group bincounts its
+    # contiguous [lo, hi) view and scatters mass via the shared tables
     def precompute(self, values):
-        x = self._guard(strings_to_ints(values))
-        pre = []
-        for l, w in enumerate(self.widths):
-            h = hash64_multi(x >> l, self._row_seeds)  # (height, n) uint64
-            pre.append((h & np.uint64(w - 1)).astype(np.int64))
-        return pre
+        return self._guard(strings_to_ints(values))
 
     def update_precomputed(self, pre, lo: int, hi: int) -> None:
-        for l, cols in enumerate(pre):
-            g = self.grids[l]
-            for r in range(self.height):
-                np.add.at(g[r], cols[r, lo:hi], 1)
-        self.n_processed += hi - lo
+        self._add_counts(np.bincount(pre[lo:hi], minlength=1 << self.bits))
 
     def update_batch(self, values, ts=None) -> None:
-        pre = self.precompute(values)
-        self.update_precomputed(pre, 0, pre[0].shape[1])
+        x = self._guard(strings_to_ints(values))
+        self._add_counts(np.bincount(x, minlength=1 << self.bits))
+
+    def decrement_batch(self, values) -> None:
+        x = self._guard(strings_to_ints(values))
+        self._add_counts(np.bincount(x, minlength=1 << self.bits), sign=-1)
 
     def merge(self, other: "DyadicSketch") -> "DyadicSketch":
         self._check_same(other)

@@ -182,3 +182,30 @@ def test_out_of_domain_key_fails_loudly(spark):
     neg = spark.createDataFrame([(-1,), (3,)], "key long")
     with pytest.raises(Exception, match="out of domain"):
         dyadic.build_dyadic_latest(neg, "key", bits=4)
+
+
+def test_kernel_count_fold_matches_per_level_hashing():
+    """The bincount+tree-fold update (and the big-bits no-table fallback)
+    produce grids identical to direct per-level hashing of every value —
+    the optimization must be invisible."""
+    from condor_spark.synopsis.hashing import hash64_multi
+
+    rng = np.random.default_rng(9)
+    x = rng.integers(0, 1024, 50_000)
+    for bits, kw in ((10, {}), (18, {})):  # table path / fallback path
+        dom = 1 << bits
+        xs = x % dom
+        s = make("dyadic", bits=bits, **kw)
+        s.update_batch(xs)
+        ref = make("dyadic", bits=bits, **kw)
+        for l, w in enumerate(ref.widths):
+            h = hash64_multi(xs >> l, ref._row_seeds)
+            cols = (h & np.uint64(w - 1)).astype(np.int64)
+            for r in range(ref.height):
+                np.add.at(ref.grids[l][r], cols[r], 1)
+        assert all(np.array_equal(a, b) for a, b in zip(s.grids, ref.grids)), bits
+    # decrement is the exact inverse
+    s.decrement_batch(xs[:100])
+    t = make("dyadic", bits=18)
+    t.update_batch(xs[100:])
+    assert all(np.array_equal(a, b) for a, b in zip(s.grids, t.grids))
