@@ -178,6 +178,11 @@ def row_seed(seed: int, r: int) -> int:
     return (seed + 0x9E3779B97F4A7C15 * (r + 1)) & 0xFFFFFFFFFFFFFFFF
 
 
+#: per-worker node-bucket tables shared across DyadicSketch instances,
+#: keyed by (bits, height, seed, widths, level) — see _bucket_table
+_DYADIC_TABLES: dict = {}
+
+
 def _pow2ceil(x: int) -> int:
     return 1 << max(0, (x - 1).bit_length())
 
@@ -266,16 +271,24 @@ class DyadicSketch(Synopsis):
     _TABLE_BITS = 16
 
     def _bucket_table(self, level: int) -> np.ndarray:
-        """(height, 2^{bits-level}) bucket ids of every node at ``level``."""
-        tables = getattr(self, "_tables", None)
-        if tables is None:
-            tables = self._tables = [None] * (self.bits + 1)
-        if tables[level] is None:
+        """(height, 2^{bits-level}) bucket ids of every node at ``level``.
+
+        Cached at MODULE level keyed by the hash-determining params: the
+        builder creates one kernel instance per (slice, stratum), so an
+        instance-level cache would rebuild (and hold) up to ~5 MB of
+        tables per window — per-worker sharing makes it one copy per
+        distinct sizing. Bounded: tables are O(2^{bits+1}·height) total
+        per sizing and _TABLE_BITS caps bits."""
+        key = (self.bits, self.height, self.seed, tuple(self.widths), level)
+        tbl = _DYADIC_TABLES.get(key)
+        if tbl is None:
             dom = np.arange(1 << (self.bits - level), dtype=np.int64)
             h = hash64_multi(dom, self._row_seeds)
-            tables[level] = (h & np.uint64(self.widths[level] - 1)).astype(
-                np.int64)
-        return tables[level]
+            tbl = (h & np.uint64(self.widths[level] - 1)).astype(np.int64)
+            if len(_DYADIC_TABLES) > 256:  # distinct sizings, not instances
+                _DYADIC_TABLES.clear()
+            _DYADIC_TABLES[key] = tbl
+        return tbl
 
     def _add_counts(self, c: np.ndarray, sign: int = 1) -> None:
         """Scatter a level-0 count vector (len 2^bits) into every grid."""
@@ -304,6 +317,19 @@ class DyadicSketch(Synopsis):
         return self._guard(strings_to_ints(values))
 
     def update_precomputed(self, pre, lo: int, hi: int) -> None:
+        n = hi - lo
+        if n * 4 < (1 << self.bits):
+            # tiny group (fine slices/strata): an O(2^bits) count vector per
+            # group would dominate — hash the few values per level directly
+            x = pre[lo:hi]
+            for l, w in enumerate(self.widths):
+                h = hash64_multi(x >> l, self._row_seeds)
+                cols = (h & np.uint64(w - 1)).astype(np.int64)
+                g = self.grids[l]
+                for r in range(self.height):
+                    np.add.at(g[r], cols[r], 1)
+            self.n_processed += n
+            return
         self._add_counts(np.bincount(pre[lo:hi], minlength=1 << self.bits))
 
     def update_batch(self, values, ts=None) -> None:

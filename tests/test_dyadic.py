@@ -209,3 +209,19 @@ def test_kernel_count_fold_matches_per_level_hashing():
     t = make("dyadic", bits=18)
     t.update_batch(xs[100:])
     assert all(np.array_equal(a, b) for a, b in zip(s.grids, t.grids))
+
+
+def test_kernel_tiny_group_path_matches_bincount():
+    """update_precomputed's small-group fallback (n*4 < 2^bits hashes the
+    few values instead of allocating a 2^bits count vector) must land the
+    same grids as the count-fold path."""
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 4096, 2000).astype(np.int64)
+    a = make("dyadic", bits=12)
+    pre = a.precompute(x)
+    for lo in range(0, 2000, 50):       # 50-row groups: tiny path
+        a.update_precomputed(pre, lo, min(lo + 50, 2000))
+    b = make("dyadic", bits=12)
+    b.update_batch(x)                   # one bincount
+    assert all(np.array_equal(g, h) for g, h in zip(a.grids, b.grids))
+    assert a.n_processed == b.n_processed == 2000
