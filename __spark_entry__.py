@@ -1335,6 +1335,41 @@ def q_stream_dyadic_range(spark, sf_dir):
             .select("lo", "hi", "est_count"))
 
 
+def q_stream_dyadic_querylatest(spark, sf_dir):
+    """Continuous RANGE-query stream over the dyadic hierarchy: the
+    snapshot is maintained by the exactly-once streaming sink (kind=dyadic
+    — one tree blob per window), then a 3-batch (lo, hi) query stream is
+    answered per micro-batch against the newest committed window via the
+    vectorized Arrow kernel (per-batch snapshot broadcast, released after
+    the answers are durable). Exact at this sizing, so every batch's
+    answers equal the newest window's true range counts."""
+    from condor_spark import fixtures
+    from condor_spark.engine import dyadic
+    from condor_spark.engine.streaming import (QueryLatestStream,
+                                               StreamingSynopsisJob)
+
+    df = _events(spark, sf_dir).withColumn("vkey", F.floor("value").cast("long"))
+    tmp = _fresh_tmp("dyql", sf_dir)
+    fixtures.replay_in_order(spark, df, f"{tmp}/src", n_chunks=5)
+    spec = dyadic.dyadic_spec("vkey", bits=10, height=5, seed=7,
+                              ts_column="ts", window=Tumbling(DAY))
+    job = StreamingSynopsisJob(spec, sink_dir=f"{tmp}/sink",
+                               watermark_delay="1 hour")
+    _await(job.start(spark, f"{tmp}/src", f"{tmp}/ckpt"))
+
+    qdf = spark.createDataFrame(
+        [(b, lo, hi) for b in range(3) for lo, hi in _DYADIC_RANGES],
+        "q_batch long, lo long, hi long")
+    fixtures.replay_in_order(spark, qdf, f"{tmp}/qsrc", n_chunks=3,
+                             ts_col="q_batch")
+    ql = QueryLatestStream(job, out_dir=f"{tmp}/answers",
+                           key_column=("lo", "hi"))
+    _await(ql.start(spark, f"{tmp}/qsrc", f"{tmp}/qckpt"))
+    res = ql.read_answers(spark)
+    return res.select(F.col("batch").cast("long").alias("q_batch"),
+                      "key", "est_count")
+
+
 def q_cep_sequence(spark, sf_dir):
     """CEP batch: every signup followed by a purchase of the same user
     within 3 days (JVM equi-join + event-time range predicate)."""
@@ -1977,12 +2012,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     streaming dedup engine, provably batch-equal under their cap
     configs, whose batch scorer is in-window via audio_fp_exact), and
     the dyadic CM family (dyadic_range_count / dyadic_heavy_hitters /
-    dyadic_quantile / stream_dyadic_range — no-key-scan range/HH/rank
-    queries, an EXTENSION beyond the reference's flat CM rather than a
-    SURVEY §2 component, so the in-window slots stay with the component
-    set; the whole tree is ONE registered kernel, so the batch build and
-    the stateful streaming build are the in-window paths themselves and
-    its exactness promotion is asserted by tests/test_dyadic.py); all
+    dyadic_quantile / stream_dyadic_range / stream_dyadic_querylatest —
+    no-key-scan range/HH/rank queries, an EXTENSION beyond the
+    reference's flat CM rather than a SURVEY §2 component, so the
+    in-window slots stay with the component set; the whole tree is ONE
+    registered kernel, so the batch build, the stateful streaming build
+    and the continuous query stream are the in-window paths themselves
+    and its exactness promotion is asserted by tests/test_dyadic.py); all
     stay verified by tests/test_entry.py every run. The trailing block is the
     genuinely rows-only set (randomized samplers, LSH/IVF approximations,
     media/audio feature pipelines, FFT-based audio_spectral and
@@ -2094,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dyadic_heavy_hitters": q_dyadic_heavy_hitters,
         "dyadic_quantile": q_dyadic_quantile,
         "stream_dyadic_range": q_stream_dyadic_range,
+        "stream_dyadic_querylatest": q_stream_dyadic_querylatest,
         # ---- rows-only (genuinely randomized / approximate / media) -----
         "reservoir_sample": q_reservoir_sample,
         "biased_reservoir": q_biased_reservoir,
@@ -3805,6 +3842,19 @@ def oracle_sql() -> dict[str, str]:
     oracles["stream_dyadic_range"] = oracles["dyadic_range_count"]
     # closed streaming windows must equal the batch build byte-for-byte,
     # so the streamed tree shares the batch range oracle
+    oracles["stream_dyadic_querylatest"] = f"""
+            WITH w AS (SELECT max(time_bucket(INTERVAL '1 day', ts)) ws FROM events),
+                 e AS (SELECT CAST(floor(value) AS BIGINT) k FROM events, w
+                       WHERE time_bucket(INTERVAL '1 day', ts) = w.ws),
+                 r AS (SELECT CAST(lo AS BIGINT) lo, CAST(hi AS BIGINT) hi
+                       FROM (VALUES {rng_vals}) t(lo, hi)),
+                 b AS (SELECT CAST(unnest([0, 1, 2]) AS BIGINT) q_batch)
+            SELECT b.q_batch,
+                   CAST(r.lo AS VARCHAR) || ':' || CAST(r.hi AS VARCHAR) AS key,
+                   (SELECT count(*) FROM e WHERE e.k BETWEEN r.lo AND r.hi)
+                       AS est_count
+            FROM b CROSS JOIN r
+        """
     qs_vals = ", ".join(f"({x})" for x in _DYADIC_QS)
     oracles["dyadic_quantile"] = f"""
             WITH w AS (SELECT max(time_bucket(INTERVAL '1 day', ts)) ws FROM events),

@@ -679,10 +679,10 @@ class QueryLatestStream:
         sql_ok = ((kind in ("countmin", "bloom", "cuckoo")
                    and key_t in int_types)
                   or kind == "ddsketch"
-                  or (kind in ("equiwidth", "equiwidth4lt")
+                  or (kind in ("equiwidth", "equiwidth4lt", "dyadic")
                       and len(key_cols) == 2))
-        if kind in ("equiwidth", "equiwidth4lt") and len(key_cols) != 2:
-            raise ValueError("equiwidth range streams need key_column="
+        if kind in ("equiwidth", "equiwidth4lt", "dyadic") and len(key_cols) != 2:
+            raise ValueError(f"{kind} range streams need key_column="
                              "('lo', 'hi')")
         if self.answer_mode == "sql" and not sql_ok:
             raise ValueError(
@@ -692,7 +692,23 @@ class QueryLatestStream:
 
         stamp = [key_echo.alias("key"),
                  F.lit(version).cast("int").alias("snapshot_version")]
-        if sql_ok and self.answer_mode in ("auto", "sql"):
+        dy_obj = None
+        if kind == "dyadic":
+            # large-domain range stream over the dyadic hierarchy: "auto"
+            # answers via the vectorized Arrow kernel (one O(sketch-bytes)
+            # broadcast per batch, released once the answers are durable —
+            # the fastest path for this kind, PLANS.md §25); "sql" forces
+            # the bit-identical pure-JVM twin
+            from . import dyadic as dy_mod
+
+            dy_obj = dy_mod.snapshot_from(syn0)
+            impl = "sql" if self.answer_mode == "sql" else "arrow"
+            ans = (dy_mod.range_count_queries(
+                       work, key_cols[0], key_cols[1], dy_obj, impl=impl)
+                   .select(stamp[0],
+                           F.col("est_count").cast("long").alias("est_count"),
+                           stamp[1]))
+        elif sql_ok and self.answer_mode in ("auto", "sql"):
             # zero Python per query: 1-row broadcast + whole-stage codegen
             from . import pointquery as pq
 
@@ -782,6 +798,8 @@ class QueryLatestStream:
                 answer,
                 schema="key string, est_count long, snapshot_version int")
         ans.write.mode("overwrite").parquet(target)
+        if dy_obj is not None:
+            dy_obj.unpersist()  # per-batch snapshot broadcast, answers durable
         consumed = list(mine)
         if (os.path.isdir(os.path.join(pend_dir, own))
                 and qled["answered_pending"].get(own) != int(batch_id)):

@@ -225,3 +225,52 @@ def test_kernel_tiny_group_path_matches_bincount():
     b.update_batch(x)                   # one bincount
     assert all(np.array_equal(g, h) for g, h in zip(a.grids, b.grids))
     assert a.n_processed == b.n_processed == 2000
+
+
+def test_query_stream_dyadic_auto_equals_sql(spark, tmp_path):
+    """QueryLatestStream kind=dyadic: the arrow kernel (auto) and the
+    pure-JVM twin (sql) answer a (lo, hi) stream identically, and both
+    match the kernel's own range math on the newest window."""
+    import pandas as pd
+
+    from condor_spark import fixtures
+    from condor_spark.engine.streaming import (QueryLatestStream,
+                                               StreamingSynopsisJob)
+    from condor_spark.engine.windows import Tumbling
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    pdf = pd.DataFrame({
+        "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 3 * 86400, n), unit="s"),
+        "key": rng.integers(0, 256, n),
+    })
+    df = spark.createDataFrame(pdf)
+    base = str(tmp_path)
+    fixtures.replay_in_order(spark, df, f"{base}/src", n_chunks=3)
+    spec = dyadic.dyadic_spec("key", bits=8, ts_column="ts",
+                              window=Tumbling("1 day"))
+    job = StreamingSynopsisJob(spec, sink_dir=f"{base}/sink",
+                               watermark_delay="1 hour")
+    job.start(spark, f"{base}/src", f"{base}/ckpt").awaitTermination()
+
+    qdf = spark.createDataFrame(
+        [(0, lo, hi) for lo in (0, 7, 100) for hi in (hi0 for hi0 in (5, 63, 255))],
+        "q_batch long, lo long, hi long")
+    answers = {}
+    for mode in ("auto", "sql"):
+        fixtures.replay_in_order(spark, qdf, f"{base}/qsrc_{mode}",
+                                 n_chunks=1, ts_col="q_batch")
+        ql = QueryLatestStream(job, out_dir=f"{base}/ans_{mode}",
+                               key_column=("lo", "hi"), answer_mode=mode)
+        ql.start(spark, f"{base}/qsrc_{mode}",
+                 f"{base}/qck_{mode}").awaitTermination()
+        answers[mode] = {r["key"]: r["est_count"]
+                         for r in ql.read_answers(spark).collect()}
+    assert answers["auto"] == answers["sql"] and len(answers["auto"]) == 9
+    # both match exact counts of the newest window (exactness sizing)
+    wb = pdf["ts"].dt.floor("D")
+    sub = pdf[wb == wb.max()]["key"].to_numpy()
+    for k, v in answers["auto"].items():
+        lo, hi = map(int, k.split(":"))
+        assert v == int(((sub >= lo) & (sub <= min(hi, 255))).sum()), k
