@@ -588,6 +588,40 @@ def q_cm_join_size(spark, sf_dir):
                     F.round("est_join", 2).alias("est_join")))
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """KMV (k-minimum-values) distinct count per tumbling day — the
+    deterministic distinct sketch (synopsis/kmv.py): splitmix64 hash, keep
+    the k smallest distinct values, estimate (k-1)/h_(k) in EXACT integer
+    arithmetic. The oracle replays hash + rank + floor division in SQL
+    bit-for-bit (_kmv_distinct_oracle_sql). Extension beyond the
+    reference's HLL (HyperLogLogSketch.java) — KMV also supports the set
+    operations kmv_overlap exercises."""
+    df = _events(spark, sf_dir)
+    spec = SynopsisSpec(kind="kmv", params=dict(k=1024, seed=7),
+                        column="user_id", ts_column="ts", window=Tumbling(DAY))
+    return (ev.distinct_estimates(build_batch(df, spec))
+            .select(F.col("window_start").cast(NTZ).alias("window_start"),
+                    "est_distinct"))
+
+
+def q_kmv_overlap(spark, sf_dir):
+    """Corpus-overlap estimation between the 'click' and 'view' event
+    streams per tumbling day from two independently built KMV sketches
+    (Beyer et al. 2007 set operations): per-corpus distinct, union,
+    intersection and Jaccard — the train/test-contamination question
+    answered from two <= 8 KB blobs per window instead of a raw-corpus
+    join. ONE stratified build (shared scan), blob-level window join;
+    every figure is exact integer / int-ratio math so the SQL oracle is
+    bit-identical."""
+    spec = SynopsisSpec(kind="kmv", params=dict(k=1024, seed=7),
+                        column="user_id", ts_column="ts", window=Tumbling(DAY))
+    a, b = _two_stream_builds(spark, sf_dir, spec, "click", "view")
+    return (ev.overlap_estimates(a, b)
+            .select(F.col("window_start").cast(NTZ).alias("window_start"),
+                    "est_a", "est_b", "est_union", "est_intersection",
+                    "jaccard"))
+
+
 def q_cm_sql_frequency(spark, sf_dir):
     """Count-Min built by the pure-JVM SQL path (sqlbuild.build_sketch_sql:
     H3 as byte-LUT expressions, scatter/merge as SQL aggregation). Blob
@@ -2018,7 +2052,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in-window slots stay with the component set; the whole tree is ONE
     registered kernel, so the batch build, the stateful streaming build
     and the continuous query stream are the in-window paths themselves
-    and its exactness promotion is asserted by tests/test_dyadic.py); all
+    and its exactness promotion is asserted by tests/test_dyadic.py), and
+    the KMV set-operation family (kmv_distinct / kmv_overlap — the
+    deterministic distinct sketch whose union/intersection/Jaccard answer
+    the train/test-contamination question; exact integer estimators
+    replayed bit-for-bit in SQL, build path = the in-window stratified
+    builder, kernel invariants in tests/test_kmv.py); all
     stay verified by tests/test_entry.py every run. The trailing block is the
     genuinely rows-only set (randomized samplers, LSH/IVF approximations,
     media/audio feature pipelines, FFT-based audio_spectral and
@@ -2122,6 +2161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_sql_distinct": q_hll_sql_distinct,
         "ams_join_size": q_ams_join_size,
         "cm_join_size": q_cm_join_size,
+        "kmv_distinct": q_kmv_distinct,
+        "kmv_overlap": q_kmv_overlap,
         "dd_quantile_pointquery": q_dd_quantile_pointquery,
         "cuckoo_pointquery": q_cuckoo_pointquery,
         "equiwidth_rangequery": q_equiwidth_rangequery,
@@ -2491,13 +2532,13 @@ def _cm_join_oracle_sql(width: int = 2048, height: int = 5, seed: int = 7,
     """
 
 
-def _hll_oracle_sql(log_reg_num: int = 14, seed: int = 7) -> str:
-    """Exact SQL replay of the HLL estimate: the splitmix64 finalizer runs
-    over (hi, lo) 32-bit halves in CTE stages (wrapping 64-bit multiply via
-    HUGEINT hi/lo cross products — SQL BIGINT ops error on overflow), then
-    register index / trailing-zero rank / register-max / harmonic estimator
-    with the linear-counting branch — the sketch simulated relationally."""
-    m = 1 << log_reg_num
+def _splitmix64_stages_sql(seed: int) -> str:
+    """CTE stages replaying ``hashing.hash64(x, seed)`` (the splitmix64
+    finalizer of ``x ^ seed``) relationally over (hi, lo) 32-bit halves —
+    wrapping 64-bit multiplies via HUGEINT hi/lo cross products because SQL
+    BIGINT ops error on overflow. Expects a preceding CTE ``keys(x)`` with
+    0 <= x < 2^32; produces ``s6(x, hi, lo)``. Shared by the HLL and KMV
+    oracles so the hash replay is written (and audited) once."""
     c_add, c1, c2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
     hilo = lambda c: ((c >> 32) & 0xFFFFFFFF, c & 0xFFFFFFFF)
     a_hi, a_lo = hilo(c_add)
@@ -2505,7 +2546,6 @@ def _hll_oracle_sql(log_reg_num: int = 14, seed: int = 7) -> str:
     c2_hi, c2_lo = hilo(c2)
     s_hi, s_lo = hilo(seed)
     return f"""
-        WITH keys AS (SELECT DISTINCT user_id AS x FROM events),
           s0 AS (SELECT x, CAST({s_hi} AS BIGINT) AS hi,
                         xor(x, {s_lo}) AS lo FROM keys),
           s1 AS (SELECT x, (hi + {a_hi} + ((lo + {a_lo}) >> 32)) & 4294967295 AS hi,
@@ -2539,7 +2579,19 @@ def _hll_oracle_sql(log_reg_num: int = 14, seed: int = 7) -> str:
           s6 AS (SELECT x, xor(hi, hi >> 31) AS hi,
                     xor(lo, ((lo >> 31) | ((hi & 2147483647) << 1))
                         & 4294967295) AS lo
-                 FROM s5b),
+                 FROM s5b)"""
+
+
+def _hll_oracle_sql(log_reg_num: int = 14, seed: int = 7) -> str:
+    """Exact SQL replay of the HLL estimate: the splitmix64 finalizer runs
+    over (hi, lo) 32-bit halves in CTE stages (``_splitmix64_stages_sql``),
+    then register index / trailing-zero rank / register-max / harmonic
+    estimator with the linear-counting branch — the sketch simulated
+    relationally."""
+    m = 1 << log_reg_num
+    return f"""
+        WITH keys AS (SELECT DISTINCT user_id AS x FROM events),
+          {_splitmix64_stages_sql(seed)},
           hreg AS (SELECT x, hi >> {32 - log_reg_num} AS idx,
                       hi & {(1 << (32 - log_reg_num)) - 1} AS low_hi,
                       lo AS low_lo FROM s6),
@@ -2565,6 +2617,88 @@ def _hll_oracle_sql(log_reg_num: int = 14, seed: int = 7) -> str:
                          THEN ROUND({m} * ln({m} / CAST(zero_regs AS DOUBLE)))
                          ELSE ROUND(raw) END AS BIGINT) AS est_distinct
         FROM est
+    """
+
+
+_KMV_EST = ("CAST(CASE WHEN {cnt} < {k} THEN {cnt} "
+            "ELSE ({km1} * CAST(18446744073709551616 AS HUGEINT)) "
+            "// greatest({tau}, 1) END AS BIGINT)")
+
+
+def _kmv_distinct_oracle_sql(k: int = 1024, seed: int = 7) -> str:
+    """Exact SQL replay of the KMV distinct estimate per tumbling day:
+    splitmix64 via the shared hi/lo stages, per-window DISTINCT hashes
+    ranked ascending, tau = the k-th smallest, estimate = the SAME exact
+    integer floor division the kernel computes ((k-1)*2^64 // tau on
+    HUGEINTs vs Python ints — bit-identical, no float in either path);
+    below k distinct hashes the count itself is exact on both sides."""
+    est = _KMV_EST.format(cnt="a.cnt", k=k, km1=k - 1, tau="kth.tau")
+    return f"""
+        WITH keys AS (SELECT DISTINCT user_id AS x FROM events),
+          {_splitmix64_stages_sql(seed)},
+          hashed AS (SELECT x, CAST(hi AS HUGEINT) * 4294967296 + lo AS h FROM s6),
+          wk AS (SELECT DISTINCT time_bucket(INTERVAL '1 day', ts) AS ws, user_id
+                 FROM events),
+          hw AS (SELECT DISTINCT wk.ws, h.h
+                 FROM wk JOIN hashed h ON h.x = wk.user_id),
+          rk AS (SELECT ws, h, row_number() OVER (PARTITION BY ws ORDER BY h) AS rn
+                 FROM hw),
+          agg AS (SELECT ws, count(*) AS cnt FROM hw GROUP BY ws),
+          kth AS (SELECT ws, h AS tau FROM rk WHERE rn = {k})
+        SELECT a.ws AS window_start, {est} AS est_distinct
+        FROM agg a LEFT JOIN kth ON kth.ws = a.ws
+    """
+
+
+def _kmv_overlap_oracle_sql(k: int = 1024, seed: int = 7,
+                            type_a: str = "click", type_b: str = "view") -> str:
+    """Exact SQL replay of the KMV set-operation estimates between the two
+    event streams per tumbling day (Beyer et al. 2007 §3, mirroring
+    ``KMVSketch.overlap``): per-corpus min-k sets from the shared splitmix64
+    stages, L = the k smallest of their union, K∩ = members of both min-k
+    sets within L; union/intersection via the kernel's exact integer floor
+    divisions and jaccard as the same int/int double ratio. Windows present
+    in only one corpus are omitted (the engine's inner blob join)."""
+    eu = _KMV_EST.format(cnt="l_cnt", k=k, km1=k - 1, tau="tau_u")
+    ec = _KMV_EST.format(cnt="c", k=k, km1=k - 1, tau="tau")
+    return f"""
+        WITH keys AS (SELECT DISTINCT user_id AS x FROM events
+                      WHERE event_type IN ('{type_a}', '{type_b}')),
+          {_splitmix64_stages_sql(seed)},
+          hashed AS (SELECT x, CAST(hi AS HUGEINT) * 4294967296 + lo AS h FROM s6),
+          wk AS (SELECT DISTINCT time_bucket(INTERVAL '1 day', ts) AS ws,
+                        event_type AS et, user_id
+                 FROM events WHERE event_type IN ('{type_a}', '{type_b}')),
+          hw AS (SELECT DISTINCT wk.ws, wk.et, h.h
+                 FROM wk JOIN hashed h ON h.x = wk.user_id),
+          rk AS (SELECT ws, et, h,
+                    row_number() OVER (PARTITION BY ws, et ORDER BY h) AS rn
+                 FROM hw),
+          mk AS (SELECT * FROM rk WHERE rn <= {k}),
+          pc AS (SELECT ws, et, count(*) AS c,
+                        max(CASE WHEN rn = {k} THEN h END) AS tau
+                 FROM mk GROUP BY ws, et),
+          un AS (SELECT ws, h, bool_or(et = '{type_a}') AS in_a,
+                        bool_or(et = '{type_b}') AS in_b
+                 FROM mk GROUP BY ws, h),
+          ur AS (SELECT ws, h, in_a, in_b,
+                    row_number() OVER (PARTITION BY ws ORDER BY h) AS rn
+                 FROM un),
+          ls AS (SELECT ws, count(*) AS l_cnt,
+                        sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS k_int,
+                        max(CASE WHEN rn = {k} THEN h END) AS tau_u
+                 FROM ur WHERE rn <= {k} GROUP BY ws),
+          est AS (SELECT ws, l_cnt, k_int, {eu} AS est_union FROM ls),
+          pa AS (SELECT ws, {ec} AS est_c FROM pc a WHERE et = '{type_a}'),
+          pb AS (SELECT ws, {ec} AS est_c FROM pc a WHERE et = '{type_b}')
+        SELECT e.ws AS window_start, pa.est_c AS est_a, pb.est_c AS est_b,
+               e.est_union,
+               CAST(CASE WHEN e.l_cnt < {k} THEN e.k_int
+                         ELSE (e.k_int * CAST(e.est_union AS HUGEINT)) // {k}
+                    END AS BIGINT) AS est_intersection,
+               CASE WHEN e.l_cnt = 0 THEN 0.0
+                    ELSE CAST(e.k_int AS DOUBLE) / e.l_cnt END AS jaccard
+        FROM est e JOIN pa ON pa.ws = e.ws JOIN pb ON pb.ws = e.ws
     """
 
 
@@ -3105,6 +3239,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["ams_sql_f2"] = _ams_oracle_sql(width=1024, height=7, seed=7)
     oracles["ams_join_size"] = _ams_join_oracle_sql(width=1024, height=7, seed=7)
     oracles["cm_join_size"] = _cm_join_oracle_sql(width=2048, height=5, seed=7)
+    oracles["kmv_distinct"] = _kmv_distinct_oracle_sql(k=1024, seed=7)
+    oracles["kmv_overlap"] = _kmv_overlap_oracle_sql(k=1024, seed=7)
     oracles["hll_distinct"] = _hll_oracle_sql(log_reg_num=14, seed=7)
     oracles["hll_sql_distinct"] = _hll_oracle_sql(log_reg_num=14, seed=7)
     # codegen point-query twins: DD quantile estimator replayed in SQL

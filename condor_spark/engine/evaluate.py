@@ -184,6 +184,42 @@ def join_size_estimates(syn_a: DataFrame, syn_b: DataFrame) -> DataFrame:
                         "stratum string, est_join double"))
 
 
+def overlap_estimates(syn_a: DataFrame, syn_b: DataFrame) -> DataFrame:
+    """KMV set-operation estimates between two corpora per window: the two
+    synopsis streams join on (window, stratum) and each blob pair answers
+    via ``KMVSketch.overlap`` (Beyer et al. 2007 — union / intersection /
+    Jaccard from the merged min-k set). This is the train/test-contamination
+    query: "how much of corpus B is already in corpus A?" answered without
+    joining the raw corpora.
+
+    Scale: identical posture to ``join_size_estimates`` — the join carries
+    one <= 8 KB blob per (window, stratum) side, O(windows x strata) short
+    rows regardless of corpus size; the raw rows were already reduced by
+    the partition-parallel build. Windows missing from either side are
+    omitted (inner join)."""
+    b = syn_b.select("window_start", "window_end", "stratum",
+                     F.col("state").alias("state_b"))
+    joined = syn_a.join(b, ["window_start", "window_end", "stratum"], "inner")
+
+    def mapper(batches):
+        for pdf in batches:
+            outs = []
+            for _, row in pdf.iterrows():
+                sa = Synopsis.from_bytes(row["state"])
+                sb = Synopsis.from_bytes(row["state_b"])
+                o = sa.overlap(sb)
+                o.update(window_start=row["window_start"],
+                         window_end=row["window_end"], stratum=row["stratum"])
+                outs.append(o)
+            if outs:
+                yield pd.DataFrame(outs)
+
+    return joined.mapInPandas(
+        mapper, schema=("window_start timestamp, window_end timestamp, "
+                        "stratum string, est_a long, est_b long, "
+                        "est_union long, est_intersection long, jaccard double"))
+
+
 def histogram_counts(syn_df: DataFrame) -> DataFrame:
     """Equi-width bucket counts per window (EquiWidthHistogramAccuracy.java:72-80)."""
     def fn(syn, row):

@@ -96,6 +96,7 @@ class TestCountMin:
     ("bloom", dict(n_bits=2048, max_elements=256, seed=7, merge_mode="union")),
     ("equiwidth", dict(lower=0.0, upper=1000.0, num_buckets=20)),
     ("ddsketch", dict(relative_accuracy=0.01, max_num_bins=2048)),
+    ("kmv", dict(k=256, seed=7)),
 ])
 def test_merge_partition_invariance(kind, params):
     """sketch(all) == merge(sketch(part_i)) — the core correctness property
