@@ -169,3 +169,28 @@ def test_overlap_estimates_spark(spark, events):
             assert row["est_union"] == len(A | B)
             assert row["est_intersection"] == len(A & B)
             assert row["jaccard"] == len(A & B) / len(A | B)
+
+
+def test_stream_matches_batch_bytes(spark, tmp_path):
+    """KMV through the exactly-once streaming path unchanged (one blob per
+    window, merged across micro-batches): final per-window blobs are
+    byte-identical to the batch build — the canonical sorted min-k state
+    makes stream-vs-batch equality checkable at the byte level."""
+    from condor_spark.engine.streaming import StreamingSynopsisJob
+
+    sf_small = "/root/testdata/sf0.001"
+    src = str(tmp_path / "src")
+    df = spark.read.parquet(f"{sf_small}/events.parquet")
+    df.repartitionByRange(5, "ts").write.mode("overwrite").parquet(src)
+    spec = SynopsisSpec(kind="kmv", params=dict(k=256, seed=7),
+                        column="user_id", ts_column="ts",
+                        window=Tumbling("1 day"))
+    job = StreamingSynopsisJob(spec=spec, sink_dir=str(tmp_path / "sink"),
+                               watermark_delay="40 days")
+    q = job.start(spark, src, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    q.awaitTermination(300)
+    stream = {str(r["window_start"]): bytes(r["state"])
+              for r in job.read_state_df(spark).collect()}
+    batch = {str(r["window_start"]): bytes(r["state"])
+             for r in build_batch(df, spec).collect()}
+    assert stream == batch
