@@ -622,6 +622,37 @@ def q_kmv_overlap(spark, sf_dir):
                     "jaccard"))
 
 
+def q_stream_kmv_overlap(spark, sf_dir):
+    """Continuous contamination monitoring: per-corpus KMV sketches
+    maintained as STRATIFIED streaming state through the exactly-once
+    manifest sink (one <= 8 KB blob per (window, corpus), merged across
+    micro-batches), overlap answered from the committed state table. KMV
+    merge is canonical (sorted min-k), so the final streamed blobs are
+    byte-identical to the batch build — this shares kmv_overlap's exact
+    oracle."""
+    from condor_spark import fixtures
+    from condor_spark.engine.streaming import StreamingSynopsisJob
+
+    df = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "view"))
+    tmp = _fresh_tmp("kmvstream", sf_dir)
+    fixtures.replay_in_order(spark, df, f"{tmp}/src", n_chunks=5)
+    spec = SynopsisSpec(kind="kmv", params=dict(k=1024, seed=7),
+                        column="user_id", ts_column="ts", window=Tumbling(DAY),
+                        stratify_by="event_type")
+    job = StreamingSynopsisJob(spec, sink_dir=f"{tmp}/sink",
+                               watermark_delay="40 days")
+    _await(job.start(spark, f"{tmp}/src", f"{tmp}/ckpt",
+                     max_files_per_trigger=1))
+    built = job.read_state_df(spark)
+    split = lambda t: (built.filter(F.col("stratum") == t)
+                       .withColumn("stratum", F.lit("")))
+    return (ev.overlap_estimates(split("click"), split("view"))
+            .select(F.col("window_start").cast(NTZ).alias("window_start"),
+                    "est_a", "est_b", "est_union", "est_intersection",
+                    "jaccard"))
+
+
 def q_cm_sql_frequency(spark, sf_dir):
     """Count-Min built by the pure-JVM SQL path (sqlbuild.build_sketch_sql:
     H3 as byte-LUT expressions, scatter/merge as SQL aggregation). Blob
@@ -2053,11 +2084,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registered kernel, so the batch build, the stateful streaming build
     and the continuous query stream are the in-window paths themselves
     and its exactness promotion is asserted by tests/test_dyadic.py), and
-    the KMV set-operation family (kmv_distinct / kmv_overlap — the
-    deterministic distinct sketch whose union/intersection/Jaccard answer
-    the train/test-contamination question; exact integer estimators
-    replayed bit-for-bit in SQL, build path = the in-window stratified
-    builder, kernel invariants in tests/test_kmv.py); all
+    the KMV set-operation family (kmv_distinct / kmv_overlap /
+    stream_kmv_overlap — the deterministic distinct sketch whose
+    union/intersection/Jaccard answer the train/test-contamination
+    question, batch and as continuously-maintained stratified streaming
+    state; exact integer estimators replayed bit-for-bit in SQL, build
+    path = the in-window stratified builder and exactly-once sink,
+    kernel invariants in tests/test_kmv.py); all
     stay verified by tests/test_entry.py every run. The trailing block is the
     genuinely rows-only set (randomized samplers, LSH/IVF approximations,
     media/audio feature pipelines, FFT-based audio_spectral and
@@ -2163,6 +2196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_join_size": q_cm_join_size,
         "kmv_distinct": q_kmv_distinct,
         "kmv_overlap": q_kmv_overlap,
+        "stream_kmv_overlap": q_stream_kmv_overlap,
         "dd_quantile_pointquery": q_dd_quantile_pointquery,
         "cuckoo_pointquery": q_cuckoo_pointquery,
         "equiwidth_rangequery": q_equiwidth_rangequery,
@@ -3241,6 +3275,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["cm_join_size"] = _cm_join_oracle_sql(width=2048, height=5, seed=7)
     oracles["kmv_distinct"] = _kmv_distinct_oracle_sql(k=1024, seed=7)
     oracles["kmv_overlap"] = _kmv_overlap_oracle_sql(k=1024, seed=7)
+    # streamed KMV blobs are byte-identical to the batch build (canonical
+    # sorted min-k merge), so the streaming twin shares the batch oracle
+    oracles["stream_kmv_overlap"] = oracles["kmv_overlap"]
     oracles["hll_distinct"] = _hll_oracle_sql(log_reg_num=14, seed=7)
     oracles["hll_sql_distinct"] = _hll_oracle_sql(log_reg_num=14, seed=7)
     # codegen point-query twins: DD quantile estimator replayed in SQL
