@@ -1435,6 +1435,38 @@ def q_stream_dyadic_querylatest(spark, sf_dir):
                       "key", "est_count")
 
 
+def q_audio_corpus_overlap(spark, sf_dir):
+    """Corpus-level audio contamination rate under the EXACT-oracle gate:
+    KMV sketches over band-energy fingerprint shingles of two clip corpora
+    (gated closed-form clips, param_mod=120 so contents fold onto i%120;
+    corpus A = clips 0-59, corpus B = clips 60-239 — B contains a re-encode
+    of every A content, so est_intersection ~= est_a and jaccard ~= the
+    fingerprint share of the duplicated contents). The oracle replays the
+    ENTIRE pipeline in SQL: synth -> pcm16 lattice -> frame energies ->
+    levels -> shingle fingerprints (the audio_fp_exact CTE chain) -> KMV
+    splitmix64 min-k -> exact integer estimators — bit-for-bit. This is
+    the dataset-curation question ("what fraction of the new audio corpus
+    is already in the training set?") answered from two <= 8 KB blobs."""
+    from condor_spark import fixtures
+    from condor_spark.engine.audio import band_energy_fingerprints
+
+    clips = fixtures.audio_clips_exact(spark, 240, num_partitions=8,
+                                       param_mod=120, gate=True)
+    fps = band_energy_fingerprints(clips, frame=128, shingle=4)
+    idx = F.regexp_extract("clip_id", r"(\d+)$", 1).cast("long")
+    df = (fps.withColumn("corpus", F.when(idx < 60, "a").otherwise("b"))
+          .withColumn("ts", F.lit("2024-01-01 00:00:00").cast("timestamp")))
+    spec = SynopsisSpec(kind="kmv", params=dict(k=1024, seed=7),
+                        column="fp", ts_column="ts", window=Tumbling(DAY),
+                        stratify_by="corpus")
+    built = build_batch(df, spec)
+    split = lambda t: (built.filter(F.col("stratum") == t)
+                       .withColumn("stratum", F.lit("")))
+    return (ev.overlap_estimates(split("a"), split("b"))
+            .select("est_a", "est_b", "est_union", "est_intersection",
+                    "jaccard"))
+
+
 def q_cep_sequence(spark, sf_dir):
     """CEP batch: every signup followed by a purchase of the same user
     within 3 days (JVM equi-join + event-time range predicate)."""
@@ -2085,7 +2117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     and the continuous query stream are the in-window paths themselves
     and its exactness promotion is asserted by tests/test_dyadic.py), and
     the KMV set-operation family (kmv_distinct / kmv_overlap /
-    stream_kmv_overlap — the deterministic distinct sketch whose
+    stream_kmv_overlap / audio_corpus_overlap — the deterministic
+    distinct sketch whose
     union/intersection/Jaccard answer the train/test-contamination
     question, batch and as continuously-maintained stratified streaming
     state; exact integer estimators replayed bit-for-bit in SQL, build
@@ -2163,6 +2196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "audio_quality_exact": q_audio_quality_exact,
+        "audio_corpus_overlap": q_audio_corpus_overlap,
         "stream_fp_dedup": q_stream_fp_dedup,
         "stream_text_dedup": q_stream_text_dedup,
         "bottomk_sample": q_bottomk_sample,
@@ -3670,8 +3704,10 @@ def oracle_sql() -> dict[str, str]:
     # + shifts), 4-level shingle pack, DISTINCT per clip, stop-fp cap
     # df<=64, fp equi-join, shared count >= 3, Jaccard >= 0.6. Expected:
     # exactly the 120 planted duplicate pairs (i, i+120) at jaccard 1.0.
-    oracles["audio_fp_exact"] = """
-            WITH c AS (
+    # shared closed-form fingerprint replay (gated synth -> pcm16 lattice ->
+    # frame energies -> levels -> 4-shingles -> DISTINCT per clip), used by
+    # BOTH audio_fp_exact and audio_corpus_overlap: one copy, composed below
+    audio_fp_ctes = """c AS (
                 SELECT i, (i%120) AS j,
                   CASE (i%120)%4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
                            WHEN 2 THEN 22050 ELSE 44100 END AS sr,
@@ -3733,7 +3769,9 @@ def oracle_sql() -> dict[str, str]:
             ), fps0 AS (
                 SELECT DISTINCT i, ((l*256 + l1)*256 + l2)*256 + l3 AS fp
                 FROM sh WHERE l3 IS NOT NULL
-            ), keep AS (
+            )"""
+    oracles["audio_fp_exact"] = f"""
+            WITH {audio_fp_ctes}, keep AS (
                 SELECT fp FROM fps0 GROUP BY fp HAVING count(*) <= 64
             ), fps AS (
                 SELECT fps0.i, fps0.fp FROM fps0 JOIN keep USING (fp)
@@ -3751,6 +3789,50 @@ def oracle_sql() -> dict[str, str]:
                        AS jaccard
             FROM pair JOIN cnt ca ON ca.i = ia JOIN cnt cb ON cb.i = ib
             WHERE CAST(m AS DOUBLE) / (ca.c + cb.c - m) >= 0.6
+        """
+    # corpus-level audio contamination: the SAME fingerprint chain feeds the
+    # KMV min-k machinery (splitmix64 stages shared with the HLL/KMV event
+    # oracles) — synth through estimator replayed end-to-end, single window
+    _au_eu = _KMV_EST.format(cnt="l_cnt", k=1024, km1=1023, tau="tau_u")
+    _au_ec = _KMV_EST.format(cnt="c", k=1024, km1=1023, tau="tau")
+    oracles["audio_corpus_overlap"] = f"""
+            WITH {audio_fp_ctes},
+              corp AS (SELECT DISTINCT CASE WHEN i < 60 THEN 'a' ELSE 'b' END
+                              AS et, fp FROM fps0),
+              keys AS (SELECT DISTINCT fp AS x FROM corp),
+              {_splitmix64_stages_sql(7)},
+              hashed AS (SELECT x, CAST(hi AS HUGEINT) * 4294967296 + lo AS h
+                         FROM s6),
+              hw AS (SELECT DISTINCT corp.et, hh.h
+                     FROM corp JOIN hashed hh ON hh.x = corp.fp),
+              rk AS (SELECT et, h,
+                        row_number() OVER (PARTITION BY et ORDER BY h) AS rn
+                     FROM hw),
+              mk AS (SELECT * FROM rk WHERE rn <= 1024),
+              pc AS (SELECT et, count(*) AS c,
+                            max(CASE WHEN rn = 1024 THEN h END) AS tau
+                     FROM mk GROUP BY et),
+              un AS (SELECT h, bool_or(et = 'a') AS in_a,
+                            bool_or(et = 'b') AS in_b
+                     FROM mk GROUP BY h),
+              ur AS (SELECT h, in_a, in_b,
+                        row_number() OVER (ORDER BY h) AS rn FROM un),
+              ls AS (SELECT count(*) AS l_cnt,
+                            sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)
+                                AS k_int,
+                            max(CASE WHEN rn = 1024 THEN h END) AS tau_u
+                     FROM ur WHERE rn <= 1024),
+              est AS (SELECT l_cnt, k_int, {_au_eu} AS est_union FROM ls),
+              pa AS (SELECT {_au_ec} AS est_c FROM pc WHERE et = 'a'),
+              pb AS (SELECT {_au_ec} AS est_c FROM pc WHERE et = 'b')
+            SELECT pa.est_c AS est_a, pb.est_c AS est_b, e.est_union,
+                   CAST(CASE WHEN e.l_cnt < 1024 THEN e.k_int
+                             ELSE (e.k_int * CAST(e.est_union AS HUGEINT))
+                                  // 1024
+                        END AS BIGINT) AS est_intersection,
+                   CASE WHEN e.l_cnt = 0 THEN 0.0
+                        ELSE CAST(e.k_int AS DOUBLE) / e.l_cnt END AS jaccard
+            FROM est e, pa, pb
         """
     # audio preprocessing replay: the gated closed-form waveform CTEs plus
     # planted zero pads ((i*97)%1600 lead / (i*53)%1200 tail), then every

@@ -194,3 +194,17 @@ def test_stream_matches_batch_bytes(spark, tmp_path):
     batch = {str(r["window_start"]): bytes(r["state"])
              for r in build_batch(df, spec).collect()}
     assert stream == batch
+
+
+def test_audio_corpus_overlap_containment(spark):
+    """The planted structure of the audio contamination query: corpus B
+    (clips 60-239, param_mod=120) contains a content-duplicate of every
+    corpus-A clip, so the union's fingerprints ARE B's and the
+    intersection estimate lands on A's distinct count within KMV error."""
+    import __spark_entry__ as entry
+
+    row = entry.queries()["audio_corpus_overlap"](
+        spark, "/root/testdata/sf0.01").collect()[0]
+    assert row["est_union"] == row["est_b"]  # A ⊆ B contentwise
+    assert abs(row["est_intersection"] - row["est_a"]) / row["est_a"] < 0.05
+    assert 0.5 < row["jaccard"] < 0.75
