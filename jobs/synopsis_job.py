@@ -60,6 +60,12 @@ Modes:
                    bin-pack the live manifest (--compact N,
                    rewriteDataFiles analogue) and/or expire history
                    (--expire-keep-last N). Spec-agnostic.
+  --mode overlap   contamination report on an existing STRATIFIED KMV
+                   stream sink (--input = that sink dir; pair with
+                   `--mode stream --kind kmv --stratify-by <corpus_col>`):
+                   per-window distinct / union / intersection / Jaccard
+                   between --stratum-a and --stratum-b → --sink parquet;
+                   --as-of-version reports against a historical snapshot.
   --mode cep       deploy a streaming CEP pattern (--pattern sequence |
                    absence | kleene | adjacent | chain) over the input
                    stream: keyed applyInPandasWithState matcher → append
@@ -96,8 +102,12 @@ def parse_args(argv):
     p.add_argument("--watermark-delay", default="10 seconds")
     p.add_argument("--mode", choices=("stream", "stateful", "sql", "batch",
                                       "querylatest", "features", "snapshots",
-                                      "cep", "prep", "dedupstream"),
+                                      "cep", "prep", "dedupstream", "overlap"),
                    default="stream")
+    p.add_argument("--stratum-a", default=None,
+                   help="overlap mode: first corpus stratum value")
+    p.add_argument("--stratum-b", default=None,
+                   help="overlap mode: second corpus stratum value")
     p.add_argument("--pattern", choices=("sequence", "absence", "kleene",
                                          "adjacent", "chain"),
                    default="sequence", help="cep mode: the pattern to match")
@@ -293,6 +303,28 @@ def main(argv=None) -> None:
         if args.expire_keep_last is not None:
             removed = job.expire_snapshots(keep_last=args.expire_keep_last)
             print(json.dumps({"expired_files": removed}))
+        spark.stop()
+        return
+
+    if args.mode == "overlap":
+        # contamination report on an EXISTING stratified KMV stream sink
+        # (spec-agnostic manifest read, like snapshots mode — pair this
+        # with `--mode stream --kind kmv --stratify-by <corpus_col>`):
+        # per-window union / intersection / Jaccard between two strata →
+        # --sink parquet. --as-of-version reports against a historical
+        # snapshot (time travel).
+        from pyspark.sql import functions as F
+
+        from condor_spark.engine.evaluate import overlap_estimates
+
+        if not (args.stratum_a and args.stratum_b):
+            raise SystemExit("overlap mode needs --stratum-a and --stratum-b")
+        job = StreamingSynopsisJob(spec=None, sink_dir=args.input)
+        st = job.read_state_df(spark, as_of_version=args.as_of_version)
+        pick = lambda s: (st.filter(F.col("stratum") == s)
+                          .withColumn("stratum", F.lit("")))
+        (overlap_estimates(pick(args.stratum_a), pick(args.stratum_b))
+         .write.mode("overwrite").parquet(args.sink))
         spark.stop()
         return
 

@@ -644,3 +644,65 @@ def test_spark_submit_dedupstream_job(tmp_path):
     s2 = json.loads([l for l in r2.stdout.strip().splitlines()
                      if l.startswith("{")][-1])
     assert s2["batches"] == 2 and s2["pairs"] == summary["pairs"]
+
+
+def test_spark_submit_overlap_job(tmp_path):
+    """Deployable contamination monitoring: `--mode stream --kind kmv
+    --stratify-by event_type` maintains per-corpus KMV state through the
+    exactly-once sink, then `--mode overlap` reports per-window
+    union/intersection/Jaccard between two strata — and the report equals
+    the in-process batch build exactly (KMV is deterministic)."""
+    spark_submit = shutil.which("spark-submit")
+    assert spark_submit, "spark-submit not on PATH"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    shutil.copy(f"{SF}/events.parquet", f"{src}/events.parquet")
+    sink = str(tmp_path / "sink")
+    report = str(tmp_path / "report")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    common = [spark_submit, "--master", "local[4]",
+              "--conf", "spark.ui.enabled=false",
+              "--conf", "spark.sql.shuffle.partitions=4",
+              "--conf", "spark.sql.session.timeZone=UTC",
+              "--py-files", _make_zip(tmp_path),
+              os.path.join(REPO, "jobs", "synopsis_job.py")]
+    r = subprocess.run(common + [
+        "--mode", "stream", "--input", src, "--sink", sink,
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--kind", "kmv", "--params", '{"k": 256, "seed": 7}',
+        "--column", "user_id", "--ts-column", "ts", "--window", "1 day",
+        "--stratify-by", "event_type", "--watermark-delay", "40 days",
+    ], cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=600)
+    assert r.returncode == 0, r.stderr[-4000:]
+    r = subprocess.run(common + [
+        "--mode", "overlap", "--input", sink, "--sink", report,
+        "--stratum-a", "click", "--stratum-b", "view",
+    ], cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=600)
+    assert r.returncode == 0, r.stderr[-4000:]
+
+    from pyspark.sql import SparkSession, functions as F
+    from condor_spark.engine import evaluate as ev
+    from condor_spark.engine.builder import SynopsisSpec, build_batch
+    from condor_spark.engine.windows import Tumbling
+    spark = SparkSession.getActiveSession() or (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false").getOrCreate())
+    got = sorted(
+        (str(r2["window_start"]), r2["est_a"], r2["est_b"], r2["est_union"],
+         r2["est_intersection"], r2["jaccard"])
+        for r2 in spark.read.parquet(report).collect())
+    spec = SynopsisSpec(kind="kmv", params=dict(k=256, seed=7),
+                        column="user_id", ts_column="ts",
+                        window=Tumbling("1 day"), stratify_by="event_type")
+    built = build_batch(spark.read.parquet(f"{SF}/events.parquet"), spec)
+    pick = lambda s: (built.filter(F.col("stratum") == s)
+                      .withColumn("stratum", F.lit("")))
+    want = sorted(
+        (str(r2["window_start"]), r2["est_a"], r2["est_b"], r2["est_union"],
+         r2["est_intersection"], r2["jaccard"])
+        for r2 in ev.overlap_estimates(pick("click"), pick("view")).collect())
+    assert got == want and got
