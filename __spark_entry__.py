@@ -644,10 +644,7 @@ def q_stream_kmv_overlap(spark, sf_dir):
                                watermark_delay="40 days")
     _await(job.start(spark, f"{tmp}/src", f"{tmp}/ckpt",
                      max_files_per_trigger=1))
-    built = job.read_state_df(spark)
-    split = lambda t: (built.filter(F.col("stratum") == t)
-                       .withColumn("stratum", F.lit("")))
-    return (ev.overlap_estimates(split("click"), split("view"))
+    return (ev.overlap_strata(job.read_state_df(spark), "click", "view")
             .select(F.col("window_start").cast(NTZ).alias("window_start"),
                     "est_a", "est_b", "est_union", "est_intersection",
                     "jaccard"))
@@ -1459,10 +1456,7 @@ def q_audio_corpus_overlap(spark, sf_dir):
     spec = SynopsisSpec(kind="kmv", params=dict(k=1024, seed=7),
                         column="fp", ts_column="ts", window=Tumbling(DAY),
                         stratify_by="corpus")
-    built = build_batch(df, spec)
-    split = lambda t: (built.filter(F.col("stratum") == t)
-                       .withColumn("stratum", F.lit("")))
-    return (ev.overlap_estimates(split("a"), split("b"))
+    return (ev.overlap_strata(build_batch(df, spec), "a", "b")
             .select("est_a", "est_b", "est_union", "est_intersection",
                     "jaccard"))
 

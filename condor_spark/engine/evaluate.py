@@ -147,77 +147,82 @@ def f2_estimates(syn_df: DataFrame) -> DataFrame:
         "window_start timestamp, window_end timestamp, stratum string, est_f2 double")
 
 
+def _blob_pair_apply(syn_a: DataFrame, syn_b: DataFrame,
+                     pair_fn: Callable[[Synopsis, Synopsis], dict],
+                     schema: str) -> DataFrame:
+    """Join ONE synopsis blob per (window, stratum) from each side and
+    apply ``pair_fn(sa, sb) -> result-column dict``. Shared scaffolding for
+    every two-blob evaluator (join size, overlap, ...).
+
+    Scale: the join carries one sketch blob per (window, stratum) side —
+    row counts are window counts, not event counts — so the equi-join
+    shuffles O(windows×strata) short rows regardless of input size; both
+    sides were already reduced by the distributed build. Windows missing
+    from either side are OMITTED (inner join), not emitted as zeros —
+    callers averaging over a fixed window set must outer-join a window
+    spine themselves.
+
+    Output columns are emitted in DECLARED SCHEMA ORDER, so the result is
+    correct whether the pandas-to-Arrow bridge assigns by name or by
+    position (spark.sql.legacy.execution.pandas.groupedMap.assignColumnsByName)."""
+    b = syn_b.select("window_start", "window_end", "stratum",
+                     F.col("state").alias("state_b"))
+    joined = syn_a.join(b, ["window_start", "window_end", "stratum"], "inner")
+    names = [f.strip().split(" ")[0] for f in schema.split(",")]
+
+    def mapper(batches):
+        for pdf in batches:
+            outs = []
+            for _, row in pdf.iterrows():
+                o = {"window_start": row["window_start"],
+                     "window_end": row["window_end"],
+                     "stratum": row["stratum"]}
+                o.update(pair_fn(Synopsis.from_bytes(row["state"]),
+                                 Synopsis.from_bytes(row["state_b"])))
+                outs.append({k: o[k] for k in names})
+            if outs:
+                yield pd.DataFrame(outs)
+
+    return joined.mapInPandas(mapper, schema=schema)
+
+
 def join_size_estimates(syn_a: DataFrame, syn_b: DataFrame) -> DataFrame:
-    """AGMS equi-join size |A ⋈ B| per window: the two synopsis streams are
-    joined on (window, stratum) and each pair of blobs answers via
-    ``FastAGMS.estimate_join`` (median row inner product).
+    """AGMS equi-join size |A ⋈ B| per window: each (window, stratum) blob
+    pair answers via ``FastAGMS.estimate_join`` (median row inner product).
 
     The reference only ships the self-join case (FastAGMS.estimateF2,
     core/.../Sketches/FastAGMS.java:219); this is the two-stream
-    generalization. Scale: the join carries one sketch blob per (window,
-    stratum) — row counts are window counts, not event counts — so the
-    equi-join shuffles O(windows×strata) short rows regardless of input
-    size, and both sides were already reduced by the distributed build.
-
-    Windows where either stream has NO events are OMITTED (inner join),
-    not emitted as est_join=0 — callers averaging per-window sizes over a
-    fixed window set must outer-join a window spine themselves."""
-    b = syn_b.select("window_start", "window_end", "stratum",
-                     F.col("state").alias("state_b"))
-    joined = syn_a.join(b, ["window_start", "window_end", "stratum"], "inner")
-
-    def mapper(batches):
-        for pdf in batches:
-            outs = []
-            for _, row in pdf.iterrows():
-                sa = Synopsis.from_bytes(row["state"])
-                sb = Synopsis.from_bytes(row["state_b"])
-                outs.append({"window_start": row["window_start"],
-                             "window_end": row["window_end"],
-                             "stratum": row["stratum"],
-                             "est_join": float(sa.estimate_join(sb))})
-            if outs:
-                yield pd.DataFrame(outs)
-
-    return joined.mapInPandas(
-        mapper, schema=("window_start timestamp, window_end timestamp, "
-                        "stratum string, est_join double"))
+    generalization. Scale + omitted-window semantics: ``_blob_pair_apply``."""
+    return _blob_pair_apply(
+        syn_a, syn_b,
+        lambda sa, sb: {"est_join": float(sa.estimate_join(sb))},
+        "window_start timestamp, window_end timestamp, "
+        "stratum string, est_join double")
 
 
 def overlap_estimates(syn_a: DataFrame, syn_b: DataFrame) -> DataFrame:
-    """KMV set-operation estimates between two corpora per window: the two
-    synopsis streams join on (window, stratum) and each blob pair answers
-    via ``KMVSketch.overlap`` (Beyer et al. 2007 — union / intersection /
-    Jaccard from the merged min-k set). This is the train/test-contamination
-    query: "how much of corpus B is already in corpus A?" answered without
-    joining the raw corpora.
+    """KMV set-operation estimates between two corpora per window: each
+    (window, stratum) blob pair answers via ``KMVSketch.overlap`` (Beyer
+    et al. 2007 — union / intersection / Jaccard from the merged min-k
+    set). This is the train/test-contamination query: "how much of corpus
+    B is already in corpus A?" answered without joining the raw corpora.
+    Scale + omitted-window semantics: ``_blob_pair_apply``."""
+    return _blob_pair_apply(
+        syn_a, syn_b, lambda sa, sb: sa.overlap(sb),
+        "window_start timestamp, window_end timestamp, "
+        "stratum string, est_a long, est_b long, "
+        "est_union long, est_intersection long, jaccard double")
 
-    Scale: identical posture to ``join_size_estimates`` — the join carries
-    one <= 8 KB blob per (window, stratum) side, O(windows x strata) short
-    rows regardless of corpus size; the raw rows were already reduced by
-    the partition-parallel build. Windows missing from either side are
-    omitted (inner join)."""
-    b = syn_b.select("window_start", "window_end", "stratum",
-                     F.col("state").alias("state_b"))
-    joined = syn_a.join(b, ["window_start", "window_end", "stratum"], "inner")
 
-    def mapper(batches):
-        for pdf in batches:
-            outs = []
-            for _, row in pdf.iterrows():
-                sa = Synopsis.from_bytes(row["state"])
-                sb = Synopsis.from_bytes(row["state_b"])
-                o = sa.overlap(sb)
-                o.update(window_start=row["window_start"],
-                         window_end=row["window_end"], stratum=row["stratum"])
-                outs.append(o)
-            if outs:
-                yield pd.DataFrame(outs)
-
-    return joined.mapInPandas(
-        mapper, schema=("window_start timestamp, window_end timestamp, "
-                        "stratum string, est_a long, est_b long, "
-                        "est_union long, est_intersection long, jaccard double"))
+def overlap_strata(built: DataFrame, stratum_a: str,
+                   stratum_b: str) -> DataFrame:
+    """Overlap between two strata of ONE stratified build — the common
+    call shape (one shared-scan build, then pairwise reports). Erases the
+    stratum label so the blob join pairs windows across the two corpora;
+    implemented here once rather than at every call site."""
+    pick = lambda s: (built.filter(F.col("stratum") == s)
+                      .withColumn("stratum", F.lit("")))
+    return overlap_estimates(pick(stratum_a), pick(stratum_b))
 
 
 def histogram_counts(syn_df: DataFrame) -> DataFrame:

@@ -313,17 +313,13 @@ def main(argv=None) -> None:
         # per-window union / intersection / Jaccard between two strata →
         # --sink parquet. --as-of-version reports against a historical
         # snapshot (time travel).
-        from pyspark.sql import functions as F
-
-        from condor_spark.engine.evaluate import overlap_estimates
+        from condor_spark.engine.evaluate import overlap_strata
 
         if not (args.stratum_a and args.stratum_b):
             raise SystemExit("overlap mode needs --stratum-a and --stratum-b")
         job = StreamingSynopsisJob(spec=None, sink_dir=args.input)
         st = job.read_state_df(spark, as_of_version=args.as_of_version)
-        pick = lambda s: (st.filter(F.col("stratum") == s)
-                          .withColumn("stratum", F.lit("")))
-        (overlap_estimates(pick(args.stratum_a), pick(args.stratum_b))
+        (overlap_strata(st, args.stratum_a, args.stratum_b)
          .write.mode("overwrite").parquet(args.sink))
         spark.stop()
         return

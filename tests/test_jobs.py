@@ -699,10 +699,8 @@ def test_spark_submit_overlap_job(tmp_path):
                         column="user_id", ts_column="ts",
                         window=Tumbling("1 day"), stratify_by="event_type")
     built = build_batch(spark.read.parquet(f"{SF}/events.parquet"), spec)
-    pick = lambda s: (built.filter(F.col("stratum") == s)
-                      .withColumn("stratum", F.lit("")))
     want = sorted(
         (str(r2["window_start"]), r2["est_a"], r2["est_b"], r2["est_union"],
          r2["est_intersection"], r2["jaccard"])
-        for r2 in ev.overlap_estimates(pick("click"), pick("view")).collect())
+        for r2 in ev.overlap_strata(built, "click", "view").collect())
     assert got == want and got

@@ -150,11 +150,9 @@ def test_overlap_estimates_spark(spark, events):
     spec = SynopsisSpec(kind="kmv", params=dict(k=1024, seed=7),
                         column="user_id", ts_column="ts",
                         window=Tumbling("1 day"), stratify_by="event_type")
-    built = build_batch(two, spec)
-    split = lambda t: (built.filter(F.col("stratum") == t)
-                       .withColumn("stratum", F.lit("")))
     res = {r["window_start"].replace(tzinfo=None): r
-           for r in ev.overlap_estimates(split("click"), split("view")).collect()}
+           for r in ev.overlap_strata(build_batch(two, spec),
+                                      "click", "view").collect()}
     assert res  # inner join kept the shared windows
 
     sets = {}
