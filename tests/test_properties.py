@@ -48,6 +48,8 @@ MERGEABLE = [
      lambda s: s.bits),
     ("equiwidth", dict(lower=-500.0, upper=501.0, num_buckets=17),
      lambda s: s.frequency),
+    # k=32 over the +-500 domain saturates often: both estimator branches
+    ("kmv", dict(k=32, seed=7), lambda s: s.mins),
 ]
 
 
@@ -162,3 +164,23 @@ def test_lpc_fixed_lossless_property(vals):
     pcm = decode(encode(w, "pcm_s16le"), "pcm_s16le")
     got = decode(encode(w, "lpc_fixed"), "lpc_fixed")
     assert got.dtype == pcm.dtype and np.array_equal(got, pcm)
+
+
+@given(a=values, b=values)
+@settings(max_examples=40, deadline=None)
+def test_kmv_overlap_symmetry(a, b):
+    """Overlap laws (Beyer et al. 2007): union/intersection/Jaccard are
+    symmetric, per-corpus estimates swap, and self-overlap is the
+    identity (union == intersection == distinct, Jaccard exactly 1)."""
+    sa = make("kmv", k=32, seed=7)
+    sa.update_batch(np.asarray(a))
+    sb = make("kmv", k=32, seed=7)
+    sb.update_batch(np.asarray(b))
+    oab, oba = sa.overlap(sb), sb.overlap(sa)
+    assert oab["est_union"] == oba["est_union"]
+    assert oab["est_intersection"] == oba["est_intersection"]
+    assert oab["jaccard"] == oba["jaccard"]
+    assert (oab["est_a"], oab["est_b"]) == (oba["est_b"], oba["est_a"])
+    oself = sa.overlap(sa)
+    assert oself["est_union"] == oself["est_intersection"] == oself["est_a"]
+    assert oself["jaccard"] == 1.0
