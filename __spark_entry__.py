@@ -24,7 +24,7 @@ from condor_spark.engine import similarity, text
 from condor_spark.engine.builder import (SynopsisSpec, build_batch,
                                          build_batch_multi,
                                          build_count_windows, build_ordered)
-from condor_spark.engine.sqlbuild import build_sketch_sql
+from condor_spark.engine.sqlbuild import build_kmv_sql, build_sketch_sql
 from condor_spark.engine.windows import (CountTumbling, GlobalWindow, Session,
                                          Sliding, Tumbling)
 
@@ -620,6 +620,19 @@ def q_kmv_overlap(spark, sf_dir):
             .select(F.col("window_start").cast(NTZ).alias("window_start"),
                     "est_a", "est_b", "est_union", "est_intersection",
                     "jaccard"))
+
+
+def q_kmv_sql_distinct(spark, sf_dir):
+    """KMV built by the pure-JVM SQL path (sqlbuild.build_kmv_sql: staged
+    splitmix64 limb hash -> DISTINCT -> WindowGroupLimit rank <= k, zero
+    Python before blob assembly). Blob byte-parity with build_batch is
+    asserted in tests, so this shares kmv_distinct's exact oracle."""
+    df = _events(spark, sf_dir)
+    spec = SynopsisSpec(kind="kmv", params=dict(k=1024, seed=7),
+                        column="user_id", ts_column="ts", window=Tumbling(DAY))
+    return (ev.distinct_estimates(build_kmv_sql(df, spec))
+            .select(F.col("window_start").cast(NTZ).alias("window_start"),
+                    "est_distinct"))
 
 
 def q_stream_kmv_overlap(spark, sf_dir):
@@ -2110,8 +2123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registered kernel, so the batch build, the stateful streaming build
     and the continuous query stream are the in-window paths themselves
     and its exactness promotion is asserted by tests/test_dyadic.py), and
-    the KMV set-operation family (kmv_distinct / kmv_overlap /
-    stream_kmv_overlap / audio_corpus_overlap — the deterministic
+    the KMV set-operation family (kmv_distinct / kmv_sql_distinct /
+    kmv_overlap / stream_kmv_overlap / audio_corpus_overlap — the deterministic
     distinct sketch whose
     union/intersection/Jaccard answer the train/test-contamination
     question, batch and as continuously-maintained stratified streaming
@@ -2223,6 +2236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ams_join_size": q_ams_join_size,
         "cm_join_size": q_cm_join_size,
         "kmv_distinct": q_kmv_distinct,
+        "kmv_sql_distinct": q_kmv_sql_distinct,
         "kmv_overlap": q_kmv_overlap,
         "stream_kmv_overlap": q_stream_kmv_overlap,
         "dd_quantile_pointquery": q_dd_quantile_pointquery,
@@ -3302,6 +3316,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["ams_join_size"] = _ams_join_oracle_sql(width=1024, height=7, seed=7)
     oracles["cm_join_size"] = _cm_join_oracle_sql(width=2048, height=5, seed=7)
     oracles["kmv_distinct"] = _kmv_distinct_oracle_sql(k=1024, seed=7)
+    # the SQL build is blob byte-identical to build_batch (pytest-asserted),
+    # so the JVM-path twin shares the batch oracle
+    oracles["kmv_sql_distinct"] = oracles["kmv_distinct"]
     oracles["kmv_overlap"] = _kmv_overlap_oracle_sql(k=1024, seed=7)
     # streamed KMV blobs are byte-identical to the batch build (canonical
     # sorted min-k merge), so the streaming twin shares the batch oracle

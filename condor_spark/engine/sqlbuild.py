@@ -602,6 +602,107 @@ def build_bottomk_sql(df: DataFrame, spec: SynopsisSpec) -> DataFrame:
     return joined.groupBy("__w", "__st").applyInPandas(assemble, schema=_FINAL_SCHEMA)
 
 
+def build_kmv_sql(df: DataFrame, spec: SynopsisSpec) -> DataFrame:
+    """KMV distinct sketch as a rank-limited window query over JVM hashes.
+
+    The sketch state IS "the k smallest DISTINCT splitmix64 hash values per
+    (window, stratum)" — a purely relational expression: staged limb hash
+    (the same Column stages as ``with_hll_registers`` — one composed
+    expression would blow up codegen's subexpression elimination), then
+    DISTINCT, then ``row_number() over (order by hash unsigned) <= k``.
+    Spark >= 3.5 plans the rank filter as **WindowGroupLimit**: each map
+    task keeps only its local k before the shuffle, so shuffle volume is
+    O(partitions × k) — the same communication bound as the kernel path's
+    partial blobs, with zero Python before assembly. Assembly writes the
+    kernel's canonical state DIRECTLY (sorted uint64 mins + the group's
+    pre-distinct row count): blob bytes identical to ``build_batch``
+    (asserted in ``tests/test_sqlbuild.py``).
+
+    Sliding windows: slice-level distinct top-k first (bounds the
+    expansion), explode into member windows, per-window DISTINCT again
+    (the same hash can survive from two slices of one window), re-rank.
+    """
+    from pyspark.sql import Window
+    from .builder import _normalize
+
+    if spec.kind != "kmv":
+        raise ValueError(f"build_kmv_sql needs kind='kmv', not {spec.kind}")
+    if not _key_is_integer(df, spec.column):
+        raise ValueError("SQL kmv build needs an integer key column")
+    win = spec.window or GlobalWindow()
+    if isinstance(win, GlobalWindow):
+        slice_us, size_us = None, 0
+    elif isinstance(win, (Tumbling, Sliding)):
+        slice_us, size_us = win.slice_us, win.size_us
+    else:
+        raise ValueError(f"unsupported window {win} for the SQL path")
+
+    proto = spec.make_synopsis()
+    k, seed = proto.k, proto.seed
+    work = _rescale_degenerate(_normalize(df, spec, slice_us))
+    t = "__smx_kmv"
+    x = F.col("__v")
+    work = work.withColumn(t, _wrap_add_const(x.bitwiseXOR(_slit(seed)),
+                                              0x9E3779B97F4A7C15))
+    c = F.col(t)
+    work = work.withColumn(t, _wrap_mul_const(
+        c.bitwiseXOR(F.shiftrightunsigned(c, 30)), 0xBF58476D1CE4E5B9))
+    work = work.withColumn(t, _wrap_mul_const(
+        c.bitwiseXOR(F.shiftrightunsigned(c, 27)), 0x94D049BB133111EB))
+    work = work.withColumn("__h", c.bitwiseXOR(F.shiftrightunsigned(c, 31))).drop(t)
+    # unsigned order on a signed long = order after flipping the sign bit
+    ordc = F.col("__h").bitwiseXOR(_slit(1 << 63))
+
+    def topk_and_counts(frame, keys):
+        w = Window.partitionBy(*keys).orderBy(ordc.asc())
+        top = (frame.select(*keys, "__h").distinct()
+               .withColumn("__rn", F.row_number().over(w))
+               .where(F.col("__rn") <= k).drop("__rn"))
+        cnt = frame.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+        return top, cnt
+
+    if isinstance(win, Sliding):
+        slide, size, sl = win.slide_us, win.size_us, win.slice_us
+        first_w = (-F.floor((F.lit(size) - F.lit(sl) - F.col("__slice")) / F.lit(slide))
+                   * F.lit(slide)).cast("long")
+        last_w = (F.floor(F.col("__slice") / F.lit(slide)) * F.lit(slide)).cast("long")
+        wins = F.when(first_w <= last_w,
+                      F.sequence(first_w, last_w, F.lit(slide).cast("long"))
+                      ).otherwise(F.array().cast("array<long>"))
+        top_s, cnt_s = topk_and_counts(work, ["__slice", "__st"])
+        expanded = (top_s.withColumn("__w", F.explode(wins))
+                    .select("__w", "__st", "__h").distinct())
+        w2 = Window.partitionBy("__w", "__st").orderBy(ordc.asc())
+        top = (expanded.withColumn("__rn", F.row_number().over(w2))
+               .where(F.col("__rn") <= k).drop("__rn"))
+        cnt = (cnt_s.withColumn("__w", F.explode(wins))
+               .groupBy("__w", "__st").agg(F.sum("__n").alias("__n")))
+    else:
+        top, cnt = topk_and_counts(work, ["__slice", "__st"])
+        top = top.withColumnRenamed("__slice", "__w")
+        cnt = cnt.withColumnRenamed("__slice", "__w")
+
+    joined = top.join(F.broadcast(cnt), ["__w", "__st"])
+
+    def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        spec.ensure_registered()
+        syn = spec.make_synopsis()
+        h = pdf["__h"].to_numpy().astype(np.int64).astype(np.uint64)
+        syn.mins = np.sort(h)
+        syn.n_processed = int(pdf["__n"].iloc[0])
+        w = int(key[0])
+        return pd.DataFrame({
+            "window_start": [pd.Timestamp(w, unit="us")],
+            "window_end": [pd.Timestamp(w + size_us, unit="us") if size_us else
+                           pd.Timestamp(w, unit="us")],
+            "stratum": [key[1]],
+            "state": [syn.to_bytes()],
+            "n": [syn.n_processed],
+        })
+
+    return joined.groupBy("__w", "__st").applyInPandas(assemble, schema=_FINAL_SCHEMA)
+
+
 def build_fifo_sql(df: DataFrame, spec: SynopsisSpec) -> DataFrame:
     """FiFo sampler ("newest k by event time") as a rank-limited window
     query: ``row_number() over (order by ts DESC, tiebreak DESC) <= k`` —

@@ -473,3 +473,49 @@ def test_sql_many_rejects_mismatched_windows(spark):
     ]
     with pytest.raises(ValueError, match="share window"):
         build_sketch_sql_many(df, specs)
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch as a rank-limited window query
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("window,stratify", [
+    (Tumbling("1 day"), None),
+    (Tumbling("1 day"), "event_type"),
+    (Sliding("1 day", "6 hours"), None),
+    (GlobalWindow(), None),
+])
+def test_kmv_sql_byte_parity(spark, window, stratify):
+    """State IS "the k smallest distinct hashes" — assembling it from the
+    JVM rank query must reproduce build_batch blob bytes exactly."""
+    from condor_spark.engine.sqlbuild import build_kmv_sql
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    spec = SynopsisSpec(kind="kmv", params=dict(k=256, seed=7),
+                        column="user_id",
+                        ts_column=None if isinstance(window, GlobalWindow)
+                        else "ts",
+                        window=window, stratify_by=stratify)
+    assert _blob_map(build_batch(df, spec)) == _blob_map(build_kmv_sql(df, spec))
+
+
+def test_kmv_sql_plans_rank_pushdown(spark):
+    """rn<=k must plan as WindowGroupLimit (map-side local top-k before
+    the shuffle → O(partitions×k) shuffle volume)."""
+    from condor_spark.engine.sqlbuild import build_kmv_sql
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    spec = SynopsisSpec(kind="kmv", params=dict(k=256, seed=7),
+                        column="user_id", ts_column="ts",
+                        window=Tumbling("1 day"))
+    plan = build_kmv_sql(df, spec)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_kmv_sql_rejects_string_key(spark):
+    from condor_spark.engine.sqlbuild import build_kmv_sql
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    spec = SynopsisSpec(kind="kmv", params=dict(k=64, seed=7),
+                        column="event_type", ts_column="ts",
+                        window=Tumbling("1 day"))
+    with pytest.raises(ValueError, match="integer key"):
+        build_kmv_sql(df, spec)
