@@ -341,3 +341,33 @@ def test_stateful_ordered_disorder_count_is_observable(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out"))
     assert "n_disordered" in out.columns
     assert out.agg(F.max("n_disordered")).first()[0] > 0
+
+
+def test_stateful_kmv_matches_batch_bytes(spark, tmp_path):
+    """KMV through the applyInPandasWithState closed-window path unchanged
+    (commutative kind, one tree of state per window): closed-window blobs
+    are BYTE-identical to the batch build — KMV's canonical sorted min-k
+    state makes the stateful-vs-batch law checkable at the byte level."""
+    src = str(tmp_path / "src")
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    os.makedirs(src, exist_ok=True)
+    _replay_in_order(spark, events, src, 5)
+    spec = SynopsisSpec(kind="kmv", params=dict(k=256, seed=7),
+                        column="user_id", ts_column="ts",
+                        window=Tumbling("1 day"))
+    job = StatefulSynopsisStream(spec, watermark_delay="1 hour")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = job.start(spark, src, out_dir, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(300)
+    _flush_file(spark, src, "flush1", "2024-06-01")
+    _flush_file(spark, src, "flush2", "2024-07-01")
+    q = job.start(spark, src, out_dir, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    got = {str(r["window_start"]): bytes(r["state"])
+           for r in spark.read.parquet(out_dir)
+           .filter("window_start < '2024-05-01'").collect()}
+    want = {str(r["window_start"]): bytes(r["state"])
+            for r in build_batch(events, spec).collect()
+            if str(r["window_start"]) < "2024-05-01"}
+    assert got == want and got
