@@ -497,6 +497,29 @@ def q_quality_scores(spark, sf_dir):
                       "punct_ratio", "stopword_ratio", "avg_token_len")
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction + per-kind counts (training-data curation): emails,
+    IPv4s, international phone numbers and long id-like digit runs
+    replaced by tokens via ordered JVM regexp chains (engine/text.py
+    PII_RULES — patterns restricted to the regex subset Java and RE2
+    evaluate identically). Deterministic PII is PLANTED per doc_id so the
+    ground truth is known; the oracle replays plant + scrub verbatim in
+    DuckDB and the md5 of the scrubbed text must match byte-for-byte."""
+    from condor_spark.engine.text import pii_scrub
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    d = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"), F.lit(" contact user"), d.cast("string"),
+        F.lit("@example.com or 10."), (d % 250).cast("string"),
+        F.lit(".0.1 tel +1 555 010 "), (F.lit(1000) + d % 9000).cast("string"),
+        F.lit(" acct "), (F.lit(100000000) + d).cast("string"))
+    out = pii_scrub(docs.withColumn("text", planted), "text")
+    return out.select("doc_id", "n_email", "n_ip", "n_phone", "n_idnum",
+                      F.md5("text").alias("scrubbed_md5"))
+
+
 def q_lang_id(spark, sf_dir):
     return text.lang_id(_docs(spark, sf_dir))
 
@@ -2239,6 +2262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_sql_distinct": q_kmv_sql_distinct,
         "kmv_overlap": q_kmv_overlap,
         "stream_kmv_overlap": q_stream_kmv_overlap,
+        "pii_scrub": q_pii_scrub,
         "dd_quantile_pointquery": q_dd_quantile_pointquery,
         "cuckoo_pointquery": q_cuckoo_pointquery,
         "equiwidth_rangequery": q_equiwidth_rangequery,
@@ -2776,6 +2800,31 @@ def _kmv_overlap_oracle_sql(k: int = 1024, seed: int = 7,
                     ELSE CAST(e.k_int AS DOUBLE) / e.l_cnt END AS jaccard
         FROM est e JOIN pa ON pa.ws = e.ws JOIN pb ON pb.ws = e.ws
     """
+
+
+def _pii_oracle_sql() -> str:
+    """Verbatim DuckDB replay of q_pii_scrub: the SAME planted-PII
+    expression, then per-rule count + replace stages generated from
+    engine/text.py PII_RULES (one source of truth — a pattern edit changes
+    both sides). RE2 notes: 'g' flag makes regexp_replace global like
+    Spark's; len(regexp_extract_all) == Spark's regexp_count for these
+    backref-free patterns."""
+    from condor_spark.engine.text import PII_RULES
+
+    plant = ("text || ' contact user' || doc_id || '@example.com or 10.' || "
+             "(doc_id % 250) || '.0.1 tel +1 555 010 ' || "
+             "(1000 + doc_id % 9000) || ' acct ' || (100000000 + doc_id)")
+    stages = [f"WITH s0 AS (SELECT doc_id, {plant} AS t FROM documents)"]
+    for i, (name, pat, tok) in enumerate(PII_RULES, 1):
+        lit = pat.replace("'", "''")
+        stages.append(
+            f", s{i} AS (SELECT * REPLACE (regexp_replace(t, '{lit}', "
+            f"'{tok}', 'g') AS t), len(regexp_extract_all(t, '{lit}')) "
+            f"AS n_{name} FROM s{i - 1})")
+    names = ", ".join(f"n_{name}" for name, _, _ in PII_RULES)
+    return ("".join(stages)
+            + f" SELECT doc_id, {names}, md5(t) AS scrubbed_md5 "
+              f"FROM s{len(PII_RULES)}")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3319,6 +3368,7 @@ def oracle_sql() -> dict[str, str]:
     # the SQL build is blob byte-identical to build_batch (pytest-asserted),
     # so the JVM-path twin shares the batch oracle
     oracles["kmv_sql_distinct"] = oracles["kmv_distinct"]
+    oracles["pii_scrub"] = _pii_oracle_sql()
     oracles["kmv_overlap"] = _kmv_overlap_oracle_sql(k=1024, seed=7)
     # streamed KMV blobs are byte-identical to the batch build (canonical
     # sorted min-k merge), so the streaming twin shares the batch oracle

@@ -455,3 +455,43 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     out = (cand.select("doc_a", "doc_b", ham.alias("hamming"))
                .filter(F.col("hamming") <= max_hamming))
     return pin_result(out, sig, key="simhash_near_pairs")
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data curation)
+# ---------------------------------------------------------------------------
+
+#: (name, pattern, replacement) applied IN ORDER — email first (it contains
+#: dots and digits the later patterns would chew on), then IPv4, then
+#: international-format phone, then long id-like digit runs. Patterns are
+#: deliberately restricted to the regex subset Java (Spark) and RE2 (DuckDB,
+#: the oracle engine) evaluate IDENTICALLY: ASCII character classes, bounded
+#: greedy quantifiers, non-capturing groups, ASCII \b/\d — no backrefs, no
+#: lookaround, no unicode classes. Replacement tokens contain no digits, so
+#: later patterns cannot re-match inside an earlier replacement.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d -]{7,14}\d", "<PHONE>"),
+    ("idnum", r"\b\d{9,16}\b", "<NUM>"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              out_col: str | None = None) -> DataFrame:
+    """Redact PII-shaped spans and count them per row — entirely JVM-side.
+
+    Adds ``n_<rule>`` count columns (one per ``PII_RULES`` entry, counted
+    BEFORE that rule's replacement on the partially-scrubbed text, exactly
+    the spans the replacement rewrites) and replaces ``text_col`` (or
+    writes ``out_col``) with the scrubbed text. Pure ``regexp_count`` /
+    ``regexp_replace`` expressions: whole-stage codegen, no Python, no
+    shuffle — at 100 TB this is a map-only pass that fuses into whatever
+    scan feeds it. Deterministic and engine-portable by construction (see
+    ``PII_RULES``), so the driver oracle replays it verbatim in DuckDB."""
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, tok in PII_RULES:
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, tok)
+    return df.select("*", *counts).withColumn(out_col or text_col, cur)

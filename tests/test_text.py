@@ -30,3 +30,26 @@ def test_minhash_precision_vs_exact(spark):
     exact = T.ngram_jaccard_pairs(df, threshold=0.7).toPandas()
     key = lambda p: set(map(tuple, p[["doc_a", "doc_b", "jaccard"]].to_numpy()))
     assert key(got) <= key(exact)
+
+
+def test_pii_scrub_rules(spark):
+    """Redaction order, per-rule counts, and clean-text passthrough."""
+    from condor_spark.engine.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-y.org and 192.168.0.1 call +44 20 7946 0958 "
+             "ref 123456789"),
+         (2, "clean text only"),
+         (3, "two mails a@b.io c@d.co plus 8.8.8.8")],
+        "id long, text string")
+    rows = {r["id"]: r for r in pii_scrub(df, "text").collect()}
+    assert rows[1]["n_email"] == 1 and rows[1]["n_ip"] == 1
+    assert rows[1]["n_phone"] == 1 and rows[1]["n_idnum"] == 1
+    assert rows[1]["text"] == "mail <EMAIL> and <IP> call <PHONE> ref <NUM>"
+    assert rows[2]["text"] == "clean text only"
+    assert all(rows[2][c] == 0
+               for c in ("n_email", "n_ip", "n_phone", "n_idnum"))
+    assert rows[3]["n_email"] == 2 and rows[3]["n_ip"] == 1
+    # out_col keeps the original column intact
+    kept = pii_scrub(df, "text", out_col="scrubbed").collect()[0]
+    assert "@" in kept["text"] and "@" not in kept["scrubbed"]
