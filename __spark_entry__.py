@@ -2153,7 +2153,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     question, batch and as continuously-maintained stratified streaming
     state; exact integer estimators replayed bit-for-bit in SQL, build
     path = the in-window stratified builder and exactly-once sink,
-    kernel invariants in tests/test_kmv.py); all
+    kernel invariants in tests/test_kmv.py), and pii_scrub (PII
+    redaction as engine-portable JVM regexp chains with planted
+    deterministic PII — map-only curation, exact md5 oracle); all
     stay verified by tests/test_entry.py every run. The trailing block is the
     genuinely rows-only set (randomized samplers, LSH/IVF approximations,
     media/audio feature pipelines, FFT-based audio_spectral and
