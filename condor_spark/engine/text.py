@@ -487,11 +487,16 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
     writes ``out_col``) with the scrubbed text. Pure ``regexp_count`` /
     ``regexp_replace`` expressions: whole-stage codegen, no Python, no
     shuffle — at 100 TB this is a map-only pass that fuses into whatever
-    scan feeds it. Deterministic and engine-portable by construction (see
-    ``PII_RULES``), so the driver oracle replays it verbatim in DuckDB."""
-    cur = F.col(text_col)
-    counts = []
+    scan feeds it. The partially-scrubbed text is STAGED through an
+    intermediate column per rule (each stage is referenced twice — next
+    count + next replace — so CollapseProject keeps it, SPARK-36718, and
+    every regex pass runs exactly once; composed as one expression the
+    count columns would re-run the whole replace chain). Deterministic and
+    engine-portable by construction (see ``PII_RULES``), so the driver
+    oracle replays it verbatim in DuckDB."""
+    tmp = "__pii_cur"
+    out = df.withColumn(tmp, F.col(text_col))
     for name, pat, tok in PII_RULES:
-        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
-        cur = F.regexp_replace(cur, pat, tok)
-    return df.select("*", *counts).withColumn(out_col or text_col, cur)
+        out = out.withColumn(f"n_{name}", F.regexp_count(F.col(tmp), F.lit(pat)))
+        out = out.withColumn(tmp, F.regexp_replace(F.col(tmp), pat, tok))
+    return out.withColumn(out_col or text_col, F.col(tmp)).drop(tmp)
