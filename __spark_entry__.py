@@ -514,9 +514,12 @@ def q_pii_scrub(spark, sf_dir):
         F.col("text"), F.lit(" contact user"), d.cast("string"),
         F.lit("@example.com or 10."), (d % 250).cast("string"),
         F.lit(".0.1 tel +1 555 010 "), (F.lit(1000) + d % 9000).cast("string"),
+        F.lit(" ssn 123-45-"), (F.lit(1000) + d % 9000).cast("string"),
+        F.lit(" card 4111 1111 1111 "), (F.lit(1000) + d % 9000).cast("string"),
         F.lit(" acct "), (F.lit(100000000) + d).cast("string"))
     out = pii_scrub(docs.withColumn("text", planted), "text")
-    return out.select("doc_id", "n_email", "n_ip", "n_phone", "n_idnum",
+    from condor_spark.engine.text import PII_RULES
+    return out.select("doc_id", *[f"n_{name}" for name, _, _ in PII_RULES],
                       F.md5("text").alias("scrubbed_md5"))
 
 
@@ -2815,6 +2818,8 @@ def _pii_oracle_sql() -> str:
 
     plant = ("text || ' contact user' || doc_id || '@example.com or 10.' || "
              "(doc_id % 250) || '.0.1 tel +1 555 010 ' || "
+             "(1000 + doc_id % 9000) || ' ssn 123-45-' || "
+             "(1000 + doc_id % 9000) || ' card 4111 1111 1111 ' || "
              "(1000 + doc_id % 9000) || ' acct ' || (100000000 + doc_id)")
     stages = [f"WITH s0 AS (SELECT doc_id, {plant} AS t FROM documents)"]
     for i, (name, pat, tok) in enumerate(PII_RULES, 1):

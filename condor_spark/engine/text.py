@@ -472,8 +472,10 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
 PII_RULES: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("card", r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b", "<CARD>"),
     ("phone", r"\+\d[\d -]{7,14}\d", "<PHONE>"),
-    ("idnum", r"\b\d{9,16}\b", "<NUM>"),
+    ("idnum", r"\b\d{9,16}\b", "<NUM>"),  # catch-all: MUST stay last
 ]
 
 

@@ -50,6 +50,14 @@ def test_pii_scrub_rules(spark):
     assert all(rows[2][c] == 0
                for c in ("n_email", "n_ip", "n_phone", "n_idnum"))
     assert rows[3]["n_email"] == 2 and rows[3]["n_ip"] == 1
+    # ssn/card run before the idnum catch-all and before phone
+    df2 = spark.createDataFrame(
+        [(1, "ssn 123-45-6789 card 4111-1111-1111-1111 or 4111 1111 1111 1111")],
+        "id long, text string")
+    r2 = pii_scrub(df2, "text").collect()[0]
+    assert r2["n_ssn"] == 1 and r2["n_card"] == 2
+    assert r2["n_phone"] == 0 and r2["n_idnum"] == 0
+    assert r2["text"] == "ssn <SSN> card <CARD> or <CARD>"
     # out_col keeps the original column intact
     kept = pii_scrub(df, "text", out_col="scrubbed").collect()[0]
     assert "@" in kept["text"] and "@" not in kept["scrubbed"]
