@@ -689,6 +689,66 @@ def q_stream_kmv_overlap(spark, sf_dir):
                     "jaccard"))
 
 
+def q_mg_heavy_hitters(spark, sf_dir):
+    """Misra-Gries heavy hitters per tumbling day: every user with >= 5
+    events, enumerated straight from the O(capacity) summary — the
+    unbounded-key-domain frequent-items query the reference's Count-Min
+    cannot answer without an external key list (CountMinSketch.java:96-113
+    needs the key) and the dyadic family only answers for bounded integer
+    domains. Exact at this sizing (capacity 1024 >= distinct users per
+    window, so no decrement ever fires and the summary IS the count table
+    — same promotion argument as the dyadic family's oversampled levels;
+    the undersized regime's Agarwal-merge deficit bound is asserted by
+    tests/test_mg.py)."""
+    df = _events(spark, sf_dir)
+    spec = SynopsisSpec(kind="mg", params=dict(capacity=1024),
+                        column="user_id", ts_column="ts", window=Tumbling(DAY))
+    return (ev.heavy_hitter_estimates(build_batch(df, spec), min_count=5)
+            .select(F.col("window_start").cast(NTZ).alias("window_start"),
+                    "key", "est_count"))
+
+
+def q_mg_topk_tokens(spark, sf_dir):
+    """Top-20 tokens per language from per-stratum Misra-Gries summaries
+    over the exploded token stream (string keys — the domain no sketch in
+    the reference can enumerate). Deterministic (-count, token) order with
+    an explicit rank column; capacity 4096 >= per-language vocabulary, so
+    the summary is exact and the oracle is the plain token GROUP BY with
+    the same row_number ordering."""
+    df = (_docs(spark, sf_dir)
+          .select(F.col("lang"), F.explode(text.tokens_col("text")).alias("token"))
+          .filter(F.col("token") != ""))
+    spec = SynopsisSpec(kind="mg", params=dict(capacity=4096),
+                        column="token", window=GlobalWindow(),
+                        stratify_by="lang")
+    return (ev.topk_estimates(build_batch(df, spec), k=20)
+            .select("stratum", "rank", "key", "est_count"))
+
+
+def q_stream_mg_hh(spark, sf_dir):
+    """Streamed twin of mg_heavy_hitters: the MG summary maintained as
+    streaming state through the exactly-once manifest sink, merged across
+    micro-batches. In the exact regime no decrement fires on any partial,
+    and the canonical sorted-key state makes the streamed blobs
+    byte-identical to the batch build — so this shares mg_heavy_hitters'
+    exact oracle."""
+    from condor_spark import fixtures
+    from condor_spark.engine.streaming import StreamingSynopsisJob
+
+    df = _events(spark, sf_dir)
+    tmp = _fresh_tmp("mgstream", sf_dir)
+    fixtures.replay_in_order(spark, df, f"{tmp}/src", n_chunks=5)
+    spec = SynopsisSpec(kind="mg", params=dict(capacity=1024),
+                        column="user_id", ts_column="ts", window=Tumbling(DAY))
+    job = StreamingSynopsisJob(spec, sink_dir=f"{tmp}/sink",
+                               watermark_delay="40 days")
+    _await(job.start(spark, f"{tmp}/src", f"{tmp}/ckpt",
+                     max_files_per_trigger=1))
+    return (ev.heavy_hitter_estimates(job.read_state_df(spark), min_count=5)
+            .select(F.col("window_start").cast(NTZ).alias("window_start"),
+                    "key", "est_count"))
+
+
 def q_cm_sql_frequency(spark, sf_dir):
     """Count-Min built by the pure-JVM SQL path (sqlbuild.build_sketch_sql:
     H3 as byte-LUT expressions, scatter/merge as SQL aggregation). Blob
@@ -2156,7 +2216,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     question, batch and as continuously-maintained stratified streaming
     state; exact integer estimators replayed bit-for-bit in SQL, build
     path = the in-window stratified builder and exactly-once sink,
-    kernel invariants in tests/test_kmv.py), and pii_scrub (PII
+    kernel invariants in tests/test_kmv.py), the Misra-Gries family
+    (mg_heavy_hitters / mg_topk_tokens / stream_mg_hh — frequent-item
+    ENUMERATION over unbounded key domains incl. string tokens, the query
+    CM answers only given the keys and dyadic only for bounded integer
+    domains; exact in the oversized-capacity regime the driver runs —
+    no decrement fires, the summary IS the count table — with the
+    undersized Agarwal-merge deficit bound asserted by
+    tests/test_mg.py; the streamed twin's canonical sorted-key state is
+    byte-equal to batch, sharing the oracle), and pii_scrub (PII
     redaction as engine-portable JVM regexp chains with planted
     deterministic PII — map-only curation, exact md5 oracle); all
     stay verified by tests/test_entry.py every run. The trailing block is the
@@ -2267,6 +2335,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_sql_distinct": q_kmv_sql_distinct,
         "kmv_overlap": q_kmv_overlap,
         "stream_kmv_overlap": q_stream_kmv_overlap,
+        "mg_heavy_hitters": q_mg_heavy_hitters,
+        "mg_topk_tokens": q_mg_topk_tokens,
+        "stream_mg_hh": q_stream_mg_hh,
         "pii_scrub": q_pii_scrub,
         "dd_quantile_pointquery": q_dd_quantile_pointquery,
         "cuckoo_pointquery": q_cuckoo_pointquery,
@@ -3380,6 +3451,28 @@ def oracle_sql() -> dict[str, str]:
     # streamed KMV blobs are byte-identical to the batch build (canonical
     # sorted min-k merge), so the streaming twin shares the batch oracle
     oracles["stream_kmv_overlap"] = oracles["kmv_overlap"]
+    # Misra-Gries in the oversized regime is the exact count table (no
+    # decrement ever fires — module docstring, synopsis/mg.py), so the
+    # oracle is the plain GROUP BY the summary collapses to
+    oracles["mg_heavy_hitters"] = """
+        SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+               CAST(user_id AS VARCHAR) AS key, count(*) AS est_count
+        FROM events GROUP BY 1, user_id
+        HAVING count(*) >= 5
+    """
+    # streamed MG blobs are byte-identical to the batch build in the exact
+    # regime (canonical sorted-key state), so the twin shares the oracle
+    oracles["stream_mg_hh"] = oracles["mg_heavy_hitters"]
+    oracles["mg_topk_tokens"] = f"""
+        WITH t AS (SELECT lang, unnest({_TOKS}) AS token FROM documents),
+             c AS (SELECT lang, token, count(*) cnt FROM t
+                   WHERE token <> '' GROUP BY lang, token),
+             r AS (SELECT lang AS stratum, token AS key, cnt AS est_count,
+                          row_number() OVER (PARTITION BY lang
+                              ORDER BY cnt DESC, token) AS rank
+                   FROM c)
+        SELECT stratum, rank, key, est_count FROM r WHERE rank <= 20
+    """
     oracles["hll_distinct"] = _hll_oracle_sql(log_reg_num=14, seed=7)
     oracles["hll_sql_distinct"] = _hll_oracle_sql(log_reg_num=14, seed=7)
     # codegen point-query twins: DD quantile estimator replayed in SQL

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
@@ -135,6 +136,38 @@ def quantile_estimates(syn_df: DataFrame, qs: list[float]) -> DataFrame:
         syn_df, fn,
         "window_start timestamp, window_end timestamp, stratum string, "
         "q double, est_value double")
+
+
+def heavy_hitter_estimates(syn_df: DataFrame, min_count: int) -> DataFrame:
+    """Misra-Gries heavy hitters per window: every summarized key whose
+    estimate reaches ``min_count``, ordered (-est, key) inside the blob
+    (synopsis/mg.py) — key enumeration over unbounded domains, the query
+    Count-Min cannot answer without an external key list."""
+    def fn(syn, row):
+        keys, cnts = syn.heavy_hitters(min_count)
+        return pd.DataFrame({"key": [str(k) for k in keys],
+                             "est_count": cnts.astype("int64")})
+
+    return apply_per_window(
+        syn_df, fn,
+        "window_start timestamp, window_end timestamp, stratum string, "
+        "key string, est_count long")
+
+
+def topk_estimates(syn_df: DataFrame, k: int) -> DataFrame:
+    """Misra-Gries top-k keys per window, deterministic (-est, key) order;
+    ``rank`` disambiguates ties for the SQL twin (row_number over the same
+    ordering)."""
+    def fn(syn, row):
+        keys, cnts = syn.topk(k)
+        return pd.DataFrame({"rank": np.arange(1, len(keys) + 1, dtype="int64"),
+                             "key": [str(x) for x in keys],
+                             "est_count": cnts.astype("int64")})
+
+    return apply_per_window(
+        syn_df, fn,
+        "window_start timestamp, window_end timestamp, stratum string, "
+        "rank long, key string, est_count long")
 
 
 def f2_estimates(syn_df: DataFrame) -> DataFrame:
