@@ -689,6 +689,18 @@ def q_stream_kmv_overlap(spark, sf_dir):
                     "jaccard"))
 
 
+def q_repetition_scores(spark, sf_dir):
+    """Within-document repetition signals (Gopher curation rules): top-2/3
+    gram character-coverage fraction and duplicated-3-gram fraction per
+    document — the boilerplate detector a curation pipeline runs next to
+    quality_scores. dup_n=3 here (the API default is Gopher's 5) because
+    the synthetic fixture has no repeated 5-grams — a uniformly-zero
+    column would verify nothing. Pure relational plan (one explode + two
+    keyed aggregations), replayed exactly in DuckDB."""
+    return text.repetition_scores(_docs(spark, sf_dir), dup_n=3).select(
+        "doc_id", "top_2gram_frac", "top_3gram_frac", "dup_3gram_frac")
+
+
 def q_mg_heavy_hitters(spark, sf_dir):
     """Misra-Gries heavy hitters per tumbling day: every user with >= 5
     events, enumerated straight from the O(capacity) summary — the
@@ -2224,9 +2236,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     no decrement fires, the summary IS the count table — with the
     undersized Agarwal-merge deficit bound asserted by
     tests/test_mg.py; the streamed twin's canonical sorted-key state is
-    byte-equal to batch, sharing the oracle), and pii_scrub (PII
+    byte-equal to batch, sharing the oracle), pii_scrub (PII
     redaction as engine-portable JVM regexp chains with planted
-    deterministic PII — map-only curation, exact md5 oracle); all
+    deterministic PII — map-only curation, exact md5 oracle), and
+    repetition_scores (Gopher-style within-document repetition signals —
+    top-n-gram coverage + duplicated-n-gram fraction, one JVM explode +
+    two keyed aggregations, exact relational twin); all
     stay verified by tests/test_entry.py every run. The trailing block is the
     genuinely rows-only set (randomized samplers, LSH/IVF approximations,
     media/audio feature pipelines, FFT-based audio_spectral and
@@ -2338,6 +2353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_heavy_hitters": q_mg_heavy_hitters,
         "mg_topk_tokens": q_mg_topk_tokens,
         "stream_mg_hh": q_stream_mg_hh,
+        "repetition_scores": q_repetition_scores,
         "pii_scrub": q_pii_scrub,
         "dd_quantile_pointquery": q_dd_quantile_pointquery,
         "cuckoo_pointquery": q_cuckoo_pointquery,
@@ -3472,6 +3488,35 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY cnt DESC, token) AS rank
                    FROM c)
         SELECT stratum, rank, key, est_count FROM r WHERE rank <= 20
+    """
+    # repetition signals: the same one-explode two-aggregation pipeline,
+    # DuckDB list slices standing in for Spark's slice/concat_ws
+    oracles["repetition_scores"] = """
+        WITH base AS (SELECT doc_id,
+                             lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) norm
+                      FROM documents),
+             t AS (SELECT doc_id, norm, string_split(norm, ' ') toks FROM base),
+             gi AS (SELECT doc_id, toks, v.n,
+                           unnest(range(1, greatest(len(toks) - v.n + 2, 1))) AS i
+                    FROM t, (VALUES (2), (3)) v(n)),
+             g AS (SELECT doc_id, n,
+                          array_to_string(toks[i : i + n - 1], ' ') AS gram
+                   FROM gi),
+             c AS (SELECT doc_id, n, gram, count(*) cnt FROM g GROUP BY ALL),
+             s AS (SELECT doc_id, n,
+                          max(cnt * length(gram)) top_cov,
+                          sum(CASE WHEN cnt >= 2 THEN cnt * length(gram)
+                                   ELSE 0 END) dup_cov
+                   FROM c GROUP BY ALL)
+        SELECT b.doc_id,
+               ROUND(COALESCE(MAX(CASE WHEN s.n = 2 THEN s.top_cov END), 0)
+                     / greatest(length(b.norm), 1), 6) AS top_2gram_frac,
+               ROUND(COALESCE(MAX(CASE WHEN s.n = 3 THEN s.top_cov END), 0)
+                     / greatest(length(b.norm), 1), 6) AS top_3gram_frac,
+               ROUND(COALESCE(MAX(CASE WHEN s.n = 3 THEN s.dup_cov END), 0)
+                     / greatest(length(b.norm), 1), 6) AS dup_3gram_frac
+        FROM base b LEFT JOIN s ON s.doc_id = b.doc_id
+        GROUP BY b.doc_id, b.norm
     """
     oracles["hll_distinct"] = _hll_oracle_sql(log_reg_num=14, seed=7)
     oracles["hll_sql_distinct"] = _hll_oracle_sql(log_reg_num=14, seed=7)

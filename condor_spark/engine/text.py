@@ -358,6 +358,67 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     return pin_result(out, sh, key="ngram_jaccard_pairs")
 
 
+# ----------------------------------------------------- repetition signals
+def repetition_scores(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      top_ns: tuple[int, ...] = (2, 3),
+                      dup_n: int = 5) -> DataFrame:
+    """Within-document repetition signals (Gopher quality rules, Rae et al.
+    2021 §A1.1, adapted to token n-grams): high values mark boilerplate /
+    auto-generated text a curation pipeline drops.
+
+    Per document, over whitespace-normalized lowered tokens:
+
+      * ``top_{n}gram_frac`` (n in ``top_ns``) — max over n-grams of
+        ``occurrences x chars(gram)`` divided by normalized text length:
+        the character coverage of the single most-covering n-gram.
+        (Deterministic without a tie-break column: ties in occurrence
+        count resolve by taking the larger coverage, never by picking one
+        gram.)
+      * ``dup_{dup_n}gram_frac`` — sum over n-grams occurring >= 2 times of
+        ``occurrences x chars(gram)``, over text length. This is the
+        occurrence-weighted variant (can exceed 1 for overlapping
+        repeats); Gopher's char-coverage variant needs per-char overlap
+        dedup, which has no exact relational twin.
+
+    Plan shape (holds at 10^12 docs): ONE scan, all n-gram families
+    produced by a single JVM ``flatten(transform(...))`` explode, one
+    partial-aggregated shuffle on (doc, n, gram), one on (doc), and a
+    final join back to the per-doc length — every key contains the
+    unique ``doc_id``, so there is no skew and no all-pairs surface.
+    Documents shorter than n tokens contribute zero fractions.
+    """
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), _NORM_WS, " "))
+    base = _spread(df.select(F.col(id_col), norm.alias("__norm")))
+    with_toks = base.withColumn("__toks", F.split(F.col("__norm"), " "))
+    ns = sorted(set(top_ns) | {dup_n})
+    fams = ", ".join(
+        f"IF(size(__toks) >= {n}, transform(sequence(1, size(__toks) - {n - 1}), "
+        f"i -> named_struct('n', {n}, 'gram', concat_ws(' ', slice(__toks, i, {n})))), "
+        f"CAST(array() AS ARRAY<STRUCT<n: INT, gram: STRING>>))"
+        for n in ns)
+    grams = (with_toks
+             .select(id_col, F.explode(F.expr(f"flatten(array({fams}))")).alias("g"))
+             .select(id_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram")))
+    cov = F.col("cnt") * F.length("gram")
+    stats = (grams.groupBy(id_col, "n", "gram").agg(F.count("*").alias("cnt"))
+             .groupBy(id_col, "n")
+             .agg(F.max(cov).alias("top_cov"),
+                  F.sum(F.when(F.col("cnt") >= 2, cov).otherwise(F.lit(0)))
+                   .alias("dup_cov")))
+    nch = base.select(id_col, F.length("__norm").alias("__n_chars"))
+    denom = F.greatest(F.col("__n_chars"), F.lit(1)).cast("double")
+    aggs = [F.round(F.coalesce(
+                F.max(F.when(F.col("n") == n, F.col("top_cov"))), F.lit(0))
+            / denom, 6).alias(f"top_{n}gram_frac") for n in top_ns]
+    aggs.append(F.round(F.coalesce(
+                    F.max(F.when(F.col("n") == dup_n, F.col("dup_cov"))), F.lit(0))
+                / denom, 6).alias(f"dup_{dup_n}gram_frac"))
+    return (nch.join(stats, id_col, "left")
+            .groupBy(id_col, "__n_chars").agg(*aggs)
+            .drop("__n_chars"))
+
+
 # --------------------------------------------------------------- SimHash
 def _token_poly_ids(tokens: list[str]) -> np.ndarray:
     """Token -> uint64 id: Horner base-257 polynomial over the token's

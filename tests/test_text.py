@@ -61,3 +61,33 @@ def test_pii_scrub_rules(spark):
     # out_col keeps the original column intact
     kept = pii_scrub(df, "text", out_col="scrubbed").collect()[0]
     assert "@" in kept["text"] and "@" not in kept["scrubbed"]
+
+
+def test_repetition_scores(spark):
+    from condor_spark.engine.text import repetition_scores
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"),        # "spam spam" 2-gram x3
+         (2, "a b c d e"),                  # all grams unique
+         (3, "one two one two one two"),    # repeated 2- and 3-grams
+         (4, "solo"),                       # shorter than every n
+         (5, "")],                          # empty text
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in repetition_scores(df, dup_n=3).collect()}
+
+    # doc 1: norm len 19; top 2-gram "spam spam" (9 chars) x3 -> 27/19
+    assert rows[1]["top_2gram_frac"] == round(27 / 19, 6)
+    # top 3-gram "spam spam spam" (14) x2 -> 28/19; also the dup-3 sum
+    assert rows[1]["top_3gram_frac"] == round(28 / 19, 6)
+    assert rows[1]["dup_3gram_frac"] == round(28 / 19, 6)
+    # doc 2: unique grams -> top covers one occurrence, no duplicates
+    assert rows[2]["top_2gram_frac"] == round(3 / 9, 6)
+    assert rows[2]["dup_3gram_frac"] == 0.0
+    # doc 3: "one two" (7) x3 = 21 / len 23
+    assert rows[3]["top_2gram_frac"] == round(21 / 23, 6)
+    # 3-grams: "one two one" x2, "two one two" x2 -> dup = (22+22)/23
+    assert rows[3]["dup_3gram_frac"] == round(44 / 23, 6)
+    # short + empty docs: present with all-zero signals
+    for d in (4, 5):
+        assert rows[d]["top_2gram_frac"] == 0.0
+        assert rows[d]["dup_3gram_frac"] == 0.0
