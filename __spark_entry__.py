@@ -689,6 +689,22 @@ def q_stream_kmv_overlap(spark, sf_dir):
                     "jaccard"))
 
 
+def q_mg_entropy(spark, sf_dir):
+    """Per-window Shannon entropy (nats) of the user-activity distribution
+    from the Misra-Gries count table — source-diversity monitoring (a
+    collapsing entropy flags a stuck/spamming source). Exact counts at
+    this capacity (mg_heavy_hitters' promotion); the float sum is ordered
+    canonically ascending-by-key on the engine side and rounded to 6
+    places, where the <= 1e-12 cross-engine summation-order noise cannot
+    reach."""
+    df = _events(spark, sf_dir)
+    spec = SynopsisSpec(kind="mg", params=dict(capacity=1024),
+                        column="user_id", ts_column="ts", window=Tumbling(DAY))
+    return (ev.entropy_estimates(build_batch(df, spec))
+            .select(F.col("window_start").cast(NTZ).alias("window_start"),
+                    F.round("entropy", 6).alias("entropy")))
+
+
 def q_repetition_scores(spark, sf_dir):
     """Within-document repetition signals (Gopher curation rules): top-2/3
     gram character-coverage fraction and duplicated-3-gram fraction per
@@ -2236,7 +2252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     no decrement fires, the summary IS the count table — with the
     undersized Agarwal-merge deficit bound asserted by
     tests/test_mg.py; the streamed twin's canonical sorted-key state is
-    byte-equal to batch, sharing the oracle), pii_scrub (PII
+    byte-equal to batch, sharing the oracle; mg_entropy derives the
+    per-window key-distribution Shannon entropy from the same blob), pii_scrub (PII
     redaction as engine-portable JVM regexp chains with planted
     deterministic PII — map-only curation, exact md5 oracle), and
     repetition_scores (Gopher-style within-document repetition signals —
@@ -2353,6 +2370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_heavy_hitters": q_mg_heavy_hitters,
         "mg_topk_tokens": q_mg_topk_tokens,
         "stream_mg_hh": q_stream_mg_hh,
+        "mg_entropy": q_mg_entropy,
         "repetition_scores": q_repetition_scores,
         "pii_scrub": q_pii_scrub,
         "dd_quantile_pointquery": q_dd_quantile_pointquery,
@@ -3488,6 +3506,18 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY cnt DESC, token) AS rank
                    FROM c)
         SELECT stratum, rank, key, est_count FROM r WHERE rank <= 20
+    """
+    # entropy from exact counts; sum order differs between engines but the
+    # summands are O(100) doubles, so the noise (~1e-15 rel) sits ~9 orders
+    # of magnitude below the 6-decimal rounding grid
+    oracles["mg_entropy"] = """
+        WITH c AS (SELECT time_bucket(INTERVAL '1 day', ts) ws, user_id,
+                          count(*) cnt
+                   FROM events GROUP BY 1, 2),
+             s AS (SELECT ws, sum(cnt) n FROM c GROUP BY ws)
+        SELECT c.ws AS window_start,
+               ROUND(-sum((cnt / n) * ln(cnt / n)), 6) AS entropy
+        FROM c JOIN s USING (ws) GROUP BY c.ws
     """
     # repetition signals: the same one-explode two-aggregation pipeline,
     # DuckDB list slices standing in for Spark's slice/concat_ws

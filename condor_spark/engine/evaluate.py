@@ -170,6 +170,27 @@ def topk_estimates(syn_df: DataFrame, k: int) -> DataFrame:
         "rank long, key string, est_count long")
 
 
+def entropy_estimates(syn_df: DataFrame) -> DataFrame:
+    """Shannon entropy (nats) of the per-window key distribution, computed
+    from the Misra-Gries count table — the diversity/skew monitor a
+    training-data pipeline runs per window (a collapsing entropy flags a
+    stuck or spamming source). Exact in the oversized-capacity regime
+    (the counts ARE the distribution); the plug-in estimator over the
+    surviving counters when undersized."""
+    def fn(syn, row):
+        c = syn.cnts.astype(np.float64)
+        n = float(c.sum())
+        if n <= 0:
+            return pd.DataFrame({"entropy": [0.0]})
+        p = c / n
+        return pd.DataFrame({"entropy": [float(-(p * np.log(p)).sum())]})
+
+    return apply_per_window(
+        syn_df, fn,
+        "window_start timestamp, window_end timestamp, stratum string, "
+        "entropy double")
+
+
 def f2_estimates(syn_df: DataFrame) -> DataFrame:
     """AMS F2 (self-join size) per window (FastAGMS.estimateF2)."""
     def fn(syn, row):
