@@ -689,6 +689,21 @@ def q_stream_kmv_overlap(spark, sf_dir):
                     "jaccard"))
 
 
+def q_decontaminate(spark, sf_dir):
+    """Doc-level benchmark decontamination (GPT-3 appendix-C n-gram rule):
+    documents split by id parity into train (even) / eval (odd); each eval
+    doc scored by the fraction of its distinct 5-grams present anywhere in
+    the train corpus, flagged at ratio >= 0.2. n=5 on the fixture (the API
+    default is 13) so the planted cross-corpus duplicates actually share
+    grams; one left-semi hash join on the gram key, no all-pairs."""
+    docs = _docs(spark, sf_dir)
+    out = text.contamination_scores(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0), n=5, threshold=0.2)
+    return out.select("doc_id", "n_grams", "n_hits",
+                      "contamination_ratio", "contaminated")
+
+
 def q_mg_entropy(spark, sf_dir):
     """Per-window Shannon entropy (nats) of the user-activity distribution
     from the Misra-Gries count table — source-diversity monitoring (a
@@ -2255,10 +2270,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     byte-equal to batch, sharing the oracle; mg_entropy derives the
     per-window key-distribution Shannon entropy from the same blob), pii_scrub (PII
     redaction as engine-portable JVM regexp chains with planted
-    deterministic PII — map-only curation, exact md5 oracle), and
-    repetition_scores (Gopher-style within-document repetition signals —
+    deterministic PII — map-only curation, exact md5 oracle), repetition_scores (Gopher-style within-document repetition signals —
     top-n-gram coverage + duplicated-n-gram fraction, one JVM explode +
-    two keyed aggregations, exact relational twin); all
+    two keyed aggregations, exact relational twin), and decontaminate
+    (doc-level benchmark decontamination — distinct-gram semi-join
+    against the train corpus, the per-doc removal decision next to KMV's
+    corpus-level estimate); all
     stay verified by tests/test_entry.py every run. The trailing block is the
     genuinely rows-only set (randomized samplers, LSH/IVF approximations,
     media/audio feature pipelines, FFT-based audio_spectral and
@@ -2372,6 +2389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_mg_hh": q_stream_mg_hh,
         "mg_entropy": q_mg_entropy,
         "repetition_scores": q_repetition_scores,
+        "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
         "dd_quantile_pointquery": q_dd_quantile_pointquery,
         "cuckoo_pointquery": q_cuckoo_pointquery,
@@ -3518,6 +3536,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT c.ws AS window_start,
                ROUND(-sum((cnt / n) * ln(cnt / n)), 6) AS entropy
         FROM c JOIN s USING (ws) GROUP BY c.ws
+    """
+    # decontamination: the same gram pipeline, one semi-join on gram
+    oracles["decontaminate"] = """
+        WITH base AS (SELECT doc_id,
+                             lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) norm
+                      FROM documents),
+             t AS (SELECT doc_id, string_split(norm, ' ') toks FROM base),
+             gi AS (SELECT doc_id, toks,
+                           unnest(range(1, greatest(len(toks) - 5 + 2, 1))) AS i
+                    FROM t),
+             g AS (SELECT DISTINCT doc_id,
+                          array_to_string(toks[i : i + 4], ' ') AS gram
+                   FROM gi),
+             tr AS (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0),
+             ev AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_grams,
+                           CAST(sum(CASE WHEN gram IN (SELECT gram FROM tr)
+                                         THEN 1 ELSE 0 END) AS BIGINT) n_hits
+                    FROM g WHERE doc_id % 2 = 1 GROUP BY doc_id)
+        SELECT b.doc_id,
+               COALESCE(ev.n_grams, 0) AS n_grams,
+               COALESCE(ev.n_hits, 0) AS n_hits,
+               ROUND(COALESCE(ev.n_hits, 0)
+                     / greatest(COALESCE(ev.n_grams, 0), 1), 6)
+                   AS contamination_ratio,
+               ROUND(COALESCE(ev.n_hits, 0)
+                     / greatest(COALESCE(ev.n_grams, 0), 1), 6) >= 0.2
+                   AS contaminated
+        FROM (SELECT doc_id FROM base WHERE doc_id % 2 = 1) b
+        LEFT JOIN ev USING (doc_id)
     """
     # repetition signals: the same one-explode two-aggregation pipeline,
     # DuckDB list slices standing in for Spark's slice/concat_ws

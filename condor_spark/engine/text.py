@@ -419,6 +419,58 @@ def repetition_scores(df: DataFrame, id_col: str = "doc_id",
             .drop("__n_chars"))
 
 
+# ----------------------------------------------------- decontamination
+def _distinct_doc_grams(df: DataFrame, id_col: str, text_col: str,
+                        n: int) -> DataFrame:
+    """(id, gram) rows — each document's DISTINCT token n-grams."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), _NORM_WS, " "))
+    toks = F.split(norm, " ")
+    gram_expr = (
+        f"IF(size(__toks) >= {n}, transform(sequence(1, size(__toks) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(__toks, i, {n}))), "
+        f"CAST(array() AS ARRAY<STRING>))")
+    return (df.select(F.col(id_col), toks.alias("__toks"))
+              .select(id_col, F.explode_outer(
+                  F.array_distinct(F.expr(gram_expr))).alias("gram")))
+
+
+def contamination_scores(eval_df: DataFrame, train_df: DataFrame,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         n: int = 13, threshold: float = 0.5) -> DataFrame:
+    """Doc-level benchmark decontamination (the GPT-3 appendix-C / Llama
+    n-gram rule): for every EVAL document, the fraction of its distinct
+    token n-grams that appear anywhere in the TRAIN corpus; documents at
+    or above ``threshold`` are flagged for removal. This is the per-doc
+    removal decision that complements the KMV corpus-level contamination
+    ESTIMATE (synopsis/kmv.py): KMV answers "how much overlap" from two
+    blobs, this answers "which documents", paying one scan of each corpus.
+
+    Plan shape (holds with a 10^12-doc train side): distinct n-grams per
+    side are flatMap + hash-aggregate (no shuffle of raw text); the only
+    join is eval-grams LEFT SEMI train-grams on the gram key — a standard
+    partial-aggregated hash join; per-doc counts key on the unique doc id.
+    Rare long n-grams (the defaults) have no hot keys; for small n enable
+    AQE skew handling. Documents shorter than n tokens have no grams and
+    score 0.0 (never flagged).
+
+    Output: (id, n_grams, n_hits, contamination_ratio, contaminated).
+    """
+    ge = _distinct_doc_grams(eval_df, id_col, text_col, n)
+    gt = (_distinct_doc_grams(train_df, id_col, text_col, n)
+          .select("gram").where(F.col("gram").isNotNull()).distinct())
+    tot = ge.groupBy(id_col).agg(
+        F.count("gram").alias("n_grams"))  # count(col) skips null gram rows
+    hits = (ge.join(gt, "gram", "left_semi")
+              .groupBy(id_col).agg(F.count("*").alias("n_hits")))
+    ratio = F.round(F.col("n_hits")
+                    / F.greatest(F.col("n_grams"), F.lit(1)).cast("double"), 6)
+    return (tot.join(hits, id_col, "left")
+               .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
+               .select(id_col, "n_grams", "n_hits",
+                       ratio.alias("contamination_ratio"),
+                       (ratio >= threshold).alias("contaminated")))
+
+
 # --------------------------------------------------------------- SimHash
 def _token_poly_ids(tokens: list[str]) -> np.ndarray:
     """Token -> uint64 id: Horner base-257 polynomial over the token's

@@ -91,3 +91,28 @@ def test_repetition_scores(spark):
     for d in (4, 5):
         assert rows[d]["top_2gram_frac"] == 0.0
         assert rows[d]["dup_3gram_frac"] == 0.0
+
+
+def test_contamination_scores(spark):
+    from condor_spark.engine.text import contamination_scores
+
+    train = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"),
+         (2, "one two three four five six")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),       # full overlap at n=3
+         (3, "zeta eta theta iota"),          # no overlap
+         (5, "one two three nine ten"),       # 1 of 3 grams hits
+         (7, "xx yy")],                       # shorter than n: no grams
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r
+            for r in contamination_scores(ev, train, n=3, threshold=0.5).collect()}
+    assert rows[1]["n_grams"] == 2 and rows[1]["n_hits"] == 2
+    assert rows[1]["contamination_ratio"] == 1.0 and rows[1]["contaminated"]
+    assert rows[3]["n_hits"] == 0 and not rows[3]["contaminated"]
+    assert rows[5]["n_grams"] == 3 and rows[5]["n_hits"] == 1
+    assert rows[5]["contamination_ratio"] == round(1 / 3, 6)
+    assert not rows[5]["contaminated"]
+    assert rows[7]["n_grams"] == 0 and rows[7]["contamination_ratio"] == 0.0
+    assert not rows[7]["contaminated"]
