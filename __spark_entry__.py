@@ -704,6 +704,33 @@ def q_decontaminate(spark, sf_dir):
                       "contamination_ratio", "contaminated")
 
 
+def q_stream_decontaminate(spark, sf_dir):
+    """Decontamination-on-INGEST: the eval docs (odd ids) arrive as 3
+    micro-batches and each batch scores against the ONCE-materialized
+    train gram set (even ids) through the exactly-once ledger. A doc's
+    verdict depends only on the doc + the static gram set, so the union
+    of per-batch outputs equals the batch run exactly — shares
+    decontaminate's oracle."""
+    from condor_spark.engine.dedup_stream import StreamDecontaminate
+
+    docs = _docs(spark, sf_dir)
+    ev_docs = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    tmp = _fresh_tmp("decontam", sf_dir)
+    src = f"{tmp}/docs"
+    # 3 chronological chunks by doc_id band
+    n_max = ev_docs.agg(F.max("doc_id")).first()[0] or 0
+    step = (n_max + 3) // 3 + 1
+    for c in range(3):
+        (ev_docs.filter((F.col("doc_id") >= c * step)
+                        & (F.col("doc_id") < (c + 1) * step))
+         .coalesce(1).write.mode("append").parquet(src))
+    job = StreamDecontaminate(sink_dir=f"{tmp}/sink", n=5, threshold=0.2)
+    job.prepare(spark, docs.filter(F.col("doc_id") % 2 == 0))
+    job.run(spark, src, f"{tmp}/ckpt")
+    return job.read_scores(spark).select(
+        "doc_id", "n_grams", "n_hits", "contamination_ratio", "contaminated")
+
+
 def q_mg_entropy(spark, sf_dir):
     """Per-window Shannon entropy (nats) of the user-activity distribution
     from the Misra-Gries count table — source-diversity monitoring (a
@@ -2272,10 +2299,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     redaction as engine-portable JVM regexp chains with planted
     deterministic PII — map-only curation, exact md5 oracle), repetition_scores (Gopher-style within-document repetition signals —
     top-n-gram coverage + duplicated-n-gram fraction, one JVM explode +
-    two keyed aggregations, exact relational twin), and decontaminate
-    (doc-level benchmark decontamination — distinct-gram semi-join
-    against the train corpus, the per-doc removal decision next to KMV's
-    corpus-level estimate); all
+    two keyed aggregations, exact relational twin), and decontaminate /
+    stream_decontaminate (doc-level benchmark decontamination — one
+    distinct-gram semi-join against the once-materialized train gram
+    set, the per-doc removal decision next to KMV's corpus-level
+    estimate; the on-ingest stream's verdicts depend only on doc +
+    static set, so it shares the batch oracle); all
     stay verified by tests/test_entry.py every run. The trailing block is the
     genuinely rows-only set (randomized samplers, LSH/IVF approximations,
     media/audio feature pipelines, FFT-based audio_spectral and
@@ -2390,6 +2419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_entropy": q_mg_entropy,
         "repetition_scores": q_repetition_scores,
         "decontaminate": q_decontaminate,
+        "stream_decontaminate": q_stream_decontaminate,
         "pii_scrub": q_pii_scrub,
         "dd_quantile_pointquery": q_dd_quantile_pointquery,
         "cuckoo_pointquery": q_cuckoo_pointquery,
@@ -3566,6 +3596,9 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT doc_id FROM base WHERE doc_id % 2 = 1) b
         LEFT JOIN ev USING (doc_id)
     """
+    # per-doc verdicts depend only on the doc + the static gram set, so
+    # the streamed union equals the batch run exactly
+    oracles["stream_decontaminate"] = oracles["decontaminate"]
     # repetition signals: the same one-explode two-aggregation pipeline,
     # DuckDB list slices standing in for Spark's slice/concat_ws
     oracles["repetition_scores"] = """

@@ -53,6 +53,97 @@ PAIR_SCHEMA = ("id_a string, id_b string, n_match long, jaccard double, "
 
 
 @dataclass
+class StreamDecontaminate:
+    """Decontamination-on-INGEST: score each arriving micro-batch of
+    documents against a STATIC train-corpus n-gram set
+    (``text.contamination_scores`` semantics) and append the per-doc
+    verdicts through the same atomic-ledger exactly-once discipline as
+    ``StreamFpDedup``. Because a document's score depends only on the
+    document and the static gram set, the union of per-batch outputs is
+    EXACTLY the batch run over the same rows — the driver query
+    ``stream_decontaminate`` shares the batch oracle.
+
+    ``prepare(spark, train_df)`` materializes the distinct gram set once
+    (the expensive side — at warehouse scale a bucketed table); every
+    batch then pays one left-semi join against it, never a rescan of the
+    train corpus.
+    """
+
+    sink_dir: str
+    n: int = 13
+    threshold: float = 0.5
+    id_col: str = "doc_id"
+    text_col: str = "text"
+
+    @property
+    def _ledger_path(self) -> str:
+        return os.path.join(self.sink_dir, "ledger.json")
+
+    @property
+    def _grams_path(self) -> str:
+        return os.path.join(self.sink_dir, "train_grams.parquet")
+
+    def _read_ledger(self) -> dict:
+        if os.path.exists(self._ledger_path):
+            with open(self._ledger_path) as f:
+                return json.load(f)
+        return {"committed": {}}
+
+    def _commit(self, ledger: dict) -> None:
+        tmp = self._ledger_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(ledger, f)
+        os.replace(tmp, self._ledger_path)
+
+    def prepare(self, spark: SparkSession, train_df: DataFrame) -> None:
+        from .text import train_gram_set
+
+        os.makedirs(self.sink_dir, exist_ok=True)
+        (train_gram_set(train_df, self.id_col, self.text_col, self.n)
+         .write.mode("overwrite").parquet(self._grams_path))
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from .text import contamination_scores
+
+        ledger = self._read_ledger()
+        if str(batch_id) in ledger["committed"]:
+            return  # replay of a committed batch: exactly-once no-op
+        spark = batch_df.sparkSession
+        grams = spark.read.parquet(self._grams_path)
+        scores = contamination_scores(
+            batch_df, None, self.id_col, self.text_col, self.n,
+            self.threshold, train_grams=grams)
+        path = os.path.join(self.sink_dir, "scores",
+                            f"b{int(batch_id)}.parquet")
+        scores.write.mode("overwrite").parquet(path)
+        ledger["committed"][str(batch_id)] = {"scores": path}
+        self._commit(ledger)
+
+    def run(self, spark: SparkSession, input_dir: str, checkpoint: str,
+            max_files_per_trigger: int = 1):
+        src = (spark.readStream
+               .option("maxFilesPerTrigger", max_files_per_trigger)
+               .schema(spark.read.parquet(input_dir).schema)
+               .parquet(input_dir))
+        q = (src.writeStream
+             .foreachBatch(self.process_batch)
+             .option("checkpointLocation", checkpoint)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        return q
+
+    def read_scores(self, spark: SparkSession) -> DataFrame:
+        led = self._read_ledger()
+        paths = [e["scores"] for e in led["committed"].values()]
+        if not paths:
+            return spark.createDataFrame(
+                [], f"{self.id_col} long, n_grams long, n_hits long, "
+                    "contamination_ratio double, contaminated boolean")
+        return spark.read.parquet(*paths)
+
+
+@dataclass
 class StreamFpDedup:
     sink_dir: str
     fingerprint_fn: Callable[[DataFrame], DataFrame]

@@ -434,9 +434,18 @@ def _distinct_doc_grams(df: DataFrame, id_col: str, text_col: str,
                   F.array_distinct(F.expr(gram_expr))).alias("gram")))
 
 
-def contamination_scores(eval_df: DataFrame, train_df: DataFrame,
+def train_gram_set(train_df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", n: int = 13) -> DataFrame:
+    """The train corpus's distinct n-gram set — build (or materialize)
+    ONCE, score many eval sets / micro-batches against it."""
+    return (_distinct_doc_grams(train_df, id_col, text_col, n)
+            .select("gram").where(F.col("gram").isNotNull()).distinct())
+
+
+def contamination_scores(eval_df: DataFrame, train_df: DataFrame | None,
                          id_col: str = "doc_id", text_col: str = "text",
-                         n: int = 13, threshold: float = 0.5) -> DataFrame:
+                         n: int = 13, threshold: float = 0.5,
+                         train_grams: DataFrame | None = None) -> DataFrame:
     """Doc-level benchmark decontamination (the GPT-3 appendix-C / Llama
     n-gram rule): for every EVAL document, the fraction of its distinct
     token n-grams that appear anywhere in the TRAIN corpus; documents at
@@ -454,10 +463,13 @@ def contamination_scores(eval_df: DataFrame, train_df: DataFrame,
     score 0.0 (never flagged).
 
     Output: (id, n_grams, n_hits, contamination_ratio, contaminated).
+    Pass ``train_grams`` (from ``train_gram_set``, materialized once) to
+    skip recomputing the train side — the streaming ingest path scores
+    every micro-batch against one stored gram table.
     """
     ge = _distinct_doc_grams(eval_df, id_col, text_col, n)
-    gt = (_distinct_doc_grams(train_df, id_col, text_col, n)
-          .select("gram").where(F.col("gram").isNotNull()).distinct())
+    gt = train_grams if train_grams is not None else train_gram_set(
+        train_df, id_col, text_col, n)
     tot = ge.groupBy(id_col).agg(
         F.count("gram").alias("n_grams"))  # count(col) skips null gram rows
     hits = (ge.join(gt, "gram", "left_semi")

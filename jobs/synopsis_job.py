@@ -45,6 +45,9 @@ Modes:
                    append when --checkpoint is given, one-shot batch
                    otherwise. --kind/--column are not needed.
   --mode dedupstream  streaming near-dup dedup-on-ingest
+  --mode decontaminate  decontamination-on-ingest: score arriving docs
+                   against a once-materialized train-corpus n-gram set
+                   (params: train=<parquet>, n, threshold)
                    (engine/dedup_stream.py): each micro-batch's
                    fingerprints join the accumulating committed store;
                    pairs land under --sink/pairs, the fingerprint store
@@ -102,7 +105,8 @@ def parse_args(argv):
     p.add_argument("--watermark-delay", default="10 seconds")
     p.add_argument("--mode", choices=("stream", "stateful", "sql", "batch",
                                       "querylatest", "features", "snapshots",
-                                      "cep", "prep", "dedupstream", "overlap"),
+                                      "cep", "prep", "dedupstream", "overlap",
+                                      "decontaminate"),
                    default="stream")
     p.add_argument("--stratum-a", default=None,
                    help="overlap mode: first corpus stratum value")
@@ -252,6 +256,32 @@ def main(argv=None) -> None:
                    "pairs": job.read_pairs(spark).count()}
         if knobs.get("compact"):
             summary["compact"] = job.compact(spark)
+        print(json.dumps(summary))
+        spark.stop()
+        return
+
+    if args.mode == "decontaminate":
+        if not args.checkpoint:
+            raise SystemExit("--checkpoint is required in decontaminate mode")
+        from condor_spark.engine.dedup_stream import StreamDecontaminate
+
+        knobs = json.loads(args.params)
+        train_path = knobs.get("train")
+        if not train_path:
+            raise SystemExit('--params {"train": "<parquet>"} is required')
+        job = StreamDecontaminate(
+            sink_dir=args.sink,
+            n=int(knobs.get("n", 13)),
+            threshold=float(knobs.get("threshold", 0.5)),
+            id_col=knobs.get("id_col", "doc_id"),
+            text_col=knobs.get("text_col", "text"))
+        job.prepare(spark, spark.read.parquet(train_path))
+        job.run(spark, args.input, args.checkpoint,
+                max_files_per_trigger=args.max_files_per_trigger)
+        scores = job.read_scores(spark)
+        summary = {"batches": len(job._read_ledger()["committed"]),
+                   "docs": scores.count(),
+                   "contaminated": scores.filter("contaminated").count()}
         print(json.dumps(summary))
         spark.stop()
         return

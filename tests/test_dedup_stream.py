@@ -157,3 +157,40 @@ def test_compact_store_preserves_behavior(spark, tmp_path):
     pd.testing.assert_frame_equal(plain, comp)
     assert len(comp) == 3  # (a,b) @1, (a,c)+(b,c) @2
     assert (comp["n_match"] == 2).all()
+
+
+def test_stream_decontaminate_equals_batch_and_replays(spark, tmp_path):
+    """Per-batch verdict union == the batch run (static gram set), and
+    the ledger makes committed-batch replays no-ops / crash replays
+    idempotent."""
+    from condor_spark.engine.dedup_stream import StreamDecontaminate
+    from condor_spark.engine.text import contamination_scores
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (2, "one two three four"),
+         (1, "alpha beta gamma"), (3, "two three four five"),
+         (5, "nine ten eleven")],
+        "doc_id long, text string")
+    train = docs.filter("doc_id % 2 = 0")
+    ev = docs.filter("doc_id % 2 = 1")
+    job = StreamDecontaminate(sink_dir=str(tmp_path / "sink"), n=3,
+                              threshold=0.5)
+    job.prepare(spark, train)
+    job.process_batch(ev.filter("doc_id <= 1"), 0)
+    job.process_batch(ev.filter("doc_id > 1"), 1)
+    got = (job.read_scores(spark).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = (contamination_scores(ev, train, n=3, threshold=0.5).toPandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert got.equals(want)
+    # committed replay: no-op
+    job.process_batch(ev.filter("doc_id <= 1"), 0)
+    assert len(job.read_scores(spark).toPandas()) == len(want)
+    # crash-before-commit replay: identical output, no duplicates
+    led = job._read_ledger()
+    del led["committed"]["1"]
+    job._commit(led)
+    job.process_batch(ev.filter("doc_id > 1"), 1)
+    again = (job.read_scores(spark).toPandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    assert again.equals(want)
