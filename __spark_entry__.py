@@ -731,6 +731,22 @@ def q_stream_decontaminate(spark, sf_dir):
         "doc_id", "n_grams", "n_hits", "contamination_ratio", "contaminated")
 
 
+def q_mg_sql_hh(spark, sf_dir):
+    """Misra-Gries built by the pure-JVM SQL path (sqlbuild.build_mg_sql:
+    the exact-regime summary IS a partially-aggregated GROUP BY count
+    table, zero Python before blob assembly). Blob byte-parity with
+    build_batch is pytest-asserted, so this shares mg_heavy_hitters'
+    exact oracle."""
+    from condor_spark.engine.sqlbuild import build_mg_sql
+
+    df = _events(spark, sf_dir)
+    spec = SynopsisSpec(kind="mg", params=dict(capacity=1024),
+                        column="user_id", ts_column="ts", window=Tumbling(DAY))
+    return (ev.heavy_hitter_estimates(build_mg_sql(df, spec), min_count=5)
+            .select(F.col("window_start").cast(NTZ).alias("window_start"),
+                    "key", "est_count"))
+
+
 def q_mg_entropy(spark, sf_dir):
     """Per-window Shannon entropy (nats) of the user-activity distribution
     from the Misra-Gries count table — source-diversity monitoring (a
@@ -2294,8 +2310,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     no decrement fires, the summary IS the count table — with the
     undersized Agarwal-merge deficit bound asserted by
     tests/test_mg.py; the streamed twin's canonical sorted-key state is
-    byte-equal to batch, sharing the oracle; mg_entropy derives the
-    per-window key-distribution Shannon entropy from the same blob), pii_scrub (PII
+    byte-equal to batch, sharing the oracle; mg_sql_hh is the pure-JVM
+    GROUP-BY build twin, blob byte-parity pytest-asserted; mg_entropy
+    derives the per-window key-distribution Shannon entropy from the
+    same blob), pii_scrub (PII
     redaction as engine-portable JVM regexp chains with planted
     deterministic PII — map-only curation, exact md5 oracle), repetition_scores (Gopher-style within-document repetition signals —
     top-n-gram coverage + duplicated-n-gram fraction, one JVM explode +
@@ -2416,6 +2434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_heavy_hitters": q_mg_heavy_hitters,
         "mg_topk_tokens": q_mg_topk_tokens,
         "stream_mg_hh": q_stream_mg_hh,
+        "mg_sql_hh": q_mg_sql_hh,
         "mg_entropy": q_mg_entropy,
         "repetition_scores": q_repetition_scores,
         "decontaminate": q_decontaminate,
@@ -3545,6 +3564,9 @@ def oracle_sql() -> dict[str, str]:
     # streamed MG blobs are byte-identical to the batch build in the exact
     # regime (canonical sorted-key state), so the twin shares the oracle
     oracles["stream_mg_hh"] = oracles["mg_heavy_hitters"]
+    # the SQL build is blob byte-identical to build_batch (pytest), so the
+    # JVM-path twin shares the batch oracle
+    oracles["mg_sql_hh"] = oracles["mg_heavy_hitters"]
     oracles["mg_topk_tokens"] = f"""
         WITH t AS (SELECT lang, unnest({_TOKS}) AS token FROM documents),
              c AS (SELECT lang, token, count(*) cnt FROM t

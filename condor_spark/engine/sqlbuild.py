@@ -908,3 +908,87 @@ class StreamingSketchSQLJob:
         return (spark.read.parquet(out_dir)
                 .select("spec_id", "window_start", "window_end", "stratum",
                         "state", "n"))
+
+
+def build_mg_sql(df: DataFrame, spec: SynopsisSpec) -> DataFrame:
+    """Misra-Gries (exact regime) as a relational count table.
+
+    In the oversized-capacity regime — the only one whose state is
+    partition-order-independent (synopsis/mg.py) — the MG summary IS
+    "count(*) per (window, stratum, key)": a plain partially-aggregated
+    GROUP BY, zero Python before the O(windows)-row blob assembly, which
+    writes the kernel's canonical sorted-key state directly (blob bytes
+    identical to ``build_batch``, asserted in tests/test_sqlbuild.py).
+    A window whose distinct-key count exceeds ``capacity`` CANNOT be
+    represented this way (the kernel would have decremented); assembly
+    fails loudly rather than fabricating a trimmed state whose counter
+    values depend on an order the relational form does not have.
+
+    Sliding windows: per-slice counts explode into member windows and
+    sum — counter addition is exactly the kernel's no-trim merge.
+    """
+    from pyspark.sql import Window as _W  # noqa: F401  (parity w/ siblings)
+
+    from .builder import _normalize
+
+    if spec.kind != "mg":
+        raise ValueError(f"build_mg_sql needs kind='mg', not {spec.kind}")
+    win = spec.window or GlobalWindow()
+    if isinstance(win, GlobalWindow):
+        slice_us, size_us = None, 0
+    elif isinstance(win, (Tumbling, Sliding)):
+        slice_us, size_us = win.slice_us, win.size_us
+    else:
+        raise ValueError(f"unsupported window {win} for the SQL path")
+
+    proto = spec.make_synopsis()
+    cap = proto.capacity
+    int_key = _key_is_integer(df, spec.column)
+    work = _rescale_degenerate(_normalize(df, spec, slice_us))
+    per_slice = (work.groupBy("__slice", "__st", "__v")
+                 .agg(F.count(F.lit(1)).alias("__c")))
+
+    if isinstance(win, Sliding):
+        slide, size, sl = win.slide_us, win.size_us, win.slice_us
+        first_w = (-F.floor((F.lit(size) - F.lit(sl) - F.col("__slice"))
+                            / F.lit(slide)) * F.lit(slide)).cast("long")
+        last_w = (F.floor(F.col("__slice") / F.lit(slide))
+                  * F.lit(slide)).cast("long")
+        wins = F.when(first_w <= last_w,
+                      F.sequence(first_w, last_w, F.lit(slide).cast("long"))
+                      ).otherwise(F.array().cast("array<long>"))
+        counts = (per_slice.withColumn("__w", F.explode(wins))
+                  .groupBy("__w", "__st", "__v")
+                  .agg(F.sum("__c").alias("__c")))
+    else:
+        counts = per_slice.withColumnRenamed("__slice", "__w")
+
+    def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        spec.ensure_registered()
+        if len(pdf) > cap:
+            raise ValueError(
+                f"build_mg_sql: window {key} has {len(pdf)} distinct keys > "
+                f"capacity {cap} — the relational form only exists in the "
+                "exact regime; raise capacity or use build_batch")
+        syn = spec.make_synopsis()
+        if int_key:
+            keys = pdf["__v"].to_numpy().astype(np.int64)
+        else:
+            keys = pdf["__v"].to_numpy().astype(str)
+        order = np.argsort(keys, kind="stable")
+        syn.keys = keys[order]
+        syn.cnts = pdf["__c"].to_numpy().astype(np.int64)[order]
+        syn.deficit = 0
+        syn.n_processed = int(syn.cnts.sum())
+        w = int(key[0])
+        return pd.DataFrame({
+            "window_start": [pd.Timestamp(w, unit="us")],
+            "window_end": [pd.Timestamp(w + size_us, unit="us") if size_us
+                           else pd.Timestamp(w, unit="us")],
+            "stratum": [key[1]],
+            "state": [syn.to_bytes()],
+            "n": [syn.n_processed],
+        })
+
+    return counts.groupBy("__w", "__st").applyInPandas(
+        assemble, schema=_FINAL_SCHEMA)

@@ -519,3 +519,39 @@ def test_kmv_sql_rejects_string_key(spark):
                         window=Tumbling("1 day"))
     with pytest.raises(ValueError, match="integer key"):
         build_kmv_sql(df, spec)
+
+
+@pytest.mark.parametrize("window,stratify", [
+    (Tumbling("1 day"), None),
+    (Tumbling("1 day"), "event_type"),
+    (Sliding("1 day", "6 hours"), None),
+    (GlobalWindow(), None),
+])
+def test_mg_sql_byte_parity(spark, window, stratify):
+    """Exact-regime MG state IS the per-key count table — assembling it
+    from the relational GROUP BY must reproduce build_batch blob bytes."""
+    from condor_spark.engine.sqlbuild import build_mg_sql
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    spec = SynopsisSpec(kind="mg", params=dict(capacity=2048),
+                        column="user_id",
+                        ts_column=None if isinstance(window, GlobalWindow)
+                        else "ts",
+                        window=window, stratify_by=stratify)
+    assert _blob_map(build_batch(df, spec)) == _blob_map(build_mg_sql(df, spec))
+
+
+def test_mg_sql_string_keys_and_overflow(spark):
+    """String keys assemble to the kernel's U-dtype canonical state; a
+    window over capacity fails loudly (the relational form only exists in
+    the exact regime)."""
+    from condor_spark.engine.sqlbuild import build_mg_sql
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    spec = SynopsisSpec(kind="mg", params=dict(capacity=64),
+                        column="event_type", ts_column="ts",
+                        window=Tumbling("1 day"))
+    assert _blob_map(build_batch(df, spec)) == _blob_map(build_mg_sql(df, spec))
+    tiny = SynopsisSpec(kind="mg", params=dict(capacity=8),
+                        column="user_id", ts_column="ts",
+                        window=Tumbling("1 day"))
+    with pytest.raises(Exception, match="distinct keys > capacity"):
+        build_mg_sql(df, tiny).collect()
