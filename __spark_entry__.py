@@ -1991,6 +1991,39 @@ def q_stream_query_latest(spark, sf_dir):
                       "key", "est_count")
 
 
+def q_stream_mg_querylatest(spark, sf_dir):
+    """Continuous heavy-hitter query stream: the Misra-Gries snapshot is
+    maintained by the exactly-once sink; a 3-batch stream of user-key
+    queries is answered per micro-batch against the newest committed
+    window (broadcast blob, vectorized lower-bound estimates via
+    MisraGries.query). Exact at this capacity, so it shares
+    stream_query_latest's oracle — the same answers the CM stream gives,
+    from an O(capacity) summary instead of a width*height grid."""
+    from condor_spark import fixtures
+    from condor_spark.engine.streaming import (QueryLatestStream,
+                                               StreamingSynopsisJob)
+
+    df = _events(spark, sf_dir)
+    tmp = _fresh_tmp("mgqls", sf_dir)
+    fixtures.replay_in_order(spark, df, f"{tmp}/src", n_chunks=5)
+    spec = SynopsisSpec(kind="mg", params=dict(capacity=1024),
+                        column="user_id", ts_column="ts", window=Tumbling(DAY))
+    job = StreamingSynopsisJob(spec, sink_dir=f"{tmp}/sink",
+                               watermark_delay="1 hour")
+    _await(job.start(spark, f"{tmp}/src", f"{tmp}/ckpt"))
+
+    keys = _user_keys(df)
+    qdf = spark.createDataFrame([(b, k) for b in range(3) for k in keys],
+                                "q_batch long, key long")
+    fixtures.replay_in_order(spark, qdf, f"{tmp}/qsrc", n_chunks=3,
+                             ts_col="q_batch")
+    ql = QueryLatestStream(job, out_dir=f"{tmp}/answers", key_column="key")
+    _await(ql.start(spark, f"{tmp}/qsrc", f"{tmp}/qckpt"))
+
+    return ql.read_answers(spark).select(
+        F.col("batch").cast("long").alias("q_batch"), "key", "est_count")
+
+
 def q_stream_compacted(spark, sf_dir):
     """Snapshot compaction end-to-end: maintain the exactly-once manifest
     sink over the full replay, bin-pack the live manifest into ONE file
@@ -2435,6 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_topk_tokens": q_mg_topk_tokens,
         "stream_mg_hh": q_stream_mg_hh,
         "mg_sql_hh": q_mg_sql_hh,
+        "stream_mg_querylatest": q_stream_mg_querylatest,
         "mg_entropy": q_mg_entropy,
         "repetition_scores": q_repetition_scores,
         "decontaminate": q_decontaminate,
@@ -3723,6 +3757,8 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(c.cnt, 0) AS est_count
             FROM b CROSS JOIN u LEFT JOIN c USING (user_id)
         """
+    # MG at this capacity is exact like CM at this width: same answers
+    oracles["stream_mg_querylatest"] = oracles["stream_query_latest"]
     oracles["bucketed_join"] = """
             SELECT user_id, user_id % 5 AS segment, count(*) AS n_events,
                    ROUND(sum(value), 6) AS sum_value

@@ -145,6 +145,24 @@ class MisraGries(Synopsis):
             return int(self.cnts[i])
         return 0
 
+    def query(self, values) -> np.ndarray:
+        """Vectorized lower-bound frequency estimates for a key batch
+        (0 for trimmed-out / never-seen keys) — the batch form of
+        ``estimate`` the query-stream evaluator calls."""
+        arr = np.asarray(values)
+        if arr.dtype.kind in "iu":
+            arr = arr.astype(np.int64, copy=False)
+        elif arr.dtype.kind == "f":
+            arr = arr.astype(np.int64)
+        else:
+            arr = arr.astype(str)
+        if self.keys.shape[0] == 0 or arr.shape[0] == 0:
+            return np.zeros(arr.shape[0], dtype=np.int64)
+        idx = np.clip(np.searchsorted(self.keys, arr), 0,
+                      self.keys.shape[0] - 1)
+        return np.where(self.keys[idx] == arr, self.cnts[idx],
+                        0).astype(np.int64)
+
     def threshold(self) -> float:
         """Every key with true frequency > n/(capacity+1) is present."""
         return self.n_processed / (self.capacity + 1)

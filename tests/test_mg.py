@@ -140,3 +140,18 @@ def test_empty_and_single():
     assert syn.estimate(42) == 1
     k, c = syn.heavy_hitters(min_count=1)
     assert list(k) == [42] and list(c) == [1]
+
+
+def test_query_batch_matches_estimate():
+    rng = np.random.default_rng(23)
+    vals = _zipf_batch(rng, 5000)
+    syn = make("mg", capacity=16)
+    syn.update_batch(vals)
+    probe = np.concatenate([vals[:50], np.asarray([10**9, -5], dtype=np.int64)])
+    got = syn.query(probe)
+    assert got.tolist() == [syn.estimate(int(k)) for k in probe]
+    # string-key summaries answer string batches
+    s = make("mg", capacity=8)
+    s.update_batch(np.asarray(["a", "b", "a"], dtype=object))
+    assert s.query(np.asarray(["a", "zz"], dtype=object)).tolist() == [2, 0]
+    assert s.query(np.asarray([], dtype=object)).tolist() == []
