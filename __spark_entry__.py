@@ -695,7 +695,7 @@ def q_decontaminate(spark, sf_dir):
     doc scored by the fraction of its distinct 5-grams present anywhere in
     the train corpus, flagged at ratio >= 0.2. n=5 on the fixture (the API
     default is 13) so the planted cross-corpus duplicates actually share
-    grams; one left-semi hash join on the gram key, no all-pairs."""
+    grams; one hit-marking hash join on the gram key, no all-pairs."""
     docs = _docs(spark, sf_dir)
     out = text.contamination_scores(
         docs.filter(F.col("doc_id") % 2 == 1),

@@ -52,36 +52,16 @@ PAIR_SCHEMA = ("id_a string, id_b string, n_match long, jaccard double, "
                "batch_id long")
 
 
-@dataclass
-class StreamDecontaminate:
-    """Decontamination-on-INGEST: score each arriving micro-batch of
-    documents against a STATIC train-corpus n-gram set
-    (``text.contamination_scores`` semantics) and append the per-doc
-    verdicts through the same atomic-ledger exactly-once discipline as
-    ``StreamFpDedup``. Because a document's score depends only on the
-    document and the static gram set, the union of per-batch outputs is
-    EXACTLY the batch run over the same rows — the driver query
-    ``stream_decontaminate`` shares the batch oracle.
-
-    ``prepare(spark, train_df)`` materializes the distinct gram set once
-    (the expensive side — at warehouse scale a bucketed table); every
-    batch then pays one left-semi join against it, never a rescan of the
-    train corpus.
-    """
-
-    sink_dir: str
-    n: int = 13
-    threshold: float = 0.5
-    id_col: str = "doc_id"
-    text_col: str = "text"
+class _AtomicLedger:
+    """Shared atomic-ledger discipline (one copy — StreamFpDedup and
+    StreamDecontaminate both commit through it): deterministic per-batch
+    output paths + a single ``os.replace`` commit point, so a replayed
+    committed batch is a no-op and a crash before commit replays to
+    identical output."""
 
     @property
     def _ledger_path(self) -> str:
         return os.path.join(self.sink_dir, "ledger.json")
-
-    @property
-    def _grams_path(self) -> str:
-        return os.path.join(self.sink_dir, "train_grams.parquet")
 
     def _read_ledger(self) -> dict:
         if os.path.exists(self._ledger_path):
@@ -94,6 +74,34 @@ class StreamDecontaminate:
         with open(tmp, "w") as f:
             json.dump(ledger, f)
         os.replace(tmp, self._ledger_path)
+
+
+@dataclass
+class StreamDecontaminate(_AtomicLedger):
+    """Decontamination-on-INGEST: score each arriving micro-batch of
+    documents against a STATIC train-corpus n-gram set
+    (``text.contamination_scores`` semantics) and append the per-doc
+    verdicts through the same atomic-ledger exactly-once discipline as
+    ``StreamFpDedup``. Because a document's score depends only on the
+    document and the static gram set, the union of per-batch outputs is
+    EXACTLY the batch run over the same rows — the driver query
+    ``stream_decontaminate`` shares the batch oracle.
+
+    ``prepare(spark, train_df)`` materializes the distinct gram set once
+    (the expensive side — at warehouse scale a bucketed table); every
+    batch then pays one hit-marking hash join against it, never a rescan
+    of the train corpus.
+    """
+
+    sink_dir: str
+    n: int = 13
+    threshold: float = 0.5
+    id_col: str = "doc_id"
+    text_col: str = "text"
+
+    @property
+    def _grams_path(self) -> str:
+        return os.path.join(self.sink_dir, "train_grams.parquet")
 
     def prepare(self, spark: SparkSession, train_df: DataFrame) -> None:
         from .text import train_gram_set
@@ -144,30 +152,13 @@ class StreamDecontaminate:
 
 
 @dataclass
-class StreamFpDedup:
+class StreamFpDedup(_AtomicLedger):
     sink_dir: str
     fingerprint_fn: Callable[[DataFrame], DataFrame]
     min_matches: int = 3
     max_df: int | None = 64
     min_jaccard: float | None = None
     id_col: str = "clip_id"
-
-    # ---------------- ledger (atomic commit point) ------------------------
-    @property
-    def _ledger_path(self) -> str:
-        return os.path.join(self.sink_dir, "ledger.json")
-
-    def _read_ledger(self) -> dict:
-        if os.path.exists(self._ledger_path):
-            with open(self._ledger_path) as f:
-                return json.load(f)
-        return {"committed": {}}
-
-    def _commit(self, ledger: dict) -> None:
-        tmp = self._ledger_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(ledger, f)
-        os.replace(tmp, self._ledger_path)
 
     # ---------------- per-batch body --------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:

@@ -400,6 +400,21 @@ def _assemble_sketches(specs, offsets, bounds, pdf: pd.DataFrame):
         yield i, syn.to_bytes(), syn.n_processed
 
 
+def _member_windows(win):
+    """Window starts containing each slice (relational slice->windows
+    expansion, shared by every sliding SQL builder): for slice start s,
+    the member windows are the arithmetic sequence from the first window
+    whose span covers s to the last window starting at or before s."""
+    slide, size, sl = win.slide_us, win.size_us, win.slice_us
+    first_w = (-F.floor((F.lit(size) - F.lit(sl) - F.col("__slice"))
+                        / F.lit(slide)) * F.lit(slide)).cast("long")
+    last_w = (F.floor(F.col("__slice") / F.lit(slide))
+              * F.lit(slide)).cast("long")
+    return F.when(first_w <= last_w,
+                  F.sequence(first_w, last_w, F.lit(slide).cast("long"))
+                  ).otherwise(F.array().cast("array<long>"))
+
+
 def _build_sql(df: DataFrame, specs: list[SynopsisSpec]) -> DataFrame:
     win = specs[0].window or GlobalWindow()
     for spec in specs:
@@ -450,12 +465,7 @@ def _build_sql(df: DataFrame, specs: list[SynopsisSpec]) -> DataFrame:
     if isinstance(win, Sliding):
         slide, size, sl = win.slide_us, win.size_us, win.slice_us
         # identical window-expansion algebra to build_batch (builder.py:267-278)
-        first_w = (-F.floor((F.lit(size) - F.lit(sl) - F.col("__slice")) / F.lit(slide))
-                   * F.lit(slide)).cast("long")
-        last_w = (F.floor(F.col("__slice") / F.lit(slide)) * F.lit(slide)).cast("long")
-        wins = F.when(first_w <= last_w,
-                      F.sequence(first_w, last_w, F.lit(slide).cast("long"))
-                      ).otherwise(F.array().cast("array<long>"))
+        wins = _member_windows(win)
         agg = (agg.withColumn("__w", F.explode(wins))
                .groupBy("__w", *grp[1:], "cell")
                .agg(F.sum("m").alias("m")))
@@ -560,12 +570,7 @@ def build_bottomk_sql(df: DataFrame, spec: SynopsisSpec) -> DataFrame:
 
     if isinstance(win, Sliding):
         slide, size, sl = win.slide_us, win.size_us, win.slice_us
-        first_w = (-F.floor((F.lit(size) - F.lit(sl) - F.col("__slice")) / F.lit(slide))
-                   * F.lit(slide)).cast("long")
-        last_w = (F.floor(F.col("__slice") / F.lit(slide)) * F.lit(slide)).cast("long")
-        wins = F.when(first_w <= last_w,
-                      F.sequence(first_w, last_w, F.lit(slide).cast("long"))
-                      ).otherwise(F.array().cast("array<long>"))
+        wins = _member_windows(win)
         # slice-level top-k first (bounds the expansion), then re-rank per window
         top_s, cnt_s = topk_and_counts(work, ["__slice", "__st"])
         expanded = top_s.withColumn("__w", F.explode(wins))
@@ -663,12 +668,7 @@ def build_kmv_sql(df: DataFrame, spec: SynopsisSpec) -> DataFrame:
 
     if isinstance(win, Sliding):
         slide, size, sl = win.slide_us, win.size_us, win.slice_us
-        first_w = (-F.floor((F.lit(size) - F.lit(sl) - F.col("__slice")) / F.lit(slide))
-                   * F.lit(slide)).cast("long")
-        last_w = (F.floor(F.col("__slice") / F.lit(slide)) * F.lit(slide)).cast("long")
-        wins = F.when(first_w <= last_w,
-                      F.sequence(first_w, last_w, F.lit(slide).cast("long"))
-                      ).otherwise(F.array().cast("array<long>"))
+        wins = _member_windows(win)
         top_s, cnt_s = topk_and_counts(work, ["__slice", "__st"])
         expanded = (top_s.withColumn("__w", F.explode(wins))
                     .select("__w", "__st", "__h").distinct())
@@ -743,12 +743,7 @@ def build_fifo_sql(df: DataFrame, spec: SynopsisSpec) -> DataFrame:
 
     if isinstance(win, Sliding):
         slide, size, sl = win.slide_us, win.size_us, win.slice_us
-        first_w = (-F.floor((F.lit(size) - F.lit(sl) - F.col("__slice")) / F.lit(slide))
-                   * F.lit(slide)).cast("long")
-        last_w = (F.floor(F.col("__slice") / F.lit(slide)) * F.lit(slide)).cast("long")
-        wins = F.when(first_w <= last_w,
-                      F.sequence(first_w, last_w, F.lit(slide).cast("long"))
-                      ).otherwise(F.array().cast("array<long>"))
+        wins = _member_windows(win)
         top_s, cnt_s = topk_and_counts(work, ["__slice", "__st"])
         expanded = top_s.withColumn("__w", F.explode(wins))
         w2 = Window.partitionBy("__w", "__st").orderBy(*order)
@@ -927,8 +922,6 @@ def build_mg_sql(df: DataFrame, spec: SynopsisSpec) -> DataFrame:
     Sliding windows: per-slice counts explode into member windows and
     sum — counter addition is exactly the kernel's no-trim merge.
     """
-    from pyspark.sql import Window as _W  # noqa: F401  (parity w/ siblings)
-
     from .builder import _normalize
 
     if spec.kind != "mg":
@@ -943,20 +936,17 @@ def build_mg_sql(df: DataFrame, spec: SynopsisSpec) -> DataFrame:
 
     proto = spec.make_synopsis()
     cap = proto.capacity
-    int_key = _key_is_integer(df, spec.column)
+    int_key = _key_is_numeric(df, spec.column)
     work = _rescale_degenerate(_normalize(df, spec, slice_us))
+    if int_key and not _key_is_integer(df, spec.column):
+        # kernel rule (mg.py update_batch): Number -> intValue(), i.e.
+        # truncation toward zero — Spark's double->long cast matches
+        work = work.withColumn("__v", F.col("__v").cast("long"))
     per_slice = (work.groupBy("__slice", "__st", "__v")
                  .agg(F.count(F.lit(1)).alias("__c")))
 
     if isinstance(win, Sliding):
-        slide, size, sl = win.slide_us, win.size_us, win.slice_us
-        first_w = (-F.floor((F.lit(size) - F.lit(sl) - F.col("__slice"))
-                            / F.lit(slide)) * F.lit(slide)).cast("long")
-        last_w = (F.floor(F.col("__slice") / F.lit(slide))
-                  * F.lit(slide)).cast("long")
-        wins = F.when(first_w <= last_w,
-                      F.sequence(first_w, last_w, F.lit(slide).cast("long"))
-                      ).otherwise(F.array().cast("array<long>"))
+        wins = _member_windows(win)
         counts = (per_slice.withColumn("__w", F.explode(wins))
                   .groupBy("__w", "__st", "__v")
                   .agg(F.sum("__c").alias("__c")))

@@ -456,8 +456,10 @@ def contamination_scores(eval_df: DataFrame, train_df: DataFrame | None,
 
     Plan shape (holds with a 10^12-doc train side): distinct n-grams per
     side are flatMap + hash-aggregate (no shuffle of raw text); the only
-    join is eval-grams LEFT SEMI train-grams on the gram key — a standard
-    partial-aggregated hash join; per-doc counts key on the unique doc id.
+    join is eval-grams LEFT OUTER (hit-marking) train-grams on the gram
+    key — one standard hash join, after which a single doc-keyed groupBy
+    yields both the gram total and the hit count (one pass over the eval
+    corpus, not two).
     Rare long n-grams (the defaults) have no hot keys; for small n enable
     AQE skew handling. Documents shorter than n tokens have no grams and
     score 0.0 (never flagged).
@@ -470,17 +472,19 @@ def contamination_scores(eval_df: DataFrame, train_df: DataFrame | None,
     ge = _distinct_doc_grams(eval_df, id_col, text_col, n)
     gt = train_grams if train_grams is not None else train_gram_set(
         train_df, id_col, text_col, n)
-    tot = ge.groupBy(id_col).agg(
-        F.count("gram").alias("n_grams"))  # count(col) skips null gram rows
-    hits = (ge.join(gt, "gram", "left_semi")
-              .groupBy(id_col).agg(F.count("*").alias("n_hits")))
+    # ONE pass over the eval grams: the left join marks hits (gt is
+    # distinct, so it cannot duplicate rows; a null gram — the
+    # explode_outer row of a shorter-than-n doc — matches nothing and
+    # count(col) skips it), and a single groupBy yields both counts
+    joined = ge.join(gt.withColumn("__hit", F.lit(1)), "gram", "left")
+    out = joined.groupBy(id_col).agg(
+        F.count("gram").alias("n_grams"),
+        F.count("__hit").alias("n_hits"))
     ratio = F.round(F.col("n_hits")
                     / F.greatest(F.col("n_grams"), F.lit(1)).cast("double"), 6)
-    return (tot.join(hits, id_col, "left")
-               .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
-               .select(id_col, "n_grams", "n_hits",
-                       ratio.alias("contamination_ratio"),
-                       (ratio >= threshold).alias("contaminated")))
+    return out.select(id_col, "n_grams", "n_hits",
+                      ratio.alias("contamination_ratio"),
+                      (ratio >= threshold).alias("contaminated"))
 
 
 # --------------------------------------------------------------- SimHash

@@ -45,9 +45,6 @@ Modes:
                    append when --checkpoint is given, one-shot batch
                    otherwise. --kind/--column are not needed.
   --mode dedupstream  streaming near-dup dedup-on-ingest
-  --mode decontaminate  decontamination-on-ingest: score arriving docs
-                   against a once-materialized train-corpus n-gram set
-                   (params: train=<parquet>, n, threshold)
                    (engine/dedup_stream.py): each micro-batch's
                    fingerprints join the accumulating committed store;
                    pairs land under --sink/pairs, the fingerprint store
@@ -56,6 +53,14 @@ Modes:
                    "min_matches": N, "max_df": N|null, "min_jaccard": F,
                    "compact": true} — "compact" bin-packs the store after
                    the run. --kind/--column are not needed.
+  --mode decontaminate  decontamination-on-ingest (engine/dedup_stream.py
+                   StreamDecontaminate): score arriving docs against a
+                   once-materialized train-corpus n-gram set; verdicts
+                   land under --sink/scores (exactly-once ledger). The
+                   gram set is built on first run and reused on restarts
+                   (refresh with {"refresh_grams": true}). --params knobs:
+                   {"train": "<parquet>", "n": N, "threshold": F}.
+                   --kind/--column are not needed.
   --mode snapshots table maintenance on an existing stream sink: list the
                    committed snapshot history, export one (--as-of-version,
                    time travel), export the delta since a version
@@ -85,6 +90,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -275,7 +281,12 @@ def main(argv=None) -> None:
             threshold=float(knobs.get("threshold", 0.5)),
             id_col=knobs.get("id_col", "doc_id"),
             text_col=knobs.get("text_col", "text"))
-        job.prepare(spark, spark.read.parquet(train_path))
+        if (not os.path.isdir(job._grams_path)
+                or knobs.get("refresh_grams")):
+            # the once-materialized contract: a restart with the same
+            # --sink reuses the stored gram table instead of rescanning
+            # the train corpus
+            job.prepare(spark, spark.read.parquet(train_path))
         job.run(spark, args.input, args.checkpoint,
                 max_files_per_trigger=args.max_files_per_trigger)
         scores = job.read_scores(spark)

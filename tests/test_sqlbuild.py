@@ -540,6 +540,18 @@ def test_mg_sql_byte_parity(spark, window, stratify):
     assert _blob_map(build_batch(df, spec)) == _blob_map(build_mg_sql(df, spec))
 
 
+def test_mg_sql_float_keys_cast_like_kernel(spark):
+    """Float key columns follow the kernel's Number->intValue() rule
+    (truncation toward zero) on the SQL path too — blob byte parity, not
+    silent string-keyed divergence."""
+    from condor_spark.engine.sqlbuild import build_mg_sql
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    spec = SynopsisSpec(kind="mg", params=dict(capacity=2048),
+                        column="value", ts_column="ts",
+                        window=Tumbling("1 day"))
+    assert _blob_map(build_batch(df, spec)) == _blob_map(build_mg_sql(df, spec))
+
+
 def test_mg_sql_string_keys_and_overflow(spark):
     """String keys assemble to the kernel's U-dtype canonical state; a
     window over capacity fails loudly (the relational form only exists in
