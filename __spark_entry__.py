@@ -1310,6 +1310,27 @@ def q_audio_fp_exact(spark, sf_dir):
                              min_jaccard=0.6)
 
 
+def q_audio_fp_hh(spark, sf_dir):
+    """HOT-CONTENT detection on the audio payload: Misra-Gries heavy
+    hitters over the band-energy fingerprint stream — fingerprints shared
+    by >= 4 clips mark repeated content (jingles/ads/silence patterns) a
+    curation pipeline down-weights before the pair-level dedup even runs.
+    Same closed-form clips + integer-exact fingerprint chain as
+    audio_fp_exact; MG capacity 65536 >= distinct fingerprints, so the
+    summary is exact and the oracle is the fingerprint GROUP BY over the
+    same replayed lattice."""
+    from condor_spark import fixtures
+    from condor_spark.engine.audio import band_energy_fingerprints
+
+    clips = fixtures.audio_clips_exact(spark, 240, num_partitions=8,
+                                       param_mod=120, gate=True)
+    fps = band_energy_fingerprints(clips, frame=128, shingle=4)
+    spec = SynopsisSpec(kind="mg", params=dict(capacity=65536),
+                        column="fp", window=GlobalWindow())
+    return (ev.heavy_hitter_estimates(build_batch(fps, spec), min_count=4)
+            .select("key", "est_count"))
+
+
 def q_audio_fp_landmarks(spark, sf_dir):
     """Spectral-landmark audio fingerprints (Wang's Shazam constellation,
     ISMIR'03) over the all-codec RNG fixture — the ROBUST near-dup path:
@@ -2346,7 +2367,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     byte-equal to batch, sharing the oracle; mg_sql_hh is the pure-JVM
     GROUP-BY build twin, blob byte-parity pytest-asserted; mg_entropy
     derives the per-window key-distribution Shannon entropy from the
-    same blob), pii_scrub (PII
+    same blob; audio_fp_hh runs the summary over the audio fingerprint
+    stream — hot-content detection on the payload, exact over the
+    audio_fp_exact lattice), pii_scrub (PII
     redaction as engine-portable JVM regexp chains with planted
     deterministic PII — map-only curation, exact md5 oracle), repetition_scores (Gopher-style within-document repetition signals —
     top-n-gram coverage + duplicated-n-gram fraction, one JVM explode +
@@ -2422,6 +2445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # payload pipelines under the exact gate (audio + multimodal)
         "audio_rms_exact": q_audio_rms_exact,
         "audio_fp_exact": q_audio_fp_exact,
+        "audio_fp_hh": q_audio_fp_hh,
         "audio_prep_exact": q_audio_prep_exact,
         "media_features_exact": q_media_features_exact,
         # ---- slots 51+: exact-oracle twins of in-window siblings --------
@@ -4144,6 +4168,11 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT i, ((l*256 + l1)*256 + l2)*256 + l3 AS fp
                 FROM sh WHERE l3 IS NOT NULL
             )"""
+    oracles["audio_fp_hh"] = f"""
+            WITH {audio_fp_ctes}
+            SELECT CAST(fp AS VARCHAR) AS key, count(*) AS est_count
+            FROM fps0 GROUP BY fp HAVING count(*) >= 4
+        """
     oracles["audio_fp_exact"] = f"""
             WITH {audio_fp_ctes}, keep AS (
                 SELECT fp FROM fps0 GROUP BY fp HAVING count(*) <= 64
