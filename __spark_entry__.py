@@ -2445,7 +2445,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # payload pipelines under the exact gate (audio + multimodal)
         "audio_rms_exact": q_audio_rms_exact,
         "audio_fp_exact": q_audio_fp_exact,
-        "audio_fp_hh": q_audio_fp_hh,
         "audio_prep_exact": q_audio_prep_exact,
         "media_features_exact": q_media_features_exact,
         # ---- slots 51+: exact-oracle twins of in-window siblings --------
@@ -2492,6 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_topk_tokens": q_mg_topk_tokens,
         "stream_mg_hh": q_stream_mg_hh,
         "mg_sql_hh": q_mg_sql_hh,
+        "audio_fp_hh": q_audio_fp_hh,
         "stream_mg_querylatest": q_stream_mg_querylatest,
         "mg_entropy": q_mg_entropy,
         "repetition_scores": q_repetition_scores,
