@@ -110,6 +110,13 @@ class MisraGries(Synopsis):
         self.deficit += d
 
     def _absorb(self, keys: np.ndarray, cnts: np.ndarray) -> None:
+        if (self.keys.shape[0] and keys.shape[0]
+                and (self.keys.dtype.kind in "iu") != (keys.dtype.kind in "iu")):
+            # np.concatenate would silently promote int64+str to all-str,
+            # merging 5 and "5" into one key — fail loudly instead
+            raise TypeError(
+                "cannot mix integer and string keys in one MG summary "
+                f"(have {self.keys.dtype}, got {keys.dtype})")
         self.keys, self.cnts = _combine(self.keys, self.cnts, keys, cnts)
         self._trim()
 

@@ -155,3 +155,14 @@ def test_query_batch_matches_estimate():
     s.update_batch(np.asarray(["a", "b", "a"], dtype=object))
     assert s.query(np.asarray(["a", "zz"], dtype=object)).tolist() == [2, 0]
     assert s.query(np.asarray([], dtype=object)).tolist() == []
+
+
+def test_mixed_key_dtypes_fail_loudly():
+    a = make("mg", capacity=8)
+    a.update_batch(np.asarray([1, 2], dtype=np.int64))
+    with pytest.raises(TypeError, match="mix integer and string"):
+        a.update_batch(np.asarray(["x"], dtype=object))
+    b = make("mg", capacity=8)
+    b.update_batch(np.asarray(["x"], dtype=object))
+    with pytest.raises(TypeError, match="mix integer and string"):
+        a.merge(b)
