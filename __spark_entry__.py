@@ -747,6 +747,50 @@ def q_mg_sql_hh(spark, sf_dir):
                     "key", "est_count"))
 
 
+def q_decay_trending(spark, sf_dir):
+    """Trending (recency-weighted) heavy users per tumbling day from the
+    exponentially time-decayed counts synopsis (synopsis/decay.py — the
+    counting twin of the reference's BiasedReservoirSampler recency
+    bias): each event weighs 0.5^((window_max_ts - ts)/6h), so a key's
+    weight halves per 6 idle hours. Oversized capacity => no trim, and
+    both sides threshold on the 6-decimal-ROUNDED weight, where the
+    engine's ~1e-15 partial-rescale float noise cannot reach — the oracle
+    recomputes the direct decayed sum per key in SQL."""
+    df = _events(spark, sf_dir)
+    spec = SynopsisSpec(kind="decay",
+                        params=dict(half_life="6 hours", capacity=1024),
+                        column="user_id", ts_column="ts", window=Tumbling(DAY))
+    out = (ev.decayed_weights(build_batch(df, spec))
+           .select(F.col("window_start").cast(NTZ).alias("window_start"),
+                   "key", F.round("est_weight", 6).alias("est_weight")))
+    return out.filter(F.col("est_weight") >= 1.2)
+
+
+def q_stream_decay_trending(spark, sf_dir):
+    """Continuously-maintained trending state: the decayed-counts summary
+    merged across micro-batches through the exactly-once sink. Exponential
+    decay is merge-rescalable, so the streamed weights equal the batch
+    build to the same ~1e-15 float noise the 6-decimal rounding absorbs —
+    shares decay_trending's oracle."""
+    from condor_spark import fixtures
+    from condor_spark.engine.streaming import StreamingSynopsisJob
+
+    df = _events(spark, sf_dir)
+    tmp = _fresh_tmp("decaystream", sf_dir)
+    fixtures.replay_in_order(spark, df, f"{tmp}/src", n_chunks=5)
+    spec = SynopsisSpec(kind="decay",
+                        params=dict(half_life="6 hours", capacity=1024),
+                        column="user_id", ts_column="ts", window=Tumbling(DAY))
+    job = StreamingSynopsisJob(spec, sink_dir=f"{tmp}/sink",
+                               watermark_delay="40 days")
+    _await(job.start(spark, f"{tmp}/src", f"{tmp}/ckpt",
+                     max_files_per_trigger=1))
+    out = (ev.decayed_weights(job.read_state_df(spark))
+           .select(F.col("window_start").cast(NTZ).alias("window_start"),
+                   "key", F.round("est_weight", 6).alias("est_weight")))
+    return out.filter(F.col("est_weight") >= 1.2)
+
+
 def q_mg_entropy(spark, sf_dir):
     """Per-window Shannon entropy (nats) of the user-activity distribution
     from the Misra-Gries count table — source-diversity monitoring (a
@@ -2369,7 +2413,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     derives the per-window key-distribution Shannon entropy from the
     same blob; audio_fp_hh runs the summary over the audio fingerprint
     stream — hot-content detection on the payload, exact over the
-    audio_fp_exact lattice), pii_scrub (PII
+    audio_fp_exact lattice), and the decayed-counts family
+    (decay_trending / stream_decay_trending — recency-weighted heavy
+    hitters via merge-rescalable exponential decay, exact at 6-decimal
+    rounding with the threshold applied to the rounded value on both
+    sides), pii_scrub (PII
     redaction as engine-portable JVM regexp chains with planted
     deterministic PII — map-only curation, exact md5 oracle), repetition_scores (Gopher-style within-document repetition signals —
     top-n-gram coverage + duplicated-n-gram fraction, one JVM explode +
@@ -2494,6 +2542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fp_hh": q_audio_fp_hh,
         "stream_mg_querylatest": q_stream_mg_querylatest,
         "mg_entropy": q_mg_entropy,
+        "decay_trending": q_decay_trending,
+        "stream_decay_trending": q_stream_decay_trending,
         "repetition_scores": q_repetition_scores,
         "decontaminate": q_decontaminate,
         "stream_decontaminate": q_stream_decontaminate,
@@ -3635,6 +3685,21 @@ def oracle_sql() -> dict[str, str]:
                    FROM c)
         SELECT stratum, rank, key, est_count FROM r WHERE rank <= 20
     """
+    # decayed weights: direct SQL sum vs the engine's partial rescaling —
+    # ~1e-15 relative apart; both sides round to 6 and threshold on the
+    # rounded value, so the cut is identical
+    oracles["decay_trending"] = """
+        WITH w AS (SELECT time_bucket(INTERVAL '1 day', ts) ws, user_id,
+                          epoch_us(ts) tus FROM events),
+             m AS (SELECT ws, max(tus) tr FROM w GROUP BY ws),
+             c AS (SELECT w.ws, user_id,
+                          sum(pow(0.5, (m.tr - w.tus) / 21600000000.0)) AS wt
+                   FROM w JOIN m USING (ws) GROUP BY w.ws, user_id)
+        SELECT ws AS window_start, CAST(user_id AS VARCHAR) AS key,
+               ROUND(wt, 6) AS est_weight
+        FROM c WHERE ROUND(wt, 6) >= 1.2
+    """
+    oracles["stream_decay_trending"] = oracles["decay_trending"]
     # entropy from exact counts; sum order differs between engines but the
     # summands are O(100) doubles, so the noise (~1e-15 rel) sits ~9 orders
     # of magnitude below the 6-decimal rounding grid

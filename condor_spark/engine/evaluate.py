@@ -170,6 +170,23 @@ def topk_estimates(syn_df: DataFrame, k: int) -> DataFrame:
         "rank long, key string, est_count long")
 
 
+def decayed_weights(syn_df: DataFrame) -> DataFrame:
+    """Per-key exponentially time-decayed weights as of each window's
+    newest event (synopsis/decay.py) — the trending query: a key's weight
+    halves per half_life of inactivity. Emits every surviving counter,
+    (-weight, key) ordered; callers threshold on the ROUNDED weight so
+    the engine and its SQL oracle agree at the cut."""
+    def fn(syn, row):
+        keys, wts = syn.topk(len(syn.keys))
+        return pd.DataFrame({"key": [str(k) for k in keys],
+                             "est_weight": wts.astype("float64")})
+
+    return apply_per_window(
+        syn_df, fn,
+        "window_start timestamp, window_end timestamp, stratum string, "
+        "key string, est_weight double")
+
+
 def entropy_estimates(syn_df: DataFrame) -> DataFrame:
     """Shannon entropy (nats) of the per-window key distribution, computed
     from the Misra-Gries count table — the diversity/skew monitor a

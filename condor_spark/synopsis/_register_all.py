@@ -1,3 +1,3 @@
 """Import every kernel module so @register populates the registry."""
 
-from . import ams, bloom, countmin, cuckoo, ddsketch, histograms, hll, kmv, mg, reservoir, wavelet  # noqa: F401
+from . import ams, bloom, countmin, cuckoo, ddsketch, decay, histograms, hll, kmv, mg, reservoir, wavelet  # noqa: F401
