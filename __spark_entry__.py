@@ -791,6 +791,40 @@ def q_stream_decay_trending(spark, sf_dir):
     return out.filter(F.col("est_weight") >= 1.2)
 
 
+def q_stream_decay_querylatest(spark, sf_dir):
+    """Continuous "how hot is this key NOW" stream: the decayed-counts
+    snapshot is maintained by the exactly-once sink and a 3-batch key
+    stream is answered per micro-batch against the newest committed
+    window (float-valued QueryLatestStream branch — the generic integer
+    fallback would truncate weights). Oracle: the direct decayed sum for
+    the newest window per key, 6-decimal-rounded on both sides."""
+    from condor_spark import fixtures
+    from condor_spark.engine.streaming import (QueryLatestStream,
+                                               StreamingSynopsisJob)
+
+    df = _events(spark, sf_dir)
+    tmp = _fresh_tmp("decayqls", sf_dir)
+    fixtures.replay_in_order(spark, df, f"{tmp}/src", n_chunks=5)
+    spec = SynopsisSpec(kind="decay",
+                        params=dict(half_life="6 hours", capacity=1024),
+                        column="user_id", ts_column="ts", window=Tumbling(DAY))
+    job = StreamingSynopsisJob(spec, sink_dir=f"{tmp}/sink",
+                               watermark_delay="1 hour")
+    _await(job.start(spark, f"{tmp}/src", f"{tmp}/ckpt"))
+
+    keys = _user_keys(df)
+    qdf = spark.createDataFrame([(b, k) for b in range(3) for k in keys],
+                                "q_batch long, key long")
+    fixtures.replay_in_order(spark, qdf, f"{tmp}/qsrc", n_chunks=3,
+                             ts_col="q_batch")
+    ql = QueryLatestStream(job, out_dir=f"{tmp}/answers", key_column="key")
+    _await(ql.start(spark, f"{tmp}/qsrc", f"{tmp}/qckpt"))
+
+    return ql.read_answers(spark).select(
+        F.col("batch").cast("long").alias("q_batch"), "key",
+        F.round("est_value", 6).alias("est_weight"))
+
+
 def q_mg_entropy(spark, sf_dir):
     """Per-window Shannon entropy (nats) of the user-activity distribution
     from the Misra-Gries count table — source-diversity monitoring (a
@@ -2417,7 +2451,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (decay_trending / stream_decay_trending — recency-weighted heavy
     hitters via merge-rescalable exponential decay, exact at 6-decimal
     rounding with the threshold applied to the rounded value on both
-    sides), pii_scrub (PII
+    sides, plus stream_decay_querylatest — a continuous per-key
+    query stream against the newest committed window), pii_scrub (PII
     redaction as engine-portable JVM regexp chains with planted
     deterministic PII — map-only curation, exact md5 oracle), repetition_scores (Gopher-style within-document repetition signals —
     top-n-gram coverage + duplicated-n-gram fraction, one JVM explode +
@@ -2544,6 +2579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_entropy": q_mg_entropy,
         "decay_trending": q_decay_trending,
         "stream_decay_trending": q_stream_decay_trending,
+        "stream_decay_querylatest": q_stream_decay_querylatest,
         "repetition_scores": q_repetition_scores,
         "decontaminate": q_decontaminate,
         "stream_decontaminate": q_stream_decontaminate,
@@ -3700,6 +3736,21 @@ def oracle_sql() -> dict[str, str]:
         FROM c WHERE ROUND(wt, 6) >= 1.2
     """
     oracles["stream_decay_trending"] = oracles["decay_trending"]
+    oracles["stream_decay_querylatest"] = """
+        WITH last AS (SELECT max(time_bucket(INTERVAL '1 day', ts)) ws
+                      FROM events),
+             w AS (SELECT user_id, epoch_us(ts) tus FROM events, last
+                   WHERE time_bucket(INTERVAL '1 day', ts) = last.ws),
+             m AS (SELECT max(tus) tr FROM w),
+             c AS (SELECT user_id,
+                          sum(pow(0.5, (m.tr - w.tus) / 21600000000.0)) wt
+                   FROM w, m GROUP BY user_id, m.tr),
+             u AS (SELECT DISTINCT user_id FROM events),
+             b AS (SELECT i AS q_batch FROM range(0, 3) t(i))
+        SELECT b.q_batch, CAST(u.user_id AS VARCHAR) AS key,
+               ROUND(COALESCE(c.wt, 0), 6) AS est_weight
+        FROM b CROSS JOIN u LEFT JOIN c USING (user_id)
+    """
     # entropy from exact counts; sum order differs between engines but the
     # summands are O(100) doubles, so the noise (~1e-15 rel) sits ~9 orders
     # of magnitude below the 6-decimal rounding grid

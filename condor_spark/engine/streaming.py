@@ -631,7 +631,8 @@ class QueryLatestStream:
 
         est_col, est_type = (("est_value", "double")
                              if self.job.spec.kind in
-                             ("ddsketch", "equiwidth", "equiwidth4lt")
+                             ("ddsketch", "equiwidth", "equiwidth4lt",
+                              "decay")
                              else ("est_count", "long"))
         if not latest:
             # no synopsis yet: park this batch (idempotent per batch id)
@@ -766,6 +767,23 @@ class QueryLatestStream:
 
             ans = work.mapInPandas(
                 answer_r,
+                schema="key string, est_value double, snapshot_version int")
+        elif kind == "decay":
+            # decayed weights are float-valued: the generic integer
+            # fallback would truncate, so answer through est_value
+            def answer_w(batches):
+                syn = Synopsis.from_bytes(blob)  # decode once per partition
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    est = syn.query(pdf[key_col])
+                    yield pd.DataFrame({
+                        "key": pdf[key_col].astype(str),
+                        "est_value": pd.Series(est).astype("float64"),
+                        "snapshot_version": version})
+
+            ans = work.mapInPandas(
+                answer_w,
                 schema="key string, est_value double, snapshot_version int")
         elif kind == "ddsketch":
             def answer_q(batches):
