@@ -98,6 +98,11 @@ class StreamDecontaminate(_AtomicLedger):
     threshold: float = 0.5
     id_col: str = "doc_id"
     text_col: str = "text"
+    #: Spark DDL type of ``id_col`` — contamination_scores preserves the
+    #: input id type, so the empty-ledger schema must match it (string doc
+    #: ids would otherwise diverge from the non-empty case). prepare()
+    #: auto-detects it from the train corpus.
+    id_type: str = "long"
 
     @property
     def _grams_path(self) -> str:
@@ -107,6 +112,8 @@ class StreamDecontaminate(_AtomicLedger):
         from .text import train_gram_set
 
         os.makedirs(self.sink_dir, exist_ok=True)
+        if self.id_col in train_df.columns:
+            self.id_type = train_df.schema[self.id_col].dataType.simpleString()
         (train_gram_set(train_df, self.id_col, self.text_col, self.n)
          .write.mode("overwrite").parquet(self._grams_path))
 
@@ -146,8 +153,9 @@ class StreamDecontaminate(_AtomicLedger):
         paths = [e["scores"] for e in led["committed"].values()]
         if not paths:
             return spark.createDataFrame(
-                [], f"{self.id_col} long, n_grams long, n_hits long, "
-                    "contamination_ratio double, contaminated boolean")
+                [], f"{self.id_col} {self.id_type}, n_grams long, "
+                    "n_hits long, contamination_ratio double, "
+                    "contaminated boolean")
         return spark.read.parquet(*paths)
 
 

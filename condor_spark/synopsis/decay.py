@@ -71,7 +71,9 @@ class DecayedCounts(Synopsis):
         self.n_processed = 0
 
     def _state(self) -> dict:
-        return {"keys": self.keys, "wts": self.wts, "t_ref": self.t_ref,
+        # t_ref as a plain int so to_bytes() is canonical: np.int64 pickles
+        # differently before vs after a round-trip (dtype-object memoization).
+        return {"keys": self.keys, "wts": self.wts, "t_ref": int(self.t_ref),
                 "deficit": self.deficit, "n_processed": self.n_processed}
 
     def _load_state(self, state: dict) -> None:
@@ -112,7 +114,12 @@ class DecayedCounts(Synopsis):
         tarr = np.asarray(ts).astype(np.int64)
         t_new = tarr.max()
         self._decay_to(t_new)
-        w = 0.5 ** ((t_new - tarr).astype(np.float64) / self.hl_us)
+        # Reference weights to the summary's (already-advanced) t_ref, not
+        # the batch-local max: successive update_batch calls need not arrive
+        # ts-ascending (builder partials absorb Arrow batches in partition
+        # order), and an older batch (t_new < t_ref) must enter pre-decayed
+        # by 2^((t_ref-t_new)/hl) to keep partition-order invariance.
+        w = 0.5 ** ((float(self.t_ref) - tarr.astype(np.float64)) / self.hl_us)
         u, inv = np.unique(arr, return_inverse=True)
         wsum = np.bincount(inv, weights=w)
         if (self.keys.shape[0] and

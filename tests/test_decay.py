@@ -94,3 +94,46 @@ def test_requires_ts_and_guards():
                      ts=np.asarray([0], dtype=np.int64))
     with pytest.raises(ValueError):
         syn.merge(other)
+
+
+def test_out_of_order_update_batches_match_merge():
+    """ADVICE r3 (high): a later update_batch carrying an OLDER batch-max
+    timestamp must enter pre-decayed to the summary's t_ref — batches are
+    not guaranteed ts-ascending (builder partials absorb Arrow batches in
+    partition order). Regression: update([1]@1h) then update([2]@0) must
+    equal the merge path and the direct sum (estimate(2) == 0.5)."""
+    a = make("decay", half_life="1 hour", capacity=16)
+    a.update_batch(np.asarray([1], dtype=np.int64),
+                   ts=np.asarray([HOUR], dtype=np.int64))
+    a.update_batch(np.asarray([2], dtype=np.int64),
+                   ts=np.asarray([0], dtype=np.int64))
+    assert a.t_ref == HOUR
+    assert a.estimate(1) == pytest.approx(1.0)
+    assert a.estimate(2) == pytest.approx(0.5)
+
+    # full shuffle: many batches in decreasing/random time order must match
+    # the single-pass direct sum
+    rng = np.random.default_rng(23)
+    keys = rng.integers(0, 60, size=4000).astype(np.int64)
+    ts = rng.integers(0, 24 * HOUR, size=4000).astype(np.int64)
+    tr, truth = _direct(keys, ts, HOUR)
+    order = np.argsort(-ts, kind="stable")  # strictly time-DESCENDING
+    syn = make("decay", half_life="1 hour", capacity=256)
+    for kp, tp in zip(np.array_split(keys[order], 7),
+                      np.array_split(ts[order], 7)):
+        syn.update_batch(kp, ts=tp)
+    assert syn.t_ref == tr
+    for k, w in truth.items():
+        assert syn.estimate(int(k)) == pytest.approx(w, rel=1e-12)
+
+
+def test_serde_canonical_bytes():
+    """ADVICE r3 (low): to_bytes() must be identical before and after a
+    from_bytes round-trip (t_ref stored as plain int, not np.int64)."""
+    syn = make("decay", half_life="1 hour", capacity=16)
+    syn.update_batch(np.asarray([1, 2, 2], dtype=np.int64),
+                     ts=np.asarray([0, HOUR, 2 * HOUR], dtype=np.int64))
+    b1 = syn.to_bytes()
+    syn2 = type(syn).from_bytes(b1)
+    assert syn2.to_bytes() == b1
+    assert syn2.estimate(2) == pytest.approx(syn.estimate(2))

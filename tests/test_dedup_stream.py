@@ -194,3 +194,23 @@ def test_stream_decontaminate_equals_batch_and_replays(spark, tmp_path):
     again = (job.read_scores(spark).toPandas()
              .sort_values("doc_id").reset_index(drop=True))
     assert again.equals(want)
+
+def test_stream_decontaminate_empty_ledger_schema_matches(spark, tmp_path):
+    """ADVICE r3 (low): with string doc ids, the empty-ledger read_scores
+    schema must match the non-empty one (id type auto-detected at
+    prepare(), not hardcoded long)."""
+    from condor_spark.engine.dedup_stream import StreamDecontaminate
+    docs = spark.createDataFrame(
+        [("a", "alpha beta gamma delta"), ("b", "one two three four")],
+        "doc_id string, text string")
+    job = StreamDecontaminate(sink_dir=str(tmp_path / "sink"), n=3,
+                              threshold=0.5)
+    job.prepare(spark, docs.filter("doc_id = 'a'"))
+    empty = job.read_scores(spark)
+    assert empty.count() == 0
+    job.process_batch(docs.filter("doc_id = 'b'"), 0)
+    full = job.read_scores(spark)
+    assert [f.simpleString() for f in empty.schema.fields] == \
+           [f.simpleString() for f in full.schema.fields]
+    # unionByName across the two regimes must not throw
+    assert empty.unionByName(full).count() == full.count()
