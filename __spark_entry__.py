@@ -2365,112 +2365,92 @@ def q_dedup_clusters(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract registry.
 
-    ORDER MATTERS: the driver verifies the FIRST 50 entries per round, so
-    the window is spent entirely on exact-oracle queries covering every
-    SURVEY §2 component (r2 ran slots 1-50 and left 9 exact-oracle queries
-    unverified). Entries past slot 50 are ALSO exact-oracle twins of an
-    in-window sibling — same oracle AND same engine path (SQL-build /
-    stream-sink variants whose pipeline is already evidenced in-window by
-    cm_sql_frequency and stream_sketch_sql; hist4lt_sql_ranges = the same
-    oracle as the in-window hist4lt_ranges over that same SQL-build path;
-    query_timestamped_stratified = query_timestamped's evaluate path +
-    query_latest_stratified's stratum key; cep_sequence_first / cep_chain3
-    = cep_sequence's NFA with match_mode='first' / a longer stage chain;
-    sliding_inversion_stratified = sliding_inversion's eviction + the
-    stratified key already in-window via stratified_hist;
-    wavelet_stratified = wavelet_range_sums' ordered build + unify over
-    that same stratified key (and the unstratified unify IS the
-    stratified path with one constant stratum, so the in-window
-    wavelet_range_sums already exercises it);
-    stream_count_windows = count_windows' assembly over the stateful
-    stream path in-window via stream_stateful_frequency;
-    stream_cep_absence = cep_absence's oracle over the timer-driven
-    applyInPandasWithState path in-window via stream_cep_sequence;
-    bottomk_sample = fifo_latest's rank-pushdown WindowGroupLimit shape
-    under a hash ordering instead of ts; token_counts / fingerprints =
-    the same pure-JVM expression pipeline over documents as the in-window
-    quality_scores / lang_id — those three were displaced in r3 to put
-    the payload pipelines, audio_rms_exact + media_features_exact, and
-    the strict-contiguity cep_adjacent under the driver's own gate;
-    simhash_pairs = the fourth member of the near-dup family whose other
-    three — minhash_pairs, ngram_jaccard, dedup_cosine — stayed in-window,
-    displaced late-r3 for audio_fp_exact so the audio payload's OWN dedup
-    pipeline sits under the driver's gate; ngram_jaccard = the explicitly
-    small-table all-pairs oracle of that same family (minhash_pairs +
-    dedup_clusters + dedup_cosine remain in-window), displaced late-r3
-    for audio_prep_exact so the NEW preprocessing operator family —
-    trim/resample/gain/segment, a component no in-window entry shares —
-    sits under the driver's gate)
-    — plus the codegen point-query
-    kinds (DD quantile / cuckoo membership / equi-width range / streamed
-    quantile) whose kernels are in-window via ddsketch_quantiles,
-    cuckoo_membership, equiwidth_hist and stream_query_latest; and
-    stream_incremental (exact oracle — the changelog read over the same
-    manifest sink whose snapshot reads are in-window via
-    stream_compacted); late-r3 exact-oracle tail additions:
-    ams_join_size (the two-stream AGMS join-size generalization — its
-    build path is ams_f2's in-window distributed build twice over, and
-    its EH3/H3 replay oracle is _ams_oracle_sql extended to an inner
-    product, so the only new surface is the blob-pair evaluator) and
-    cm_join_size (the one-sided CM inner-product twin over the same
-    evaluator and the in-window CM build),
-    audio_quality_exact (the quality stats recompute from the same
-    replayed lattice whose trim/energy math is in-window via
-    audio_prep_exact), stream_fp_dedup and stream_text_dedup (the
-    streaming dedup engine, provably batch-equal under their cap
-    configs, whose batch scorer is in-window via audio_fp_exact), and
-    the dyadic CM family (dyadic_range_count / dyadic_heavy_hitters /
-    dyadic_quantile / stream_dyadic_range / stream_dyadic_querylatest —
-    no-key-scan range/HH/rank queries, an EXTENSION beyond the
-    reference's flat CM rather than a SURVEY §2 component, so the
-    in-window slots stay with the component set; the whole tree is ONE
-    registered kernel, so the batch build, the stateful streaming build
-    and the continuous query stream are the in-window paths themselves
-    and its exactness promotion is asserted by tests/test_dyadic.py), and
-    the KMV set-operation family (kmv_distinct / kmv_sql_distinct /
-    kmv_overlap / stream_kmv_overlap / audio_corpus_overlap — the deterministic
-    distinct sketch whose
-    union/intersection/Jaccard answer the train/test-contamination
-    question, batch and as continuously-maintained stratified streaming
-    state; exact integer estimators replayed bit-for-bit in SQL, build
-    path = the in-window stratified builder and exactly-once sink,
-    kernel invariants in tests/test_kmv.py), the Misra-Gries family
-    (mg_heavy_hitters / mg_topk_tokens / stream_mg_hh — frequent-item
-    ENUMERATION over unbounded key domains incl. string tokens, the query
-    CM answers only given the keys and dyadic only for bounded integer
-    domains; exact in the oversized-capacity regime the driver runs —
-    no decrement fires, the summary IS the count table — with the
-    undersized Agarwal-merge deficit bound asserted by
-    tests/test_mg.py; the streamed twin's canonical sorted-key state is
-    byte-equal to batch, sharing the oracle; mg_sql_hh is the pure-JVM
-    GROUP-BY build twin, blob byte-parity pytest-asserted; mg_entropy
-    derives the per-window key-distribution Shannon entropy from the
-    same blob; audio_fp_hh runs the summary over the audio fingerprint
-    stream — hot-content detection on the payload, exact over the
-    audio_fp_exact lattice), and the decayed-counts family
-    (decay_trending / stream_decay_trending — recency-weighted heavy
-    hitters via merge-rescalable exponential decay, exact at 6-decimal
-    rounding with the threshold applied to the rounded value on both
-    sides, plus stream_decay_querylatest — a continuous per-key
-    query stream against the newest committed window), pii_scrub (PII
-    redaction as engine-portable JVM regexp chains with planted
-    deterministic PII — map-only curation, exact md5 oracle), repetition_scores (Gopher-style within-document repetition signals —
-    top-n-gram coverage + duplicated-n-gram fraction, one JVM explode +
-    two keyed aggregations, exact relational twin), and decontaminate /
-    stream_decontaminate (doc-level benchmark decontamination — one
-    distinct-gram semi-join against the once-materialized train gram
-    set, the per-doc removal decision next to KMV's corpus-level
-    estimate; the on-ingest stream's verdicts depend only on doc +
-    static set, so it shares the batch oracle); all
-    stay verified by tests/test_entry.py every run. The trailing block is the
-    genuinely rows-only set (randomized samplers, LSH/IVF approximations,
-    media/audio feature pipelines, FFT-based audio_spectral and
-    audio_fp_landmarks — the latter's pair-join plumbing exact-verified
-    via its in-window sibling audio_fp_exact)."""
+    ORDER MATTERS: the driver verifies the FIRST 50 entries per round.
+    Rounds 1-3 banked green CORRECTNESS rows for 68 queries (the r3 window
+    of 50 was fully green, CORRECTNESS_r03); round 4 ROTATES the window to
+    the 44 exact-oracle queries that had never had a driver row — every
+    round-3 family (dyadic CM hierarchy, KMV set ops, Misra-Gries,
+    decayed counts, codegen point-query kinds, PII / repetition /
+    decontamination, streaming dedup-on-ingest, snapshot sinks, stream-CEP
+    variants, join-size estimators, audio quality/overlap extras, the
+    ANN/LSH exact twins and simhash_pairs) — plus six anchors re-pinned
+    from the r3 window so the core engine paths stay under the gate every
+    round: cm_user_frequency (flagship CM build), stream_stateful_frequency
+    (applyInPandasWithState + exactly-once sink), session_windows
+    (partition-edge chaining), wavelet_range_sums (ordered non-mergeable
+    build + unify), audio_prep_exact (payload preprocessing), and
+    minhash_pairs (banded-LSH near-dedup).
+
+    Slots 51+ are the queries whose green rows are banked in
+    CORRECTNESS_r01-r03 (each re-verified by tests/test_entry.py every
+    run), followed by the genuinely rows-only block (randomized samplers,
+    LSH/IVF approximations whose exact twins are in-window, FFT-based
+    audio features with analytic pytest oracles instead of SQL replays)."""
     return {
-        # ---- slots 1-50: exact-oracle, full component cover -------------
-        # synopsis kernels through the distributed build
+        # ---- slots 1-50: exact-oracle, never driver-verified until r4 ---
+        # dyadic CM hierarchy: range count / HH / rank without key scans
+        "dyadic_range_count": q_dyadic_range_count,
+        "dyadic_heavy_hitters": q_dyadic_heavy_hitters,
+        "dyadic_quantile": q_dyadic_quantile,
+        "stream_dyadic_range": q_stream_dyadic_range,
+        "stream_dyadic_querylatest": q_stream_dyadic_querylatest,
+        # KMV distinct + set operations (train/test contamination)
+        "kmv_distinct": q_kmv_distinct,
+        "kmv_sql_distinct": q_kmv_sql_distinct,
+        "kmv_overlap": q_kmv_overlap,
+        "stream_kmv_overlap": q_stream_kmv_overlap,
+        # Misra-Gries frequent-item enumeration (+ entropy, audio fp HH)
+        "mg_heavy_hitters": q_mg_heavy_hitters,
+        "mg_topk_tokens": q_mg_topk_tokens,
+        "stream_mg_hh": q_stream_mg_hh,
+        "mg_sql_hh": q_mg_sql_hh,
+        "mg_entropy": q_mg_entropy,
+        "stream_mg_querylatest": q_stream_mg_querylatest,
+        "audio_fp_hh": q_audio_fp_hh,
+        # decayed counts: recency-weighted heavy hitters
+        "decay_trending": q_decay_trending,
+        "stream_decay_trending": q_stream_decay_trending,
+        "stream_decay_querylatest": q_stream_decay_querylatest,
+        # codegen point-query kinds
+        "dd_quantile_pointquery": q_dd_quantile_pointquery,
+        "cuckoo_pointquery": q_cuckoo_pointquery,
+        "equiwidth_rangequery": q_equiwidth_rangequery,
+        "stream_quantile_latest": q_stream_quantile_latest,
+        # curation: PII / repetition / decontamination
+        "pii_scrub": q_pii_scrub,
+        "repetition_scores": q_repetition_scores,
+        "decontaminate": q_decontaminate,
+        "stream_decontaminate": q_stream_decontaminate,
+        # streaming dedup-on-ingest + snapshot/changelog sinks
+        "stream_fp_dedup": q_stream_fp_dedup,
+        "stream_text_dedup": q_stream_text_dedup,
+        "stream_compacted": q_stream_compacted,
+        "stream_incremental": q_stream_incremental,
+        # CEP variants over the timer-driven stateful stream + batch chain
+        "stream_cep_absence": q_stream_cep_absence,
+        "stream_cep_kleene": q_stream_cep_kleene,
+        "stream_cep_adjacent": q_stream_cep_adjacent,
+        "stream_cep_chain3": q_stream_cep_chain3,
+        "cep_chain3": q_cep_chain3,
+        # sketch join-size estimators (AGMS inner product / CM dot)
+        "ams_join_size": q_ams_join_size,
+        "cm_join_size": q_cm_join_size,
+        # audio payload extras
+        "audio_quality_exact": q_audio_quality_exact,
+        "audio_corpus_overlap": q_audio_corpus_overlap,
+        # ANN / LSH exact twins + simhash near-pairs
+        "ann_topk_lsh_exact": q_ann_topk_lsh_exact,
+        "dedup_cosine_lsh_exact": q_dedup_cosine_lsh_exact,
+        "ann_topk_ivf_exact": q_ann_topk_ivf_exact,
+        "simhash_pairs": q_simhash_pairs,
+        # ---- anchors: r3-green core paths re-pinned under the gate ------
         "cm_user_frequency": q_cm_user_frequency,
+        "stream_stateful_frequency": q_stream_stateful_frequency,
+        "session_windows": q_session_windows,
+        "wavelet_range_sums": q_wavelet_range_sums,
+        "audio_prep_exact": q_audio_prep_exact,
+        "minhash_pairs": q_minhash_pairs,
+        # ---- slots 51+: banked green in CORRECTNESS_r01-r03 -------------
         "bloom_membership": q_bloom_membership,
         "cuckoo_membership": q_cuckoo_membership,
         "equiwidth_hist": q_equiwidth_hist,
@@ -2480,81 +2460,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ams_f2": q_ams_f2,
         "equidepth_exact": q_equidepth_exact,
         "stratified_hist": q_stratified_hist,
-        # window kinds
         "tumbling_counts": q_tumbling_counts,
         "sliding_counts": q_sliding_counts,
-        "session_windows": q_session_windows,
         "count_windows": q_count_windows,
         "concurrent_windows": q_concurrent_windows,
-        # order-based (non-mergeable) + invertible eviction
-        "wavelet_range_sums": q_wavelet_range_sums,
         "stream_wavelet": q_stream_wavelet,
         "sliding_inversion": q_sliding_inversion,
-        # query surface
         "query_latest_hist": q_query_latest_hist,
         "query_latest_stratified": q_query_latest_stratified,
         "query_timestamped": q_query_timestamped,
         "query_latest_sql": q_query_latest_sql,
-        # histogram extras
         "equidepth_dd": q_equidepth_dd,
         "splitmerge_dd_hist": q_splitmerge_dd_hist,
         "hist4lt_ranges": q_hist4lt_ranges,
-        # pure-JVM SQL build path (batch + native streaming aggregation)
         "cm_sql_frequency": q_cm_sql_frequency,
         "stream_sketch_sql": q_stream_sketch_sql,
-        # streaming engine
-        "stream_stateful_frequency": q_stream_stateful_frequency,
         "stream_sliding": q_stream_sliding,
         "stream_query_latest": q_stream_query_latest,
-        # CEP: sequence, negation (timer-driven absence), Kleene-plus
         "cep_sequence": q_cep_sequence,
         "stream_cep_sequence": q_stream_cep_sequence,
         "cep_absence": q_cep_absence,
         "cep_kleene": q_cep_kleene,
         "cep_adjacent": q_cep_adjacent,
-        # stateful joins (stream-stream + as-of) + explicit skew handling
         "stream_join_events": q_stream_join_events,
         "asof_join_events": q_asof_join_events,
         "skew_salted_agg": q_skew_salted_agg,
-        # training-data pipeline ops
         "dedup_exact": q_dedup_exact,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "dedup_clusters": q_dedup_clusters,
-        "minhash_pairs": q_minhash_pairs,
         "ann_topk": q_ann_topk,
         "dedup_cosine": q_dedup_cosine,
         "bucketed_join": q_bucketed_join,
-        # payload pipelines under the exact gate (audio + multimodal)
         "audio_rms_exact": q_audio_rms_exact,
         "audio_fp_exact": q_audio_fp_exact,
-        "audio_prep_exact": q_audio_prep_exact,
         "media_features_exact": q_media_features_exact,
-        # ---- slots 51+: exact-oracle twins of in-window siblings --------
-        "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
-        "audio_quality_exact": q_audio_quality_exact,
-        "audio_corpus_overlap": q_audio_corpus_overlap,
-        "stream_fp_dedup": q_stream_fp_dedup,
-        "stream_text_dedup": q_stream_text_dedup,
         "bottomk_sample": q_bottomk_sample,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
         "wavelet_stratified": q_wavelet_stratified,
         "sliding_inversion_stratified": q_sliding_inversion_stratified,
         "stream_count_windows": q_stream_count_windows,
-        "stream_cep_absence": q_stream_cep_absence,
-        "stream_cep_kleene": q_stream_cep_kleene,
-        "stream_cep_adjacent": q_stream_cep_adjacent,
-        "stream_cep_chain3": q_stream_cep_chain3,
-        "ann_topk_lsh_exact": q_ann_topk_lsh_exact,
-        "dedup_cosine_lsh_exact": q_dedup_cosine_lsh_exact,
-        "ann_topk_ivf_exact": q_ann_topk_ivf_exact,
-        "stream_compacted": q_stream_compacted,
-        "stream_incremental": q_stream_incremental,
         "query_timestamped_stratified": q_query_timestamped_stratified,
         "hist4lt_sql_ranges": q_hist4lt_sql_ranges,
-        "cep_chain3": q_cep_chain3,
         "cep_sequence_first": q_cep_sequence_first,
         "cm_frequency_tree": q_cm_frequency_tree,
         "stream_sessions": q_stream_sessions,
@@ -2564,35 +2513,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equiwidth_sql_hist": q_equiwidth_sql_hist,
         "ams_sql_f2": q_ams_sql_f2,
         "hll_sql_distinct": q_hll_sql_distinct,
-        "ams_join_size": q_ams_join_size,
-        "cm_join_size": q_cm_join_size,
-        "kmv_distinct": q_kmv_distinct,
-        "kmv_sql_distinct": q_kmv_sql_distinct,
-        "kmv_overlap": q_kmv_overlap,
-        "stream_kmv_overlap": q_stream_kmv_overlap,
-        "mg_heavy_hitters": q_mg_heavy_hitters,
-        "mg_topk_tokens": q_mg_topk_tokens,
-        "stream_mg_hh": q_stream_mg_hh,
-        "mg_sql_hh": q_mg_sql_hh,
-        "audio_fp_hh": q_audio_fp_hh,
-        "stream_mg_querylatest": q_stream_mg_querylatest,
-        "mg_entropy": q_mg_entropy,
-        "decay_trending": q_decay_trending,
-        "stream_decay_trending": q_stream_decay_trending,
-        "stream_decay_querylatest": q_stream_decay_querylatest,
-        "repetition_scores": q_repetition_scores,
-        "decontaminate": q_decontaminate,
-        "stream_decontaminate": q_stream_decontaminate,
-        "pii_scrub": q_pii_scrub,
-        "dd_quantile_pointquery": q_dd_quantile_pointquery,
-        "cuckoo_pointquery": q_cuckoo_pointquery,
-        "equiwidth_rangequery": q_equiwidth_rangequery,
-        "stream_quantile_latest": q_stream_quantile_latest,
-        "dyadic_range_count": q_dyadic_range_count,
-        "dyadic_heavy_hitters": q_dyadic_heavy_hitters,
-        "dyadic_quantile": q_dyadic_quantile,
-        "stream_dyadic_range": q_stream_dyadic_range,
-        "stream_dyadic_querylatest": q_stream_dyadic_querylatest,
         # ---- rows-only (genuinely randomized / approximate / media) -----
         "reservoir_sample": q_reservoir_sample,
         "biased_reservoir": q_biased_reservoir,
