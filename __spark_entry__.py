@@ -1132,6 +1132,30 @@ def q_reservoir_sample(spark, sf_dir):
                     "n_sample", "sample_mean"))
 
 
+def q_reservoir_audit(spark, sf_dir):
+    """Sampler audit (VERDICT r3 #4): the REAL distributed reservoir build
+    — per-partition partial reservoirs, weighted cross-partition merge
+    (ReservoirSampler.java:93-140) — run in the LOSSLESS regime where
+    sample_size >= the largest window's row count, so every accept/fill
+    branch that could drop a row is provably un-taken and the kept sample
+    must equal the window's input multiset exactly, for any random choice
+    sequence and any partitioning. That lets DuckDB replay the sample as
+    the multiset itself — the same exact-regime promotion pattern as the
+    Misra-Gries driver queries. The evicting regime stays distribution-
+    checked: bench.py asserts KS uniformity through this same build."""
+    df = _events(spark, sf_dir)
+    cap = (df.groupBy(F.window("ts", DAY)).count()
+           .agg(F.max("count")).collect()[0][0])
+    spec = SynopsisSpec(kind="reservoir",
+                        params=dict(sample_size=int(cap), seed=7),
+                        column="event_id", ts_column="ts",
+                        window=Tumbling(DAY))
+    syn = build_batch(df, spec)
+    return (ev.sample_rows(syn, value_type="long")
+            .select(F.col("window_start").cast(NTZ).alias("window_start"),
+                    F.col("value").alias("event_id")))
+
+
 def q_biased_reservoir(spark, sf_dir):
     df = _events(spark, sf_dir)
     spec = SynopsisSpec(kind="biased_reservoir", params=dict(sample_size=100, seed=7),
@@ -2378,8 +2402,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round: cm_user_frequency (flagship CM build), stream_stateful_frequency
     (applyInPandasWithState + exactly-once sink), session_windows
     (partition-edge chaining), wavelet_range_sums (ordered non-mergeable
-    build + unify), audio_prep_exact (payload preprocessing), and
-    minhash_pairs (banded-LSH near-dedup).
+    build + unify), audio_prep_exact (payload preprocessing) — and the
+    NEW r4 reservoir_audit, the randomized-sampler family's first
+    driver-checkable query (lossless-regime reservoir through the real
+    per-partition build + weighted cross-partition merge).
 
     Slots 51+ are the queries whose green rows are banked in
     CORRECTNESS_r01-r03 (each re-verified by tests/test_entry.py every
@@ -2449,8 +2475,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": q_session_windows,
         "wavelet_range_sums": q_wavelet_range_sums,
         "audio_prep_exact": q_audio_prep_exact,
-        "minhash_pairs": q_minhash_pairs,
+        # NEW r4: the randomized-sampler family's first driver-checkable
+        # query (lossless-regime reservoir through the real weighted merge)
+        "reservoir_audit": q_reservoir_audit,
         # ---- slots 51+: banked green in CORRECTNESS_r01-r03 -------------
+        "minhash_pairs": q_minhash_pairs,
         "bloom_membership": q_bloom_membership,
         "cuckoo_membership": q_cuckoo_membership,
         "equiwidth_hist": q_equiwidth_hist,
@@ -3145,6 +3174,11 @@ def oracle_sql() -> dict[str, str]:
                                                  ORDER BY md5(CAST(event_id AS VARCHAR))) rn
                        FROM events)
             SELECT ws AS window_start, event_id FROM r WHERE rn <= 20
+        """,
+        "reservoir_audit": """
+            SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+                   event_id
+            FROM events
         """,
         "session_windows": """
             WITH s AS (SELECT user_id, ts,
