@@ -1156,6 +1156,33 @@ def q_reservoir_audit(spark, sf_dir):
                     F.col("value").alias("event_id")))
 
 
+def q_biased_reservoir_audit(spark, sf_dir):
+    """Component #7's audit, same lossless-regime promotion as
+    reservoir_audit: with sample_size >= the largest window's row count the
+    biased reservoir's while-not-full insert path takes EVERY row
+    (BiasedReservoirSampler.java:57-70 — the probabilistic replacement
+    branch is unreachable) and the merge keeps the globally newest
+    sample_size of <= sample_size rows, i.e. everything — so the kept
+    sample equals the window's input multiset for any RNG draw and any
+    partitioning, and DuckDB replays it directly. The recency-bias
+    property in the evicting regime stays pytest-asserted."""
+    df = _events(spark, sf_dir)
+    cap = (df.groupBy(F.window("ts", DAY)).count()
+           .agg(F.max("count")).collect()[0][0])
+    spec = SynopsisSpec(kind="biased_reservoir",
+                        params=dict(sample_size=int(cap), seed=7),
+                        column="event_id", ts_column="ts",
+                        window=Tumbling(DAY))
+    syn = build_batch(df, spec)
+
+    def fn(s, row):
+        return pd.DataFrame({"value": list(s.values)})
+
+    return (ev.apply_per_window(syn, fn, "window_start timestamp, value long")
+            .select(F.col("window_start").cast(NTZ).alias("window_start"),
+                    F.col("value").alias("event_id")))
+
+
 def q_biased_reservoir(spark, sf_dir):
     df = _events(spark, sf_dir)
     spec = SynopsisSpec(kind="biased_reservoir", params=dict(sample_size=100, seed=7),
@@ -2397,15 +2424,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     decayed counts, codegen point-query kinds, PII / repetition /
     decontamination, streaming dedup-on-ingest, snapshot sinks, stream-CEP
     variants, join-size estimators, audio quality/overlap extras, the
-    ANN/LSH exact twins and simhash_pairs) — plus six anchors re-pinned
+    ANN/LSH exact twins and simhash_pairs) — plus four anchors re-pinned
     from the r3 window so the core engine paths stay under the gate every
     round: cm_user_frequency (flagship CM build), stream_stateful_frequency
-    (applyInPandasWithState + exactly-once sink), session_windows
-    (partition-edge chaining), wavelet_range_sums (ordered non-mergeable
-    build + unify), audio_prep_exact (payload preprocessing) — and the
-    NEW r4 reservoir_audit, the randomized-sampler family's first
-    driver-checkable query (lossless-regime reservoir through the real
-    per-partition build + weighted cross-partition merge).
+    (applyInPandasWithState + exactly-once sink), wavelet_range_sums
+    (ordered non-mergeable build + unify), audio_prep_exact (payload
+    preprocessing) — and the NEW r4 reservoir_audit +
+    biased_reservoir_audit, the randomized-sampler families' first
+    driver-checkable queries (lossless-regime builds through the real
+    per-partition build + cross-partition merge: weighted draw for
+    reservoir, newest-k for biased).
 
     Slots 51+ are the queries whose green rows are banked in
     CORRECTNESS_r01-r03 (each re-verified by tests/test_entry.py every
@@ -2472,14 +2500,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- anchors: r3-green core paths re-pinned under the gate ------
         "cm_user_frequency": q_cm_user_frequency,
         "stream_stateful_frequency": q_stream_stateful_frequency,
-        "session_windows": q_session_windows,
         "wavelet_range_sums": q_wavelet_range_sums,
         "audio_prep_exact": q_audio_prep_exact,
-        # NEW r4: the randomized-sampler family's first driver-checkable
-        # query (lossless-regime reservoir through the real weighted merge)
+        # NEW r4: the randomized-sampler families' first driver-checkable
+        # queries (lossless-regime builds through the real partial build +
+        # merge — weighted for reservoir, newest-k for biased)
         "reservoir_audit": q_reservoir_audit,
+        "biased_reservoir_audit": q_biased_reservoir_audit,
         # ---- slots 51+: banked green in CORRECTNESS_r01-r03 -------------
         "minhash_pairs": q_minhash_pairs,
+        "session_windows": q_session_windows,
         "bloom_membership": q_bloom_membership,
         "cuckoo_membership": q_cuckoo_membership,
         "equiwidth_hist": q_equiwidth_hist,
@@ -3176,6 +3206,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT ws AS window_start, event_id FROM r WHERE rn <= 20
         """,
         "reservoir_audit": """
+            SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+                   event_id
+            FROM events
+        """,
+        "biased_reservoir_audit": """
             SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
                    event_id
             FROM events
