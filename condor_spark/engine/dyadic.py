@@ -168,8 +168,12 @@ def build_dyadic_latest(df: DataFrame, key_col: str, bits: int,
     spec = dyadic_spec(key_col, bits, height, seed, ts_column, window,
                        oversample, min_width, max_width)
     built = build_batch(df, spec)
-    rows = (built.orderBy(F.col("window_end").desc()).limit(1).collect()
-            if window is not None else built.collect())
+    # unconditional newest-window limit 1: window=None is a GlobalWindow
+    # (single blob) so this changes nothing there, but it guarantees the
+    # driver can never collect more than ONE blob through this entry point
+    # regardless of windowing (VERDICT r3 minor #3)
+    rows = (built.orderBy(F.col("window_end").desc_nulls_last())
+            .limit(1).collect())
     if not rows:
         # empty input: the snapshot of nothing is all-zero grids (n=0 —
         # every range answers 0, heavy hitters are empty)
