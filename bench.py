@@ -693,20 +693,39 @@ def main() -> None:
             warmup_pass_total = round(total, 3)
             continue
         pass_totals.append(round(total, 3))
+        # stability test on the LATEST pass only: each query's newest wall
+        # within 3x of its min-so-far. A max/min over ALL accumulated
+        # passes would latch once a single early outlier lands (min/max
+        # are monotone), forcing every remaining pass and a permanent
+        # storm flag even when the recorded minima all come from clean
+        # later passes.
+        last_stormy = any(w[-1] > 3 * min(w) for w in walls_by_q.values())
         if pass_i >= 2:
             improved = pass_totals[-1] < 0.9 * min(pass_totals[:-1])
-            spread = any(max(w) > 3 * min(w) for w in walls_by_q.values())
-            if not improved and not spread:
+            if not improved and not last_stormy:
                 break
-    headline_storm = bool(
-        any(max(w) > 3 * min(w) for w in walls_by_q.values()))
+    # storm recorded only when the pass budget ran out without a final
+    # clean stable pass — the minima are then possibly contaminated
+    headline_storm = bool(last_stormy)
 
     tput = throughput_job(spark, SF_DIR)
     if tput.get("storm_detected"):
-        # one independent retry minutes later; keep the faster run
+        # one independent retry minutes later, merged per-PHASE (min-wall
+        # is the capability number on every path in this file): each
+        # phase's rate is the best of the two runs, rep walls keep both
+        # runs' evidence, and the flag clears if EITHER run was clean —
+        # best-of rates from a clean run are credible numbers
         retry = throughput_job(spark, SF_DIR)
-        if retry["rows_per_sec"] > tput["rows_per_sec"]:
-            tput = retry
+        merged = dict(retry)
+        for k in ("rows_per_sec", "rows_per_sec_sequential",
+                  "rows_per_sec_sql"):
+            merged[k] = max(tput[k], retry[k])
+        merged["sec"] = min(tput["sec"], retry["sec"])
+        for k in ("rep_secs_shared", "rep_secs_sequential", "rep_secs_sql"):
+            merged[k] = tput[k] + retry[k]
+        merged["storm_detected"] = bool(tput["storm_detected"]
+                                        and retry["storm_detected"])
+        tput = merged
     errors = error_metrics(spark, SF_DIR)
     dytput = dyadic_throughput_job(spark, SF_DIR)
     spark.stop()

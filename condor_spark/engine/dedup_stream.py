@@ -100,8 +100,11 @@ class StreamDecontaminate(_AtomicLedger):
     text_col: str = "text"
     #: Spark DDL type of ``id_col`` — contamination_scores preserves the
     #: input id type, so the empty-ledger schema must match it (string doc
-    #: ids would otherwise diverge from the non-empty case). prepare()
-    #: auto-detects it from the train corpus.
+    #: ids would otherwise diverge from the non-empty case). Detected from
+    #: the train corpus at prepare() and PERSISTED in the ledger (so a
+    #: fresh process on the same sink_dir sees it before any batch
+    #: commits), then pinned to the first committed batch's ACTUAL scores
+    #: schema, which is authoritative if train and stream id types differ.
     id_type: str = "long"
 
     @property
@@ -114,6 +117,9 @@ class StreamDecontaminate(_AtomicLedger):
         os.makedirs(self.sink_dir, exist_ok=True)
         if self.id_col in train_df.columns:
             self.id_type = train_df.schema[self.id_col].dataType.simpleString()
+            ledger = self._read_ledger()
+            ledger["id_type"] = self.id_type
+            self._commit(ledger)
         (train_gram_set(train_df, self.id_col, self.text_col, self.n)
          .write.mode("overwrite").parquet(self._grams_path))
 
@@ -132,6 +138,9 @@ class StreamDecontaminate(_AtomicLedger):
                             f"b{int(batch_id)}.parquet")
         scores.write.mode("overwrite").parquet(path)
         ledger["committed"][str(batch_id)] = {"scores": path}
+        # the committed scores' own id type wins over the train-corpus
+        # detection (contamination_scores preserves the BATCH id type)
+        ledger["id_type"] = scores.schema[self.id_col].dataType.simpleString()
         self._commit(ledger)
 
     def run(self, spark: SparkSession, input_dir: str, checkpoint: str,
@@ -152,8 +161,9 @@ class StreamDecontaminate(_AtomicLedger):
         led = self._read_ledger()
         paths = [e["scores"] for e in led["committed"].values()]
         if not paths:
+            id_type = led.get("id_type", self.id_type)
             return spark.createDataFrame(
-                [], f"{self.id_col} {self.id_type}, n_grams long, "
+                [], f"{self.id_col} {id_type}, n_grams long, "
                     "n_hits long, contamination_ratio double, "
                     "contaminated boolean")
         return spark.read.parquet(*paths)

@@ -491,13 +491,25 @@ class StreamingSynopsisJob:
             # already tracks. The adoption is O(touched windows) local-fs
             # renames; an object-store deployment would record the staging
             # leaf paths in the manifest directly instead of renaming.
-            staging = os.path.join(self.sink_dir, "state",
-                                   f"d{new_version}.staging")
+            import shutil
+
+            # reclaim orphan staging dirs from crashed attempts FIRST: a
+            # crash between the staging write and its cleanup below leaves
+            # d<V>.staging behind, and if the batch never replays under
+            # that version (checkpoint reset, abandoned stream) no other
+            # maintenance path would ever delete it — _state_files()'s
+            # name pattern skips it by design
+            state_dir = os.path.join(self.sink_dir, "state")
+            if os.path.isdir(state_dir):
+                for name in os.listdir(state_dir):
+                    if name.endswith(".staging"):
+                        shutil.rmtree(os.path.join(state_dir, name),
+                                      ignore_errors=True)
+            staging = os.path.join(state_dir, f"d{new_version}.staging")
             (both.groupBy("window_start", "stratum")
              .applyInPandas(pair_merge, schema=_STATE_SCHEMA)
              .withColumn("__pwin", F.col("window_start"))
              .write.mode("overwrite").partitionBy("__pwin").parquet(staging))
-            import shutil
             for w in touched:
                 src = os.path.join(staging, f"__pwin={w}")
                 dest = self._state_file(w, new_version)

@@ -214,3 +214,48 @@ def test_stream_decontaminate_empty_ledger_schema_matches(spark, tmp_path):
            [f.simpleString() for f in full.schema.fields]
     # unionByName across the two regimes must not throw
     assert empty.unionByName(full).count() == full.count()
+
+def test_stream_decontaminate_id_type_survives_restart(spark, tmp_path):
+    """Code-review r4: id_type is persisted in the ledger at prepare(), so
+    a FRESH instance on the same sink_dir sees the right empty-ledger
+    schema before any batch commits; the first committed batch's actual
+    schema then pins it (stream id type is authoritative over train)."""
+    from condor_spark.engine.dedup_stream import StreamDecontaminate
+    docs = spark.createDataFrame(
+        [("a", "alpha beta gamma delta"), ("b", "one two three four")],
+        "doc_id string, text string")
+    sink = str(tmp_path / "sink")
+    StreamDecontaminate(sink_dir=sink, n=3).prepare(
+        spark, docs.filter("doc_id = 'a'"))
+    # brand-new object, default id_type long — must read string from ledger
+    fresh = StreamDecontaminate(sink_dir=sink, n=3)
+    empty = fresh.read_scores(spark)
+    assert empty.schema["doc_id"].dataType.simpleString() == "string"
+    fresh.process_batch(docs.filter("doc_id = 'b'"), 0)
+    full = StreamDecontaminate(sink_dir=sink, n=3).read_scores(spark)
+    assert full.schema["doc_id"].dataType.simpleString() == "string"
+    assert empty.unionByName(full).count() == full.count()
+
+
+def test_staging_orphan_reclaimed(spark, tmp_path):
+    """Code-review r4: a crashed attempt's d<V>.staging dir under state/
+    is reclaimed by the next committed batch, not leaked forever."""
+    import os
+    from pyspark.sql import functions as F
+    from condor_spark.engine.builder import SynopsisSpec
+    from condor_spark.engine.streaming import StreamingSynopsisJob
+    from condor_spark.engine.windows import Tumbling
+    spec = SynopsisSpec(kind="hll", params=dict(log_reg_num=4, seed=7),
+                        column="v", ts_column="ts", window=Tumbling("1 day"))
+    job = StreamingSynopsisJob(spec=spec, sink_dir=str(tmp_path / "sink"))
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 01:00:00")],
+        "v long, ts string").withColumn("ts", F.col("ts").cast("timestamp"))
+    state_dir = os.path.join(job.sink_dir, "state")
+    orphan = os.path.join(state_dir, "d99.staging")
+    os.makedirs(orphan, exist_ok=True)
+    open(os.path.join(orphan, "junk"), "w").write("x")
+    job.process_batch(df, 0)
+    assert not os.path.exists(orphan)
+    assert not any(n.endswith(".staging") for n in os.listdir(state_dir))
+    assert job.read_state(spark).count() >= 1
