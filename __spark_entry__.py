@@ -1147,7 +1147,7 @@ def q_reservoir_audit(spark, sf_dir):
     cap = (df.groupBy(F.window("ts", DAY)).count()
            .agg(F.max("count")).collect()[0][0])
     spec = SynopsisSpec(kind="reservoir",
-                        params=dict(sample_size=int(cap), seed=7),
+                        params=dict(sample_size=int(cap or 1), seed=7),
                         column="event_id", ts_column="ts",
                         window=Tumbling(DAY))
     syn = build_batch(df, spec)
@@ -1170,7 +1170,7 @@ def q_biased_reservoir_audit(spark, sf_dir):
     cap = (df.groupBy(F.window("ts", DAY)).count()
            .agg(F.max("count")).collect()[0][0])
     spec = SynopsisSpec(kind="biased_reservoir",
-                        params=dict(sample_size=int(cap), seed=7),
+                        params=dict(sample_size=int(cap or 1), seed=7),
                         column="event_id", ts_column="ts",
                         window=Tumbling(DAY))
     syn = build_batch(df, spec)
@@ -2435,81 +2435,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     per-partition build + cross-partition merge: weighted draw for
     reservoir, newest-k for biased).
 
-    Slots 51+ are the queries whose green rows are banked in
-    CORRECTNESS_r01-r03 (each re-verified by tests/test_entry.py every
-    run), followed by the genuinely rows-only block (randomized samplers,
-    LSH/IVF approximations whose exact twins are in-window, FFT-based
-    audio features with analytic pytest oracles instead of SQL replays)."""
+    Round 5 ROTATES the window once more: the 6 anchors stay pinned (the
+    core engine paths under the gate every round — flagship CM build, the
+    applyInPandasWithState + exactly-once sink path, the ordered
+    non-mergeable wavelet build, audio payload preprocessing, and the two
+    lossless-regime sampler audits), and the other 44 slots go to the
+    r1-r3-banked queries whose driver rows are now the OLDEST — every
+    synopsis family (Bloom/Cuckoo/HLL/AMS/DDSketch/histograms incl.
+    4LT + split-merge, FiFo, stratified + inversion variants), every
+    window shape (tumbling/sliding/session/count/concurrent + stream
+    twins), the evaluator surface (queryLatest / queryTimestamped /
+    codegen SQL), CEP base patterns, joins (stream, as-of, bucketed,
+    skew-salted), and the curation/text/ANN block. Net effect across
+    r3+r4+r5: all 114 exact-oracle queries carry a driver row from the
+    last three rounds.
+
+    Slots 51+ are the r4-verified block (CORRECTNESS_r04, 49/49 green)
+    plus the remaining banked queries — each still re-verified by
+    tests/test_entry.py every run — followed by the genuinely rows-only
+    block (randomized samplers, LSH/IVF approximations whose exact twins
+    are driver-verified, FFT-based audio features with analytic pytest
+    oracles instead of SQL replays)."""
     return {
-        # ---- slots 1-50: exact-oracle, never driver-verified until r4 ---
-        # dyadic CM hierarchy: range count / HH / rank without key scans
-        "dyadic_range_count": q_dyadic_range_count,
-        "dyadic_heavy_hitters": q_dyadic_heavy_hitters,
-        "dyadic_quantile": q_dyadic_quantile,
-        "stream_dyadic_range": q_stream_dyadic_range,
-        "stream_dyadic_querylatest": q_stream_dyadic_querylatest,
-        # KMV distinct + set operations (train/test contamination)
-        "kmv_distinct": q_kmv_distinct,
-        "kmv_sql_distinct": q_kmv_sql_distinct,
-        "kmv_overlap": q_kmv_overlap,
-        "stream_kmv_overlap": q_stream_kmv_overlap,
-        # Misra-Gries frequent-item enumeration (+ entropy, audio fp HH)
-        "mg_heavy_hitters": q_mg_heavy_hitters,
-        "mg_topk_tokens": q_mg_topk_tokens,
-        "stream_mg_hh": q_stream_mg_hh,
-        "mg_sql_hh": q_mg_sql_hh,
-        "mg_entropy": q_mg_entropy,
-        "stream_mg_querylatest": q_stream_mg_querylatest,
-        "audio_fp_hh": q_audio_fp_hh,
-        # decayed counts: recency-weighted heavy hitters
-        "decay_trending": q_decay_trending,
-        "stream_decay_trending": q_stream_decay_trending,
-        "stream_decay_querylatest": q_stream_decay_querylatest,
-        # codegen point-query kinds
-        "dd_quantile_pointquery": q_dd_quantile_pointquery,
-        "cuckoo_pointquery": q_cuckoo_pointquery,
-        "equiwidth_rangequery": q_equiwidth_rangequery,
-        "stream_quantile_latest": q_stream_quantile_latest,
-        # curation: PII / repetition / decontamination
-        "pii_scrub": q_pii_scrub,
-        "repetition_scores": q_repetition_scores,
-        "decontaminate": q_decontaminate,
-        "stream_decontaminate": q_stream_decontaminate,
-        # streaming dedup-on-ingest + snapshot/changelog sinks
-        "stream_fp_dedup": q_stream_fp_dedup,
-        "stream_text_dedup": q_stream_text_dedup,
-        "stream_compacted": q_stream_compacted,
-        "stream_incremental": q_stream_incremental,
-        # CEP variants over the timer-driven stateful stream + batch chain
-        "stream_cep_absence": q_stream_cep_absence,
-        "stream_cep_kleene": q_stream_cep_kleene,
-        "stream_cep_adjacent": q_stream_cep_adjacent,
-        "stream_cep_chain3": q_stream_cep_chain3,
-        "cep_chain3": q_cep_chain3,
-        # sketch join-size estimators (AGMS inner product / CM dot)
-        "ams_join_size": q_ams_join_size,
-        "cm_join_size": q_cm_join_size,
-        # audio payload extras
-        "audio_quality_exact": q_audio_quality_exact,
-        "audio_corpus_overlap": q_audio_corpus_overlap,
-        # ANN / LSH exact twins + simhash near-pairs
-        "ann_topk_lsh_exact": q_ann_topk_lsh_exact,
-        "dedup_cosine_lsh_exact": q_dedup_cosine_lsh_exact,
-        "ann_topk_ivf_exact": q_ann_topk_ivf_exact,
-        "simhash_pairs": q_simhash_pairs,
-        # ---- anchors: r3-green core paths re-pinned under the gate ------
+        # ---- slots 1-50 (r5 window) -------------------------------------
+        # anchors: core engine paths re-pinned under the gate every round
         "cm_user_frequency": q_cm_user_frequency,
         "stream_stateful_frequency": q_stream_stateful_frequency,
         "wavelet_range_sums": q_wavelet_range_sums,
         "audio_prep_exact": q_audio_prep_exact,
-        # NEW r4: the randomized-sampler families' first driver-checkable
-        # queries (lossless-regime builds through the real partial build +
-        # merge — weighted for reservoir, newest-k for biased)
         "reservoir_audit": q_reservoir_audit,
         "biased_reservoir_audit": q_biased_reservoir_audit,
-        # ---- slots 51+: banked green in CORRECTNESS_r01-r03 -------------
-        "minhash_pairs": q_minhash_pairs,
-        "session_windows": q_session_windows,
+        # synopsis families, oldest driver rows first (r1-r3 banked)
         "bloom_membership": q_bloom_membership,
         "cuckoo_membership": q_cuckoo_membership,
         "equiwidth_hist": q_equiwidth_hist,
@@ -2518,39 +2474,99 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "ams_f2": q_ams_f2,
         "equidepth_exact": q_equidepth_exact,
-        "stratified_hist": q_stratified_hist,
-        "tumbling_counts": q_tumbling_counts,
-        "sliding_counts": q_sliding_counts,
-        "count_windows": q_count_windows,
-        "concurrent_windows": q_concurrent_windows,
-        "stream_wavelet": q_stream_wavelet,
-        "sliding_inversion": q_sliding_inversion,
-        "query_latest_hist": q_query_latest_hist,
-        "query_latest_stratified": q_query_latest_stratified,
-        "query_timestamped": q_query_timestamped,
-        "query_latest_sql": q_query_latest_sql,
         "equidepth_dd": q_equidepth_dd,
         "splitmerge_dd_hist": q_splitmerge_dd_hist,
         "hist4lt_ranges": q_hist4lt_ranges,
+        "stratified_hist": q_stratified_hist,
+        "wavelet_stratified": q_wavelet_stratified,
+        "sliding_inversion": q_sliding_inversion,
+        "sliding_inversion_stratified": q_sliding_inversion_stratified,
+        "cm_frequency_tree": q_cm_frequency_tree,
+        # window shapes + stream twins
+        "tumbling_counts": q_tumbling_counts,
+        "sliding_counts": q_sliding_counts,
+        "session_windows": q_session_windows,
+        "count_windows": q_count_windows,
+        "concurrent_windows": q_concurrent_windows,
+        "stream_wavelet": q_stream_wavelet,
+        "stream_sliding": q_stream_sliding,
+        "stream_sessions": q_stream_sessions,
+        "stream_count_windows": q_stream_count_windows,
+        # evaluator surface: queryLatest / queryTimestamped / codegen SQL
+        "query_latest_hist": q_query_latest_hist,
+        "query_latest_stratified": q_query_latest_stratified,
+        "query_timestamped": q_query_timestamped,
+        "query_timestamped_stratified": q_query_timestamped_stratified,
+        "query_latest_sql": q_query_latest_sql,
         "cm_sql_frequency": q_cm_sql_frequency,
         "stream_sketch_sql": q_stream_sketch_sql,
-        "stream_sliding": q_stream_sliding,
         "stream_query_latest": q_stream_query_latest,
+        # CEP base patterns
         "cep_sequence": q_cep_sequence,
         "stream_cep_sequence": q_stream_cep_sequence,
         "cep_absence": q_cep_absence,
         "cep_kleene": q_cep_kleene,
         "cep_adjacent": q_cep_adjacent,
+        # joins
         "stream_join_events": q_stream_join_events,
         "asof_join_events": q_asof_join_events,
         "skew_salted_agg": q_skew_salted_agg,
-        "dedup_exact": q_dedup_exact,
-        "quality_scores": q_quality_scores,
-        "lang_id": q_lang_id,
-        "dedup_clusters": q_dedup_clusters,
-        "ann_topk": q_ann_topk,
-        "dedup_cosine": q_dedup_cosine,
         "bucketed_join": q_bucketed_join,
+        # curation / text / ANN
+        "dedup_exact": q_dedup_exact,
+        "minhash_pairs": q_minhash_pairs,
+        # ---- slots 51+: banked green r1-r3, re-verified by pytest -------
+        "quality_scores": q_quality_scores,
+        "ann_topk": q_ann_topk,
+        # ---- r4-verified block (CORRECTNESS_r04 green) ------------------
+        "dyadic_range_count": q_dyadic_range_count,
+        "dyadic_heavy_hitters": q_dyadic_heavy_hitters,
+        "dyadic_quantile": q_dyadic_quantile,
+        "stream_dyadic_range": q_stream_dyadic_range,
+        "stream_dyadic_querylatest": q_stream_dyadic_querylatest,
+        "kmv_distinct": q_kmv_distinct,
+        "kmv_sql_distinct": q_kmv_sql_distinct,
+        "kmv_overlap": q_kmv_overlap,
+        "stream_kmv_overlap": q_stream_kmv_overlap,
+        "mg_heavy_hitters": q_mg_heavy_hitters,
+        "mg_topk_tokens": q_mg_topk_tokens,
+        "stream_mg_hh": q_stream_mg_hh,
+        "mg_sql_hh": q_mg_sql_hh,
+        "mg_entropy": q_mg_entropy,
+        "stream_mg_querylatest": q_stream_mg_querylatest,
+        "audio_fp_hh": q_audio_fp_hh,
+        "decay_trending": q_decay_trending,
+        "stream_decay_trending": q_stream_decay_trending,
+        "stream_decay_querylatest": q_stream_decay_querylatest,
+        "dd_quantile_pointquery": q_dd_quantile_pointquery,
+        "cuckoo_pointquery": q_cuckoo_pointquery,
+        "equiwidth_rangequery": q_equiwidth_rangequery,
+        "stream_quantile_latest": q_stream_quantile_latest,
+        "pii_scrub": q_pii_scrub,
+        "repetition_scores": q_repetition_scores,
+        "decontaminate": q_decontaminate,
+        "stream_decontaminate": q_stream_decontaminate,
+        "stream_fp_dedup": q_stream_fp_dedup,
+        "stream_text_dedup": q_stream_text_dedup,
+        "stream_compacted": q_stream_compacted,
+        "stream_incremental": q_stream_incremental,
+        "stream_cep_absence": q_stream_cep_absence,
+        "stream_cep_kleene": q_stream_cep_kleene,
+        "stream_cep_adjacent": q_stream_cep_adjacent,
+        "stream_cep_chain3": q_stream_cep_chain3,
+        "cep_chain3": q_cep_chain3,
+        "ams_join_size": q_ams_join_size,
+        "cm_join_size": q_cm_join_size,
+        "audio_quality_exact": q_audio_quality_exact,
+        "audio_corpus_overlap": q_audio_corpus_overlap,
+        "ann_topk_lsh_exact": q_ann_topk_lsh_exact,
+        "dedup_cosine_lsh_exact": q_dedup_cosine_lsh_exact,
+        "ann_topk_ivf_exact": q_ann_topk_ivf_exact,
+        "simhash_pairs": q_simhash_pairs,
+        # ---- remaining banked exact-oracle (green r1-r3) ----------------
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_cosine": q_dedup_cosine,
+        "lang_id": q_lang_id,
         "audio_rms_exact": q_audio_rms_exact,
         "audio_fp_exact": q_audio_fp_exact,
         "media_features_exact": q_media_features_exact,
@@ -2558,14 +2574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bottomk_sample": q_bottomk_sample,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
-        "wavelet_stratified": q_wavelet_stratified,
-        "sliding_inversion_stratified": q_sliding_inversion_stratified,
-        "stream_count_windows": q_stream_count_windows,
-        "query_timestamped_stratified": q_query_timestamped_stratified,
         "hist4lt_sql_ranges": q_hist4lt_sql_ranges,
         "cep_sequence_first": q_cep_sequence_first,
-        "cm_frequency_tree": q_cm_frequency_tree,
-        "stream_sessions": q_stream_sessions,
         "bottomk_sql_sample": q_bottomk_sql_sample,
         "fifo_sql_latest": q_fifo_sql_latest,
         "bloom_sql_membership": q_bloom_sql_membership,

@@ -710,22 +710,17 @@ def main() -> None:
 
     tput = throughput_job(spark, SF_DIR)
     if tput.get("storm_detected"):
-        # one independent retry minutes later, merged per-PHASE (min-wall
-        # is the capability number on every path in this file): each
-        # phase's rate is the best of the two runs, rep walls keep both
-        # runs' evidence, and the flag clears if EITHER run was clean —
-        # best-of rates from a clean run are credible numbers
+        # one independent retry minutes later. Every headline field comes
+        # from exactly ONE run — the clean one if one exists, else the
+        # faster stormy one — so the record never mixes provenance
+        # (ADVICE r4: the old per-field max/min/concat merge could label a
+        # record clean while carrying best-of values from the stormy run).
+        # Both raw runs are kept verbatim under "runs" as evidence.
         retry = throughput_job(spark, SF_DIR)
-        merged = dict(retry)
-        for k in ("rows_per_sec", "rows_per_sec_sequential",
-                  "rows_per_sec_sql"):
-            merged[k] = max(tput[k], retry[k])
-        merged["sec"] = min(tput["sec"], retry["sec"])
-        for k in ("rep_secs_shared", "rep_secs_sequential", "rep_secs_sql"):
-            merged[k] = tput[k] + retry[k]
-        merged["storm_detected"] = bool(tput["storm_detected"]
-                                        and retry["storm_detected"])
-        tput = merged
+        runs = [tput, retry]
+        clean = [r for r in runs if not r.get("storm_detected")]
+        tput = dict(max(clean or runs, key=lambda r: r["rows_per_sec"]))
+        tput["runs"] = runs
     errors = error_metrics(spark, SF_DIR)
     dytput = dyadic_throughput_job(spark, SF_DIR)
     spark.stop()
@@ -801,6 +796,9 @@ def main() -> None:
         taskset = _shutil.which("taskset")
         best: dict[int, float] = {}
         reps_by_n: dict[int, list] = {}
+        attempts_by_n: dict[int, int] = {}  # child launches per size —
+        # recorded in the artifact so every published number is auditable
+        # as "min-wall over K independent children" (ADVICE r4)
 
         def _sweep_clips(n: int) -> int:
             # 240k light clips for every size: measured once at 480k for
@@ -851,6 +849,7 @@ def main() -> None:
                        "2", str(_sweep_clips(n)), "500"]
                 if taskset:
                     cmd = [taskset, "-c", f"0-{n - 1}"] + cmd
+                attempts_by_n[n] = attempts_by_n.get(n, 0) + 1
                 try:
                     p = subprocess.run(cmd, capture_output=True, text=True,
                                        cwd=REPO, timeout=600)
@@ -868,34 +867,41 @@ def main() -> None:
                 if (_attempt >= 1 and n // 4 in best and n in best
                         and best[n] >= 3.2 * best[n // 4]):
                     break  # this child's pair cleared 0.8: stop early
-        # Self-healing pass (VERDICT r3 #6): if ANY recorded x->4x pair
-        # sits below the 0.8 north bar, give the pair's LARGER size (the
-        # one the storm regime punishes — kernel-time storms worsen with
-        # thread count) up to two more independent children; min-wall
-        # (max clips/s) across attempts stays the capability number. This
-        # makes the default driver run as storm-robust as the documented
-        # "hardened sweep" manual re-runs.
+        # Self-healing pass (VERDICT r3 #6, two-sided per ADVICE r4): a
+        # storm can contaminate EITHER end of a pair — hitting the larger
+        # child deflates the ratio, hitting the smaller child (the
+        # denominator) inflates it. So any pair whose efficiency falls
+        # outside the trustworthy band [0.8, 1.05] gets BOTH of its sizes
+        # up to two more independent children; min-wall (max clips/s)
+        # across attempts stays the capability number on each size, which
+        # can move the ratio in either direction (a recovered denominator
+        # LOWERS an inflated ratio). attempts_by_n in the artifact shows
+        # how many children each published number is a min over.
+        def _rerun(size: int) -> None:
+            cmd = [sys.executable, __file__, "--throughput", str(size),
+                   "2", str(_sweep_clips(size)), "500"]
+            if taskset:
+                cmd = [taskset, "-c", f"0-{size - 1}"] + cmd
+            attempts_by_n[size] = attempts_by_n.get(size, 0) + 1
+            try:
+                p = subprocess.run(cmd, capture_output=True, text=True,
+                                   cwd=REPO, timeout=600)
+                got = json.loads([l for l in p.stdout.strip().splitlines()
+                                  if l.startswith("{")][-1])
+                if got["clips_per_sec"] > best.get(size, 0):
+                    best[size] = got["clips_per_sec"]
+                    reps_by_n[size] = got.get("rep_secs", [])
+            except (subprocess.TimeoutExpired, IndexError, ValueError):
+                pass
         for _heal in range(2):
-            lagging = [n for n in sorted(best)
-                       if 4 * n in best and best[4 * n] < 3.2 * best[n]]
-            if not lagging:
+            suspect = [n for n in sorted(best) if 4 * n in best
+                       and not (3.2 * best[n] <= best[4 * n]
+                                <= 4.2 * best[n])]
+            if not suspect:
                 break
-            for n in lagging:
-                big = 4 * n
-                cmd = [sys.executable, __file__, "--throughput", str(big),
-                       "2", str(_sweep_clips(big)), "500"]
-                if taskset:
-                    cmd = [taskset, "-c", f"0-{big - 1}"] + cmd
-                try:
-                    p = subprocess.run(cmd, capture_output=True, text=True,
-                                       cwd=REPO, timeout=600)
-                    got = json.loads([l for l in p.stdout.strip().splitlines()
-                                      if l.startswith("{")][-1])
-                    if got["clips_per_sec"] > best.get(big, 0):
-                        best[big] = got["clips_per_sec"]
-                        reps_by_n[big] = got.get("rep_secs", [])
-                except (subprocess.TimeoutExpired, IndexError, ValueError):
-                    continue
+            for n in suspect:
+                _rerun(n)
+                _rerun(4 * n)
         if base_n in best and 4 * base_n in best:
             eff = best[4 * base_n] / (4 * best[base_n])
             pairs = {f"{n}->{4 * n}": round(best[4 * n] / (4 * best[n]), 3)
@@ -910,6 +916,8 @@ def main() -> None:
                 "sweep_input_clips": {str(n): _sweep_clips(n)
                                       for n in sorted(best)},
                 "rep_secs_by_size": {str(n): reps_by_n.get(n, [])
+                                     for n in sorted(best)},
+                "attempts_by_size": {str(n): attempts_by_n.get(n, 0)
                                      for n in sorted(best)},
                 "storm_detected": bool(any(
                     r and max(r) > 3 * min(r) for r in reps_by_n.values()))}
@@ -933,6 +941,10 @@ def main() -> None:
                                 "sequential": tput["rep_secs_sequential"],
                                 "sql": tput["rep_secs_sql"]},
             "events_storm_detected": tput["storm_detected"],
+            # present only when a storm triggered the retry path: both raw
+            # runs verbatim, so the headline's provenance is auditable
+            **({"events_throughput_runs": tput["runs"]}
+               if "runs" in tput else {}),
             "queries_per_sec": (round(qtput["queries_per_sec"])
                                 if qtput else None),
             "queries_per_sec_python": (round(qtput["queries_per_sec_python"])

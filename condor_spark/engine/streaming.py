@@ -498,13 +498,25 @@ class StreamingSynopsisJob:
             # d<V>.staging behind, and if the batch never replays under
             # that version (checkpoint reset, abandoned stream) no other
             # maintenance path would ever delete it — _state_files()'s
-            # name pattern skips it by design
+            # name pattern skips it by design. Scoped to versions <= the
+            # one this batch is about to write: the sink is single-writer
+            # (ledger discipline), but if a misconfigured second stream
+            # shares the sink_dir its in-flight higher-version staging
+            # write survives here and surfaces as the ledger/version
+            # conflict it should, instead of being deleted mid-batch.
             state_dir = os.path.join(self.sink_dir, "state")
             if os.path.isdir(state_dir):
                 for name in os.listdir(state_dir):
-                    if name.endswith(".staging"):
-                        shutil.rmtree(os.path.join(state_dir, name),
-                                      ignore_errors=True)
+                    if not name.endswith(".staging"):
+                        continue
+                    try:
+                        v = int(name[1:-len(".staging")])
+                    except ValueError:
+                        v = None
+                    if v is not None and v > new_version:
+                        continue
+                    shutil.rmtree(os.path.join(state_dir, name),
+                                  ignore_errors=True)
             staging = os.path.join(state_dir, f"d{new_version}.staging")
             (both.groupBy("window_start", "stratum")
              .applyInPandas(pair_merge, schema=_STATE_SCHEMA)

@@ -238,8 +238,13 @@ def test_stream_decontaminate_id_type_survives_restart(spark, tmp_path):
 
 
 def test_staging_orphan_reclaimed(spark, tmp_path):
-    """Code-review r4: a crashed attempt's d<V>.staging dir under state/
-    is reclaimed by the next committed batch, not leaked forever."""
+    """Code-review r4 + ADVICE r4: a crashed attempt's d<V>.staging dir
+    under state/ with V at-or-below the version the next batch writes is
+    reclaimed by that batch (not leaked forever), while a HIGHER-version
+    staging dir — which can only belong to a misconfigured concurrent
+    second writer on the same sink_dir — is left alone so the conflict
+    surfaces through the ledger instead of silently deleting its
+    in-flight write."""
     import os
     from pyspark.sql import functions as F
     from condor_spark.engine.builder import SynopsisSpec
@@ -252,10 +257,14 @@ def test_staging_orphan_reclaimed(spark, tmp_path):
         [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 01:00:00")],
         "v long, ts string").withColumn("ts", F.col("ts").cast("timestamp"))
     state_dir = os.path.join(job.sink_dir, "state")
-    orphan = os.path.join(state_dir, "d99.staging")
-    os.makedirs(orphan, exist_ok=True)
-    open(os.path.join(orphan, "junk"), "w").write("x")
+    # batch 0 commits version 1: d1 is a same-lineage crashed attempt,
+    # d99 is a foreign writer far ahead of this ledger
+    orphan = os.path.join(state_dir, "d1.staging")
+    foreign = os.path.join(state_dir, "d99.staging")
+    for d in (orphan, foreign):
+        os.makedirs(d, exist_ok=True)
+        open(os.path.join(d, "junk"), "w").write("x")
     job.process_batch(df, 0)
     assert not os.path.exists(orphan)
-    assert not any(n.endswith(".staging") for n in os.listdir(state_dir))
+    assert os.path.isdir(foreign)
     assert job.read_state(spark).count() >= 1

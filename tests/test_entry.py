@@ -83,6 +83,19 @@ def test_driver_window_all_oracle():
     assert missing == [], f"non-oracle queries inside the driver window: {missing}"
 
 
+def test_reservoir_audit_empty_input(spark, tmp_path):
+    """ADVICE r4: on an empty events table the window-cap probe returns
+    NULL; the audit queries must degrade to an empty result instead of
+    raising TypeError on int(None)."""
+    empty = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string")
+    empty.write.parquet(str(tmp_path / "events.parquet"))
+    for name in ("reservoir_audit", "biased_reservoir_audit"):
+        out = entrymod.queries()[name](spark, str(tmp_path))
+        assert out.count() == 0
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     pdf = df.toPandas()
