@@ -37,6 +37,12 @@ from ..synopsis.base import Synopsis, Trait, make
 from .windows import CountTumbling, GlobalWindow, Session, Sliding, Tumbling
 
 _PARTIAL_SCHEMA = ("__slice long, __st string, __pid long, state binary, n long")
+# session-build chain lookup: inline a literal map up to this many chained
+# edge sessions; past it (many-thousand-partition builds) use a broadcast
+# join so the Catalyst plan stays bounded. Tests shrink it to force the
+# join branch on small fixtures.
+_CHAIN_MAP_INLINE_MAX = 2048
+
 _FINAL_SCHEMA = ("window_start timestamp, window_end timestamp, stratum string, "
                  "state binary, n long")
 
@@ -600,18 +606,29 @@ def _build_session(df: DataFrame, spec: SynopsisSpec, win: Session) -> DataFrame
         mini_df.unpersist()
         return out
 
-    def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            pdf = pdf.copy()
-            pdf["__chain"] = [
-                chain_of.get((int(p_), int(s_)), -1)
-                for p_, s_ in zip(pdf["__pid"], pdf["__sidx"])]
-            yield pdf
-
-    tagged = (mini_df.mapInPandas(tag, schema=mini_schema + ", __chain long")
-              .persist(StorageLevel.MEMORY_AND_DISK))
+    # chain membership attached JVM-side: chain_of is O(partitions) small
+    # (only edge sessions chain), so a (pid, sidx) lookup replaces the
+    # former mapInPandas tagging pass — one full Arrow round-trip +
+    # persist over every blob row saved (r5). Small maps inline as a
+    # literal (no join in the plan); past a few thousand entries (a
+    # many-thousand-partition cluster build) a literal that size strains
+    # Catalyst, so the lookup becomes a broadcast hash join instead.
+    if len(chain_of) <= _CHAIN_MAP_INLINE_MAX:
+        key_expr = F.col("__pid") * F.lit(1 << 40) + F.col("__sidx")
+        mapping = F.create_map(*[
+            F.lit(v) for (pid_, sidx_), cid in chain_of.items()
+            for v in ((pid_ << 40) + sidx_, cid)])
+        tagged = mini_df.withColumn(
+            "__chain", F.coalesce(F.try_element_at(mapping, key_expr),
+                                  F.lit(-1)))
+    else:
+        chain_df = mini_df.sparkSession.createDataFrame(
+            [(pid_, sidx_, cid) for (pid_, sidx_), cid in chain_of.items()],
+            "__pid long, __sidx long, __cid long")
+        tagged = (mini_df.join(F.broadcast(chain_df), ["__pid", "__sidx"],
+                               "left")
+                  .withColumn("__chain", F.coalesce("__cid", F.lit(-1)))
+                  .drop("__cid"))
     plain = tagged.filter("__chain < 0").mapInPandas(
         lambda it: (finalize_row(pdf) for pdf in it if not pdf.empty),
         schema=_FINAL_SCHEMA)
@@ -633,8 +650,7 @@ def _build_session(df: DataFrame, spec: SynopsisSpec, win: Session) -> DataFrame
     merged = (tagged.filter("__chain >= 0")
               .groupBy("__chain").applyInPandas(merge_chain, schema=_FINAL_SCHEMA))
     out = plain.unionByName(merged).persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()  # materialize before dropping the upstream caches
-    tagged.unpersist()
+    out.count()  # materialize before dropping the upstream cache
     mini_df.unpersist()
     return out
 

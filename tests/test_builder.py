@@ -113,6 +113,36 @@ def test_session_chain_spans_partitions(spark):
     assert got[0][0] == base.to_pydatetime()
 
 
+def test_session_chain_broadcast_join_branch(spark, monkeypatch):
+    """The chain lookup has two physical forms — an inline literal map for
+    the common few-chains case and a broadcast join for many-thousand-
+    partition builds. Forcing the join branch on a fixture that is
+    guaranteed to chain across every range partition (one long session)
+    must produce byte-identical sessions to the literal-map branch."""
+    import pandas as pd
+    from condor_spark.engine import builder as B
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [(base + pd.Timedelta(minutes=i), i) for i in range(900)]
+    rows += [(base + pd.Timedelta(days=5), 9001),
+             (base + pd.Timedelta(days=9), 9002)]
+    df = spark.createDataFrame(
+        [(t.to_pydatetime(), float(v)) for t, v in rows],
+        "ts timestamp, value double")
+    spec = SynopsisSpec(kind="hll", params=dict(log_reg_num=4, seed=7),
+                        column="value", ts_column="ts",
+                        window=Session("30 minutes"))
+    want = sorted((r["window_start"], r["window_end"], r["stratum"],
+                   bytes(r["state"]), r["n"])
+                  for r in build_batch(df, spec).collect())
+    assert [n for *_, n in want] == [900, 1, 1]  # the chain really merged
+    monkeypatch.setattr(B, "_CHAIN_MAP_INLINE_MAX", 0)
+    got = sorted((r["window_start"], r["window_end"], r["stratum"],
+                  bytes(r["state"]), r["n"])
+                 for r in build_batch(df, spec).collect())
+    assert got == want
+
+
 def test_count_windows_exact_sizes(spark, events):
     n = events.count()
     spec = SynopsisSpec(kind="ddsketch", params=dict(relative_accuracy=0.01),
