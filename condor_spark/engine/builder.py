@@ -289,6 +289,42 @@ def build_batch(df: DataFrame, spec: SynopsisSpec) -> DataFrame:
             .applyInPandas(_final_merger(size_us, spec), schema=_FINAL_SCHEMA))
 
 
+def build_sliding_bucketing(df: DataFrame, spec: SynopsisSpec,
+                            win: Sliding) -> DataFrame:
+    """Per-element BUCKETING baseline for the slice-sharing comparison —
+    the evaluation strategy Condor's general stream slicing replaces
+    (``benchmark/.../windowing/Bucketing.java:57-60``: Flink-native
+    sliding windows, slide = size/n, every element updates all ~n
+    concurrent window buckets).
+
+    Each RAW ROW is replicated into every window containing it BEFORE the
+    partial build, so the Python kernel processes each element once per
+    window — O(n) per-element cost, vs ``build_batch``'s O(1) (elements
+    update one gcd-slice synopsis; only the slice→window expansion, which
+    ships sketch blobs, grows with n). Output is row-for-row identical to
+    ``build_batch`` with the same ``Sliding`` window (byte-identical for
+    deterministic kinds — window boundaries align to gcd slices, so both
+    paths emit exactly the windows containing data). Exists to MEASURE
+    the slicing win (bench.py concurrent-windows block), not for
+    production use."""
+    slide, size = win.slide_us, win.size_us
+    work = _rescale_degenerate(_normalize(df, spec, None))
+    # windows (multiples of slide) containing the point __ts:
+    #   w in (ts - size, ts], w ≡ 0 (mod slide) — the build_batch slice
+    #   formula with a 1-µs slice
+    first_w = (-F.floor((F.lit(size) - 1 - F.col("__ts")) / F.lit(slide))
+               * F.lit(slide)).cast("long")
+    last_w = (F.floor(F.col("__ts") / F.lit(slide)) * F.lit(slide)).cast("long")
+    wins = F.when(first_w <= last_w,
+                  F.sequence(first_w, last_w, F.lit(slide).cast("long"))
+                  ).otherwise(F.array().cast("array<long>"))
+    work = work.withColumn("__slice", F.explode(wins))
+    partials = work.mapInPandas(_partial_builder(spec), schema=_PARTIAL_SCHEMA)
+    return (partials.withColumn("__w", F.col("__slice"))
+            .groupBy("__w", "__st")
+            .applyInPandas(_final_merger(size, spec), schema=_FINAL_SCHEMA))
+
+
 def build_batch_multi(df: DataFrame, spec: SynopsisSpec,
                       windows: list) -> DataFrame:
     """N concurrent tumbling/sliding windows from ONE pass over the data —

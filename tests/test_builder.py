@@ -143,6 +143,22 @@ def test_session_chain_broadcast_join_branch(spark, monkeypatch):
     assert got == want
 
 
+def test_sliding_bucketing_equals_slicing(spark, events):
+    """The per-element bucketing baseline (Bucketing.java:57-60 — what the
+    bench's concurrent-windows block measures slicing AGAINST) must be
+    byte-identical to the slicing path on the same Sliding window."""
+    from condor_spark.engine.builder import build_sliding_bucketing
+    win = Sliding("1 day", "6 hours")
+    spec = SynopsisSpec(kind="hll", params=dict(log_reg_num=4, seed=7),
+                        column="event_id", ts_column="ts", window=win,
+                        stratify_by="user_id")
+    a = sorted((r["window_start"], r["stratum"], bytes(r["state"]), r["n"])
+               for r in build_batch(events, spec).collect())
+    b = sorted((r["window_start"], r["stratum"], bytes(r["state"]), r["n"])
+               for r in build_sliding_bucketing(events, spec, win).collect())
+    assert a == b and len(a) > 0
+
+
 def test_count_windows_exact_sizes(spark, events):
     n = events.count()
     spec = SynopsisSpec(kind="ddsketch", params=dict(relative_accuracy=0.01),
