@@ -1439,6 +1439,38 @@ def q_audio_fp_exact(spark, sf_dir):
                              min_jaccard=0.6)
 
 
+def q_audio_spectral_exact(spark, sf_dir):
+    """Spectral-shape features under the EXACT-oracle gate (VERDICT r4
+    next-round #3 — the FFT family's first driver-checkable query): tiny
+    closed-form clips (fixtures.audio_clips_exact(n_samples=64): sr
+    pinned 8000, 64 samples) flow through the REAL spectral operator
+    (audio.spectral_features → clip_spectral: whole-clip np.fft.rfft
+    power spectrum → power-weighted centroid/bandwidth, 85% rolloff,
+    geometric/arithmetic flatness), and DuckDB replays the whole chain —
+    synth → peak-normalize → float32 → pcm16 encode/decode (the
+    audio_rms_exact lattice) → an explicit 64-point DFT
+    (sum of x_k·cos/sin(2π·m·k/64), m = 0..32) → the four estimators.
+    A 64-point rfft and the direct DFT agree to ~1e-15 relative (both
+    correctly-rounded elementary ops over the same doubles; only the
+    summation order differs), so 4-decimal rounding on BOTH sides
+    absorbs it — same pinned-rounding promotion as decay/entropy.
+    The full-size rfft queries (audio_spectral, audio_fp_landmarks,
+    audio_ann_topk) stay rows-only: at 38k samples the direct-DFT
+    replay is O(n²) per clip and genuinely infeasible in SQL."""
+    from condor_spark import fixtures
+    from condor_spark.engine import audio
+
+    clips = fixtures.audio_clips_exact(spark, 240, num_partitions=8,
+                                       n_samples=64)
+    feats = audio.spectral_features(clips)
+    return feats.select(
+        "clip_id",
+        F.round("centroid_hz", 4).alias("centroid_hz"),
+        F.round("bandwidth_hz", 4).alias("bandwidth_hz"),
+        F.round("rolloff_hz", 4).alias("rolloff_hz"),
+        F.round("flatness", 4).alias("flatness"))
+
+
 def q_audio_fp_hh(spark, sf_dir):
     """HOT-CONTENT detection on the audio payload: Misra-Gries heavy
     hitters over the band-energy fingerprint stream — fingerprints shared
@@ -2446,9 +2478,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window shape (tumbling/sliding/session/count/concurrent + stream
     twins), the evaluator surface (queryLatest / queryTimestamped /
     codegen SQL), CEP base patterns, joins (stream, as-of, bucketed,
-    skew-salted), and the curation/text/ANN block. Net effect across
-    r3+r4+r5: all 114 exact-oracle queries carry a driver row from the
-    last three rounds.
+    skew-salted), and the curation/text/ANN block — plus the NEW
+    `audio_spectral_exact` (VERDICT r4 #3: the FFT family's first exact
+    oracle — the real rfft operator on 64-sample closed-form clips
+    replayed as an explicit direct DFT in SQL). Net effect across
+    r3+r4+r5: nearly every exact-oracle query carries a driver row from
+    the last three rounds (the handful displaced by the 50-slot cap —
+    e.g. bucketed_join, quality_scores, ann_topk — stay pytest-verified
+    every run).
 
     Slots 51+ are the r4-verified block (CORRECTNESS_r04, 49/49 green)
     plus the remaining banked queries — each still re-verified by
@@ -2511,11 +2548,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join_events": q_stream_join_events,
         "asof_join_events": q_asof_join_events,
         "skew_salted_agg": q_skew_salted_agg,
-        "bucketed_join": q_bucketed_join,
         # curation / text / ANN
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
+        # NEW r5 (VERDICT r4 #3): the FFT family's first driver row — the
+        # real rfft spectral operator on 64-sample clips vs an explicit
+        # direct-DFT SQL replay
+        "audio_spectral_exact": q_audio_spectral_exact,
         # ---- slots 51+: banked green r1-r3, re-verified by pytest -------
+        "bucketed_join": q_bucketed_join,
         "quality_scores": q_quality_scores,
         "ann_topk": q_ann_topk,
         # ---- r4-verified block (CORRECTNESS_r04 green) ------------------
@@ -4159,6 +4200,77 @@ def oracle_sql() -> dict[str, str]:
     # answer is the rank-picked rms value's bin representative (the
     # ddsketch_quantiles oracle pattern). Residual float noise (summation
     # order, sin ulps) is ~1e-14 relative vs the 2% bin width.
+    # direct-DFT replay of the rfft spectral operator on 64-sample clips
+    # (q_audio_spectral_exact docstring has the numerics argument): the
+    # same synth → normalize → float32 → pcm16 lattice as audio_rms_exact
+    # (sr pinned 8000, n = 64), then power[m] = re² + im² from explicit
+    # cos/sin sums, freqs = m·8000/64 = m·125 (exact doubles), and the
+    # four estimators with 4-decimal rounding on both sides
+    oracles["audio_spectral_exact"] = """
+            WITH c AS (
+              SELECT i,
+                80.0 + (i*131)%900 AS f1, 1000.0 + (i*211)%1000 AS f2,
+                (i%7)*0.9 AS p1, (i%11)*0.55 AS p2,
+                0.4 + (i%5)*0.12 AS a1, 0.1 + (i%3)*0.13 AS a2
+              FROM generate_series(0, 239) s(i)
+            ), k AS (
+              SELECT *, unnest(range(64)) AS k FROM c
+            ), w AS (
+              SELECT i, k,
+                a1*sin(2*pi()*f1*(k/8000.0) + p1)
+                + a2*sin(2*pi()*f2*(k/8000.0) + p2) AS w
+              FROM k
+            ), sc AS (
+              SELECT i, 0.9/greatest(1e-9, max(abs(w))) AS scale
+              FROM w GROUP BY i
+            ), v AS (
+              SELECT w.i, w.k,
+                CAST(CAST(
+                  CAST(CAST(round_even(least(greatest(
+                    CAST(CAST(w.w*sc.scale AS REAL) AS DOUBLE),
+                    -1.0), 1.0) * 32767.0, 0) AS SMALLINT) AS DOUBLE)
+                  / 32767.0 AS REAL) AS DOUBLE) AS x
+              FROM w JOIN sc USING (i)
+            ), d AS (
+              SELECT v.i, m.m,
+                sum(v.x * cos(2*pi()*m.m*v.k/64.0)) AS re,
+                sum(v.x * sin(2*pi()*m.m*v.k/64.0)) AS im
+              FROM v, (SELECT unnest(range(33)) AS m) m
+              GROUP BY v.i, m.m
+            ), p AS (
+              SELECT i, m, m*125.0 AS freq,
+                     CASE WHEN m = 0 THEN 0.0 ELSE re*re + im*im END AS p
+              FROM d
+            ), t AS (
+              SELECT i, sum(p) AS tot FROM p GROUP BY i
+            ), cen AS (
+              SELECT p.i, sum(p.freq*p.p)/any_value(t.tot) AS c
+              FROM p JOIN t USING (i) GROUP BY p.i
+            ), bw AS (
+              SELECT p.i, sqrt(sum((p.freq-cen.c)*(p.freq-cen.c)*p.p)
+                               /any_value(t.tot)) AS bw
+              FROM p JOIN t USING (i) JOIN cen USING (i) GROUP BY p.i
+            ), cu AS (
+              SELECT i, m, freq,
+                     sum(p) OVER (PARTITION BY i ORDER BY m) AS cum
+              FROM p
+            ), roll AS (
+              SELECT cu.i, min(cu.freq) AS roll
+              FROM cu JOIN t USING (i)
+              WHERE cu.cum >= 0.85*t.tot GROUP BY cu.i
+            ), fl AS (
+              SELECT i, exp(avg(ln(p + 1e-30))) AS geo, avg(p) AS am
+              FROM p WHERE m >= 1 GROUP BY i
+            )
+            SELECT 'clip-' || lpad(CAST(cen.i AS VARCHAR), 12, '0')
+                     AS clip_id,
+                   ROUND(cen.c, 4) AS centroid_hz,
+                   ROUND(bw.bw, 4) AS bandwidth_hz,
+                   ROUND(roll.roll, 4) AS rolloff_hz,
+                   ROUND(fl.geo / greatest(fl.am, 1e-30), 4) AS flatness
+            FROM cen JOIN bw USING (i) JOIN roll USING (i)
+                     JOIN fl USING (i)
+        """
     oracles["audio_rms_exact"] = """
             WITH c AS (
                 SELECT i,

@@ -74,7 +74,8 @@ def audio_clips(spark, n: int, num_partitions: int | None = None,
 
 
 def clip_row_exact(i: int, param_mod: int | None = None,
-                   gate: bool = False, pad: bool = False) -> dict:
+                   gate: bool = False, pad: bool = False,
+                   n_samples: int | None = None) -> dict:
     """Closed-form clip row — NO RNG anywhere: every waveform sample is a
     pure function of (i, k), so a SQL engine can replay the whole audio
     pipeline (two-sinusoid synth → peak normalize → float32 → pcm16
@@ -106,9 +107,20 @@ def clip_row_exact(i: int, param_mod: int | None = None,
     so the scale factor is a function of the content samples only (zeros
     never carry the peak) and the SQL replay pads with literal 0s."""
     j = i % param_mod if param_mod else i
-    sr = _SR_CYCLE[j % 4]
-    dur_ms = 200 + (j * 37) % 600
-    n = max(1, int(round(dur_ms * sr / 1000.0)))
+    if n_samples is not None:
+        # tiny-clip variant for the direct-DFT oracle
+        # (``audio_spectral_exact``): sr pinned to 8000 and a fixed
+        # sample count, so a SQL engine can replay the whole-clip DFT as
+        # explicit cos/sin sums (n_samples x (n_samples/2+1) terms per
+        # clip — only feasible for small n). Waveform params keep the
+        # standard closed-form cycle over j.
+        sr = 8000
+        n = int(n_samples)
+        dur_ms = max(1, int(round(n * 1000.0 / sr)))
+    else:
+        sr = _SR_CYCLE[j % 4]
+        dur_ms = 200 + (j * 37) % 600
+        n = max(1, int(round(dur_ms * sr / 1000.0)))
     f1 = 80.0 + (j * 131) % 900
     f2 = 1000.0 + (j * 211) % 1000
     p1, p2 = (j % 7) * 0.9, (j % 11) * 0.55
@@ -136,7 +148,7 @@ def clip_row_exact(i: int, param_mod: int | None = None,
 
 def audio_clips_exact(spark, n: int, num_partitions: int | None = None,
                       param_mod: int | None = None, gate: bool = False,
-                      pad: bool = False):
+                      pad: bool = False, n_samples: int | None = None):
     """Distributed closed-form clips table (``clip_row_exact``)."""
     base = spark.range(0, n, 1,
                        num_partitions or spark.sparkContext.defaultParallelism)
@@ -145,7 +157,7 @@ def audio_clips_exact(spark, n: int, num_partitions: int | None = None,
         for pdf in batches:
             if len(pdf):
                 yield pd.DataFrame([clip_row_exact(int(i), param_mod,
-                                                   gate, pad)
+                                                   gate, pad, n_samples)
                                     for i in pdf["id"]])
 
     return base.mapInPandas(gen, schema=CLIP_SCHEMA)
