@@ -626,8 +626,40 @@ def prep_fp_throughput(spark, n_clips: int, reps: int = 2) -> dict:
         fingerprint_pairs(band_energy_fingerprints(clips),
                           min_matches=3, max_df=64).count()
 
+    # dedup-on-INGEST rate (VERDICT r4 stretch #7): the same clips arrive
+    # as 4 micro-batches through StreamFpDedup.process_batch — per batch:
+    # fingerprint extraction (real decode + frame energies), hot-fp cap,
+    # candidate equi-join against the accumulating committed store, pair
+    # verdicts, exactly-once ledger commit. Fresh sink per rep so every
+    # rep pays the full store-growth sequence.
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from condor_spark.engine.dedup_stream import StreamFpDedup
+
+    n_b = 4
+    batched = (clips.withColumn("__b", (F.crc32("clip_id") % n_b)
+                                .cast("int")).persist())
+    batched.count()
+
+    def run_stream_dedup():
+        sink = tempfile.mkdtemp(prefix="bench_stream_fp_dedup_")
+        try:
+            job = StreamFpDedup(
+                sink_dir=sink,
+                fingerprint_fn=lambda df: band_energy_fingerprints(df),
+                min_matches=3, max_df=64)
+            for b in range(n_b):
+                job.process_batch(
+                    batched.filter(F.col("__b") == b).drop("__b"), b)
+        finally:
+            shutil.rmtree(sink, ignore_errors=True)
+
     out: dict = {"clips": n_clips}
-    for key, fn in (("prep", run_prep), ("fp", run_fp)):
+    for key, fn in (("prep", run_prep), ("fp", run_fp),
+                    ("stream_dedup", run_stream_dedup)):
         fn()  # warm
         walls = []
         for _ in range(reps):
@@ -637,6 +669,7 @@ def prep_fp_throughput(spark, n_clips: int, reps: int = 2) -> dict:
         out[f"{key}_clips_per_sec"] = n_clips / min(walls)
         out[f"{key}_rep_secs"] = [round(w, 2) for w in walls]
         out[f"{key}_storm_detected"] = bool(max(walls) > 3 * min(walls))
+    batched.unpersist()
     return out
 
 
@@ -1040,6 +1073,15 @@ def main() -> None:
                 (preptput["prep_rep_secs"] if preptput else None),
             "audio_fp_rep_secs":
                 (preptput["fp_rep_secs"] if preptput else None),
+            # dedup-on-ingest: 4 micro-batches through StreamFpDedup incl.
+            # the exactly-once ledger commits (VERDICT r4 stretch #7)
+            "stream_dedup_clips_per_sec":
+                (round(preptput["stream_dedup_clips_per_sec"])
+                 if preptput and "stream_dedup_clips_per_sec" in preptput
+                 else None),
+            "stream_dedup_rep_secs":
+                (preptput.get("stream_dedup_rep_secs")
+                 if preptput else None),
         },
         "scaling": scaling,
         "concurrent_windows": cwin,
