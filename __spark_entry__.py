@@ -3274,8 +3274,15 @@ def oracle_sql() -> dict[str, str]:
                                    THEN 1 ELSE 0 END brk
                        FROM events),
                  g AS (SELECT user_id, ts,
+                              -- RANGE (peer-inclusive), NOT ROWS: with
+                              -- duplicate timestamps the brk=1 row's
+                              -- position among its ts-peers is arbitrary,
+                              -- and ROWS framing would split the peers
+                              -- across two sessions nondeterministically
+                              -- (surfaced by the sf1 stress replicas);
+                              -- RANGE gives every peer the same session id
                               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-                                             ROWS UNBOUNDED PRECEDING) sess
+                                             RANGE UNBOUNDED PRECEDING) sess
                        FROM s)
             SELECT CAST(user_id AS VARCHAR) AS stratum,
                    min(ts) AS window_start,
