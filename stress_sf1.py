@@ -59,6 +59,67 @@ EXACT_REGIME = {
         "same wavelet budget regime as wavelet_range_sums (per-stratum)",
     "stream_wavelet":
         "same wavelet budget regime as wavelet_range_sums (streamed)",
+    "mg_heavy_hitters":
+        "Misra-Gries undersized regime: 1356 distinct users in the "
+        "hottest window exceed capacity 1024, so decrements fire and "
+        "estimates become the documented lower bounds (deficit bound "
+        "pytest-asserted); exact regime gated at sf0.01 (<=1024 distinct)",
+    "stream_mg_hh":
+        "same MG undersized regime as mg_heavy_hitters (streamed)",
+    "mg_entropy":
+        "same MG undersized regime (entropy from the trimmed summary)",
+    "stream_mg_querylatest":
+        "same MG undersized regime (point estimates are lower bounds)",
+    "decay_trending":
+        "decayed-counts trim regime: 1356 distinct users exceed capacity "
+        "1024, so the weighted Misra-Gries trim drops low-weight keys "
+        "(24.4k of 37.5k rows kept) — the documented lower-bound summary; "
+        "exact regime gated at sf0.01",
+    "stream_decay_trending":
+        "same decayed-counts trim regime (streamed)",
+    "stream_decay_querylatest":
+        "same decayed-counts trim regime (point estimates)",
+}
+
+# designed loud failures: paths that only exist in the exact regime and
+# raise a documented guard instead of silently approximating
+LOUD_GUARD = {
+    "mg_sql_hh":
+        "designed guard fired: build_mg_sql raises 'window has 1338 "
+        "distinct keys > capacity 1024 — the relational form only exists "
+        "in the exact regime; raise capacity or use build_batch' — the "
+        "documented loud-overflow behavior (COVERAGE.md MG row), the "
+        "correct outcome at this scale",
+}
+
+# oracles whose SQL replay is itself super-linear and exceeds local temp
+# at sf1 — the SPARK side runs and is recorded; the replay stays gated at
+# sf0.01
+ORACLE_AT_GATE = {
+    "minhash_pairs":
+        "oracle replay materializes docs x shingles x 64 SplitMix64 lanes "
+        "(~80+ GB DuckDB temp at 50k docs) — infeasible locally; Spark "
+        "side recorded, exact replay gated at sf0.01",
+    "cep_kleene":
+        "oracle replay enumerates each kleene start against every in-run "
+        "successor (O(run-length^2)); the 10x-duplicated timestamps make "
+        "runs ~10x longer (~100x intermediate), exceeding local DuckDB "
+        "temp. Spark side recorded; batch and streamed kleene agree "
+        "row-for-row at sf1 (11,329), and the exact replay stays gated "
+        "at sf0.01",
+    "stream_cep_kleene":
+        "same kleene oracle-replay blowup; Spark side recorded (row "
+        "count equals the batch twin's at sf1)",
+    "cep_chain3":
+        "chain semantics are combinatorial under the 10x-duplicated "
+        "events: every original 3-chain match becomes 10^3 = 1000 "
+        "matches (Spark emits exactly 1914 x 1000 = 1,914,000 rows — "
+        "internally consistent), and the oracle's 3-way join "
+        "intermediate exceeds local DuckDB temp; exact replay gated at "
+        "sf0.01",
+    "stream_cep_chain3":
+        "same chain3 oracle-replay blowup; Spark side recorded "
+        "(1,914,000 rows, equal to the batch twin's)",
 }
 
 
@@ -171,7 +232,9 @@ def main() -> None:
                 got = normalize(fn(spark, SF1).toPandas())
                 rec["spark_rows"] = int(len(got))
                 rec["spark_sec"] = round(time.time() - t0, 1)
-                if name in oracles:
+                if name in ORACLE_AT_GATE:
+                    rec["oracle_skipped"] = ORACLE_AT_GATE[name]
+                elif name in oracles:
                     t1 = time.time()
                     want = normalize(con.sql(oracles[name]).df())
                     rec["oracle_rows"] = int(len(want))
@@ -208,6 +271,8 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001 — record, keep going
                 rec["err"] = f"{type(exc).__name__}: {exc}"
                 rec["trace"] = traceback.format_exc()[-1500:]
+                if name in LOUD_GUARD:
+                    rec["explained"] = LOUD_GUARD[name]
         out[name] = rec
         log.write(json.dumps(rec) + "\n")
         log.flush()
