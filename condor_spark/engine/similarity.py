@@ -181,6 +181,14 @@ def ivf_index(emb_df: DataFrame, num_centroids: int = 16, iters: int = 2,
                 np.add.at(sums, best, unit)
                 np.add.at(counts, best, 1)
             nz = np.nonzero(counts)[0]
+            if not len(nz):
+                # empty input partition (a file split without a row-group
+                # start): yield NOTHING — an empty pd.DataFrame built from
+                # {"s": []} types the list column float64, which Arrow
+                # cannot convert to list<double> (surfaced by the sf1
+                # stress, where the single-row-group parquet splits into
+                # one loaded + several empty partitions)
+                return
             yield pd.DataFrame({"cluster": nz,
                                 "s": [sums[i].tolist() for i in nz],
                                 "n": counts[nz]})
